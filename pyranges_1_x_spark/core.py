@@ -1,0 +1,277 @@
+"""GenomicRanges — a thin wrapper giving a Spark DataFrame the reference's operator surface.
+
+The reference's ``PyRanges`` is a pandas-DataFrame *subclass*
+(``/root/reference/pyranges1/core/pyranges_main.py:78-87``); here we use
+composition: ``GenomicRanges(df)`` validates the schema contract
+(Chromosome/Start/End [, Strand]) and exposes the interval-algebra methods; the
+underlying Spark DataFrame is always available as ``.df`` and every inherited
+relational operation (filter/select/groupBy/...) is reached through it.
+
+Like the reference, constructing with missing required columns degrades to the
+plain DataFrame semantics (``pyranges_main.py:167-185``): ``wrap`` returns the
+raw DataFrame when the contract does not hold.
+
+All operator methods are lazy — they build a Catalyst plan; nothing executes
+until an action. A chain of N calls therefore fuses into one optimized plan
+(unlike the reference, which materializes every intermediate frame).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pyranges_1_x_spark import names as nm
+
+
+def _resolve_strand_behavior(self_has: bool, other_has: bool, strand_behavior: str) -> str:
+    """Resolve 'auto' like the reference (core/pyranges_helpers.py:289-311).
+
+    Divergence (documented): the reference checks *values* are all in {+,-}
+    (an eager scan); we resolve on schema presence only, because a lazy engine
+    cannot afford a validation action per operator. Callers needing the strict
+    check can run ``validate_strands()`` explicitly.
+    """
+    if strand_behavior not in nm.VALID_STRAND_BEHAVIOR:
+        raise ValueError(f"strand_behavior must be one of {nm.VALID_STRAND_BEHAVIOR}")
+    if strand_behavior == nm.STRAND_BEHAVIOR_AUTO:
+        return nm.STRAND_BEHAVIOR_SAME if (self_has and other_has) else nm.STRAND_BEHAVIOR_IGNORE
+    return strand_behavior
+
+
+def _resolve_use_strand(has_strand: bool, use_strand: Union[bool, str]) -> bool:
+    if use_strand == "auto":
+        return has_strand
+    return bool(use_strand)
+
+
+class GenomicRanges:
+    """Interval-frame façade over a Spark DataFrame (see module docstring)."""
+
+    def __init__(self, df: DataFrame):
+        missing = [c for c in nm.GENOME_LOC_COLS if c not in df.columns]
+        if missing:
+            raise ValueError(f"GenomicRanges requires columns {nm.GENOME_LOC_COLS}; missing {missing}")
+        self._df = df.withColumn(nm.START_COL, F.col(nm.START_COL).cast("long")).withColumn(
+            nm.END_COL, F.col(nm.END_COL).cast("long")
+        )
+
+    # -- plumbing ---------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def has_strand(self) -> bool:
+        return nm.STRAND_COL in self._df.columns
+
+    @classmethod
+    def wrap(cls, df: DataFrame):
+        """Wrap if the location contract holds, else return the raw DataFrame
+        (the reference's degradation rule, pyranges_main.py:167-185)."""
+        if all(c in df.columns for c in nm.GENOME_LOC_COLS):
+            return cls(df)
+        return df
+
+    def with_row_id(self, col: str = nm.ROW_ID_COL) -> "GenomicRanges":
+        """Attach a row-identity column (the Spark stand-in for the reference's
+        load-bearing pandas index, SURVEY.md §1.2)."""
+        if col in self._df.columns:
+            return self
+        return GenomicRanges(self._df.withColumn(col, F.monotonically_increasing_id()))
+
+    def group_keys(self, use_strand: Union[bool, str] = "auto", match_by=None) -> list[str]:
+        """Implicit grouping keys of unary ops (reference prepare_by_single,
+        core/pyranges_helpers.py:157-185)."""
+        keys = [nm.CHROM_COL]
+        if _resolve_use_strand(self.has_strand, use_strand):
+            keys.append(nm.STRAND_COL)
+        if match_by:
+            keys += [match_by] if isinstance(match_by, str) else list(match_by)
+        return keys
+
+    def _binary_prepared(self, other: "GenomicRanges", strand_behavior: str, match_by=None):
+        """Resolve strand behavior & grouping keys for binary ops; flip the other
+        frame's strand for 'opposite' (reference pyranges_helpers.py:188-227)."""
+        sb = _resolve_strand_behavior(self.has_strand, other.has_strand, strand_behavior)
+        keys = [nm.CHROM_COL]
+        odf = other._df
+        if sb == nm.STRAND_BEHAVIOR_SAME:
+            keys.append(nm.STRAND_COL)
+        elif sb == nm.STRAND_BEHAVIOR_OPPOSITE:
+            keys.append(nm.STRAND_COL)
+            odf = odf.withColumn(
+                nm.STRAND_COL,
+                F.when(F.col(nm.STRAND_COL) == "+", F.lit("-"))
+                .when(F.col(nm.STRAND_COL) == "-", F.lit("+"))
+                .otherwise(F.col(nm.STRAND_COL)),
+            )
+        if match_by:
+            keys += [match_by] if isinstance(match_by, str) else list(match_by)
+        return odf, keys
+
+    # -- validation (reference range_frame_validator.py:99-133) -----------
+    def invalid_ranges(self) -> DataFrame:
+        """Rows violating the advisory contract, tagged with the reason class:
+        'nan_start_end' | 'empty_or_negative' | 'negative_coordinates'."""
+        d = self._df
+        reason = (
+            F.when(F.col(nm.START_COL).isNull() | F.col(nm.END_COL).isNull(), "nan_start_end")
+            .when(F.col(nm.END_COL) <= F.col(nm.START_COL), "empty_or_negative")
+            .when(F.col(nm.START_COL) < 0, "negative_coordinates")
+        )
+        return d.withColumn("invalid_reason", reason).filter(F.col("invalid_reason").isNotNull())
+
+    # -- simple projections (reference pyranges_main.py:5098-5207,4747,4784)
+    def remove_nonloc_columns(self) -> "GenomicRanges":
+        cols = [c for c in nm.GENOME_LOC_COLS_WITH_STRAND if c in self._df.columns]
+        return GenomicRanges(self._df.select(*cols))
+
+    def get_with_loc_columns(self, keys) -> "GenomicRanges":
+        keys = [keys] if isinstance(keys, str) else list(keys)
+        loc = [c for c in nm.GENOME_LOC_COLS_WITH_STRAND if c in self._df.columns]
+        return GenomicRanges(self._df.select(*loc, *keys))
+
+    def remove_strand(self):
+        return GenomicRanges.wrap(self._df.drop(nm.STRAND_COL))
+
+    def flip_strand(self) -> "GenomicRanges":
+        return GenomicRanges(
+            self._df.withColumn(
+                nm.STRAND_COL,
+                F.when(F.col(nm.STRAND_COL) == "+", F.lit("-"))
+                .when(F.col(nm.STRAND_COL) == "-", F.lit("+"))
+                .otherwise(F.col(nm.STRAND_COL)),
+            )
+        )
+
+    def loci(self, chromosome: str, start: int | None = None, end: int | None = None, strand: str | None = None):
+        """Range selection sugar with *overlap* semantics
+        (reference core/loci_getter.py:24-58)."""
+        d = self._df.filter(F.col(nm.CHROM_COL) == chromosome)
+        if strand is not None:
+            d = d.filter(F.col(nm.STRAND_COL) == strand)
+        if start is not None:
+            d = d.filter(F.col(nm.END_COL) > F.lit(start))
+        if end is not None:
+            d = d.filter(F.col(nm.START_COL) < F.lit(end))
+        return GenomicRanges(d)
+
+    def length_sum(self):
+        """Total interval length (reference .length, pyranges_main.py:1404)."""
+        return self._df.select(
+            F.coalesce(F.sum(F.col(nm.END_COL) - F.col(nm.START_COL)), F.lit(0)).alias("length")
+        )
+
+    def lengths(self) -> "GenomicRanges":
+        return GenomicRanges(
+            self._df.withColumn("Length", F.col(nm.END_COL) - F.col(nm.START_COL))
+        )
+
+    # -- operator delegation (implementations live in operators/) ---------
+    def overlap(self, other, **kw):
+        from pyranges_1_x_spark.operators import overlap as _ov
+
+        return _ov.overlap(self, other, **kw)
+
+    def join_overlaps(self, other, **kw):
+        from pyranges_1_x_spark.operators import overlap as _ov
+
+        return _ov.join_overlaps(self, other, **kw)
+
+    def intersect_overlaps(self, other, **kw):
+        from pyranges_1_x_spark.operators import overlap as _ov
+
+        return _ov.intersect_overlaps(self, other, **kw)
+
+    def count_overlaps(self, other, **kw):
+        from pyranges_1_x_spark.operators import overlap as _ov
+
+        return _ov.count_overlaps(self, other, **kw)
+
+    def complement_overlaps(self, other, **kw):
+        from pyranges_1_x_spark.operators import overlap as _ov
+
+        return _ov.complement_overlaps(self, other, **kw)
+
+    def merge_overlaps(self, **kw):
+        from pyranges_1_x_spark.operators import merge as _m
+
+        return _m.merge_overlaps(self, **kw)
+
+    def cluster_overlaps(self, **kw):
+        from pyranges_1_x_spark.operators import merge as _m
+
+        return _m.cluster_overlaps(self, **kw)
+
+    def outer_ranges(self, **kw):
+        from pyranges_1_x_spark.operators import merge as _m
+
+        return _m.outer_ranges(self, **kw)
+
+    def subtract_overlaps(self, other, **kw):
+        from pyranges_1_x_spark.operators import setops as _s
+
+        return _s.subtract_overlaps(self, other, **kw)
+
+    def complement_ranges(self, **kw):
+        from pyranges_1_x_spark.operators import setops as _s
+
+        return _s.complement_ranges(self, **kw)
+
+    def set_union_overlaps(self, other, **kw):
+        from pyranges_1_x_spark.operators import setops as _s
+
+        return _s.set_union_overlaps(self, other, **kw)
+
+    def set_intersect_overlaps(self, other, **kw):
+        from pyranges_1_x_spark.operators import setops as _s
+
+        return _s.set_intersect_overlaps(self, other, **kw)
+
+    def split_overlaps(self, **kw):
+        from pyranges_1_x_spark.operators import setops as _s
+
+        return _s.split_overlaps(self, **kw)
+
+    def nearest_ranges(self, other, **kw):
+        from pyranges_1_x_spark.operators import nearest as _n
+
+        return _n.nearest_ranges(self, other, **kw)
+
+    def to_coverage(self, **kw):
+        from pyranges_1_x_spark.operators import coverage as _c
+
+        return _c.to_coverage(self, **kw)
+
+    def sort_ranges(self, **kw):
+        from pyranges_1_x_spark.operators import sort as _srt
+
+        return _srt.sort_ranges(self, **kw)
+
+    def extend_ranges(self, **kw):
+        from pyranges_1_x_spark.operators import geometry as _g
+
+        return _g.extend_ranges(self, **kw)
+
+    def tile_ranges(self, **kw):
+        from pyranges_1_x_spark.operators import geometry as _g
+
+        return _g.tile_ranges(self, **kw)
+
+    def window_ranges(self, **kw):
+        from pyranges_1_x_spark.operators import geometry as _g
+
+        return _g.window_ranges(self, **kw)
+
+    def clip_ranges(self, chromsizes, **kw):
+        from pyranges_1_x_spark.operators import geometry as _g
+
+        return _g.clip_ranges(self, chromsizes, **kw)
+
+    def max_disjoint_overlaps(self, **kw):
+        from pyranges_1_x_spark.operators import disjoint as _d
+
+        return _d.max_disjoint_overlaps(self, **kw)

@@ -1,0 +1,138 @@
+"""Coordinate-geometry operators: extend, tile, window, clip, tile_genome.
+
+Reference: ``extend_ranges`` (pyranges_main.py:879-1039), ``tile_ranges`` /
+``window_ranges`` (pyranges_main.py:3719-3846, 4838-5096), ``genome_bounds``
+clip (pyranges_main.py:6219-6226), ``tile_genome`` (methods/tile_genome.py:13-109).
+All pure Column arithmetic + explode(sequence(...)) — fully codegen'd, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyranges_1_x_spark import names as nm
+from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.plans.interval_join import floordiv
+
+
+def extend_ranges(
+    self: GenomicRanges,
+    *,
+    ext: int | None = None,
+    ext_5: int | None = None,
+    ext_3: int | None = None,
+    use_strand="auto",
+    group_by=None,
+) -> GenomicRanges:
+    """Pad interval ends; 5'/3' are strand-aware (on '-' strand the 5' end is
+    End — reference pyranges_main.py:1025-1034). With ``group_by`` only the
+    outermost ends of each group (transcript) are extended."""
+    if ext is not None and (ext_5 is not None or ext_3 is not None):
+        raise ValueError("use either ext or ext_5/ext_3")
+    e5 = ext if ext is not None else (ext_5 or 0)
+    e3 = ext if ext is not None else (ext_3 or 0)
+    stranded = self.has_strand and (use_strand == "auto" or use_strand is True)
+    neg = F.col(nm.STRAND_COL) == "-" if stranded else F.lit(False)
+    start_pad = F.when(neg, F.lit(e3)).otherwise(F.lit(e5))
+    end_pad = F.when(neg, F.lit(e5)).otherwise(F.lit(e3))
+    d = self.df
+    if group_by is None:
+        out = d.withColumn(
+            nm.START_COL, F.greatest(F.col(nm.START_COL) - start_pad, F.lit(0))
+        ).withColumn(nm.END_COL, F.col(nm.END_COL) + end_pad)
+        return GenomicRanges(out)
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    w = Window.partitionBy(nm.CHROM_COL, *keys)
+    gmin, gmax = F.min(nm.START_COL).over(w), F.max(nm.END_COL).over(w)
+    out = d.withColumn(
+        nm.START_COL,
+        F.when(
+            F.col(nm.START_COL) == gmin, F.greatest(F.col(nm.START_COL) - start_pad, F.lit(0))
+        ).otherwise(F.col(nm.START_COL)),
+    ).withColumn(
+        nm.END_COL,
+        F.when(F.col(nm.END_COL) == gmax, F.col(nm.END_COL) + end_pad).otherwise(
+            F.col(nm.END_COL)
+        ),
+    )
+    return GenomicRanges(out)
+
+
+def tile_ranges(
+    self: GenomicRanges,
+    tile_size: int,
+    *,
+    overlap_column: str | None = None,
+) -> GenomicRanges:
+    """Chop each interval into genome-aligned tiles of ``tile_size``
+    (reference pyranges_main.py:3832-3837). ``overlap_column`` reports the
+    number of covered positions in each tile (the reference reports the
+    fraction; we emit the exact integer length — divide by tile_size for the
+    fraction — to keep the column float-exact)."""
+    d = self.df
+    lo = floordiv(F.col(nm.START_COL), tile_size)
+    hi = F.greatest(lo, floordiv(F.col(nm.END_COL) - 1, tile_size))
+    d = d.withColumn("__tile__", F.explode(F.sequence(lo, hi)))
+    tile_start = F.col("__tile__") * tile_size
+    tile_end = tile_start + tile_size
+    if overlap_column is not None:
+        d = d.withColumn(
+            overlap_column,
+            F.least(F.col(nm.END_COL), tile_end) - F.greatest(F.col(nm.START_COL), tile_start),
+        )
+    out = d.withColumn(nm.START_COL, tile_start).withColumn(nm.END_COL, tile_end).drop("__tile__")
+    return GenomicRanges(out)
+
+
+def window_ranges(self: GenomicRanges, window_size: int) -> GenomicRanges:
+    """Chop each interval into chunks of ``window_size`` anchored at its Start
+    (reference pyranges_main.py:5073-5079; the strand-aware '-'-anchored
+    variant lands with the 5' family)."""
+    d = self.df
+    n = F.ceil((F.col(nm.END_COL) - F.col(nm.START_COL)) / F.lit(window_size)).cast("long")
+    d = d.withColumn("__w__", F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))))
+    ws = F.col(nm.START_COL) + F.col("__w__") * window_size
+    we = F.least(ws + window_size, F.col(nm.END_COL))
+    out = d.withColumn(nm.START_COL, ws).withColumn(nm.END_COL, we).drop("__w__")
+    return GenomicRanges(out)
+
+
+def clip_ranges(
+    self: GenomicRanges, chromsizes: DataFrame, *, mode: str = "clip"
+) -> GenomicRanges:
+    """Clip to [0, chrom_size) or drop out-of-bounds rows
+    (reference genome_bounds, pyranges_main.py:6219-6226). ``chromsizes`` is a
+    small (Chromosome, End=size) DataFrame — broadcast by construction."""
+    sizes = chromsizes.select(
+        F.col(nm.CHROM_COL), F.col(nm.END_COL).cast("long").alias("__size__")
+    )
+    d = self.df.join(F.broadcast(sizes), on=nm.CHROM_COL, how="inner")
+    if mode == "clip":
+        out = (
+            d.withColumn(nm.START_COL, F.greatest(F.col(nm.START_COL), F.lit(0)))
+            .withColumn(nm.END_COL, F.least(F.col(nm.END_COL), F.col("__size__")))
+            .filter(F.col(nm.START_COL) < F.col(nm.END_COL))
+        )
+    elif mode == "remove":
+        out = d.filter((F.col(nm.START_COL) >= 0) & (F.col(nm.END_COL) <= F.col("__size__")))
+    else:
+        raise ValueError("mode must be 'clip' or 'remove'")
+    return GenomicRanges(out.drop("__size__"))
+
+
+def tile_genome(chromsizes: DataFrame, tile_size: int, *, full_last_tile: bool = False) -> GenomicRanges:
+    """Tile every chromosome end to end (reference methods/tile_genome.py:13-109)."""
+    sizes = chromsizes.select(F.col(nm.CHROM_COL), F.col(nm.END_COL).cast("long").alias("__size__"))
+    d = sizes.withColumn(
+        "__tile__",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.ceil(F.col("__size__") / tile_size).cast("long") - 1, F.lit(0)))),
+    )
+    ts = F.col("__tile__") * tile_size
+    te = ts + tile_size
+    if not full_last_tile:
+        te = F.least(te, F.col("__size__"))
+    out = d.select(
+        F.col(nm.CHROM_COL), ts.alias(nm.START_COL), te.alias(nm.END_COL)
+    )
+    return GenomicRanges(out)

@@ -1,0 +1,241 @@
+"""Nearest-interval join via union-tag-sort sweeps (no O(n*m) blowup).
+
+Reference: ``nearest_ranges`` (range_frame.py:451-537, wrapper
+pyranges_main.py:2143-2391). Distance convention (doctest-verified):
+overlapping pairs have Distance 0; non-overlapping (incl. touching) have
+``gap + 1`` (touching => 1). Rows with no eligible neighbor are dropped.
+
+Physical strategy: for k=1 in each direction we avoid any join at all —
+union the two frames' boundary points into one stream per group, sort once,
+and a running min/max window computes each self row's nearest other-boundary
+(an "as-of join" — SURVEY.md §4.3.2). The matched other row's attributes are
+recovered with one equi-join on (keys, boundary). Overlap candidates (distance
+0) come from the shared binned interval join. This is O(n log n) per group and
+shuffles on the same keys as every other operator.
+
+Current limits (documented divergence, to be lifted): k must be 1 when
+appending other's columns; `nearest_distance` (distance only) supports any k=1
+semantics. Directions 'forward'/'backward' are in self-coordinate terms; the
+strand-aware upstream/downstream resolution of the PyRanges wrapper
+(pyranges_main.py:2327-2391) is layered on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyranges_1_x_spark import names as nm
+from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.plans.interval_join import interval_pairs, rename_keys
+
+_LID = "__nr_lid__"
+
+
+def _forward_candidates(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Per left row: smallest right Start >= left End (as-of sweep).
+
+    Returns (lid, __cand__) where __cand__ is that right Start (null if none).
+    """
+    l_pts = left.select(*keys, F.col(_LID), F.col(nm.END_COL).alias("__pos__")).withColumn(
+        "__typ__", F.lit(0)
+    )
+    r_pts = (
+        right.select(*keys, F.col(nm.START_COL).alias("__pos__"))
+        .withColumn("__typ__", F.lit(1))
+        .withColumn(_LID, F.lit(None).cast("long"))
+        .select(*keys, _LID, "__pos__", "__typ__")
+    )
+    allp = l_pts.unionByName(r_pts)
+    # Descending sweep: at each left End, the nearest right Start >= it is the
+    # min of right starts seen so far. Right points sort before left at ties
+    # (typ desc) because Start == End means touching => eligible.
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__pos__").desc(), F.col("__typ__").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = F.min(F.when(F.col("__typ__") == 1, F.col("__pos__"))).over(w)
+    return allp.withColumn("__cand__", cand).filter(F.col("__typ__") == 0).select(
+        _LID, "__cand__"
+    )
+
+
+def _backward_candidates(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
+    """Per left row: largest right End <= left Start."""
+    l_pts = left.select(*keys, F.col(_LID), F.col(nm.START_COL).alias("__pos__")).withColumn(
+        "__typ__", F.lit(1)
+    )
+    r_pts = (
+        right.select(*keys, F.col(nm.END_COL).alias("__pos__"))
+        .withColumn("__typ__", F.lit(0))
+        .withColumn(_LID, F.lit(None).cast("long"))
+        .select(*keys, _LID, "__pos__", "__typ__")
+    )
+    allp = l_pts.unionByName(r_pts)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__pos__").asc(), F.col("__typ__").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cand = F.max(F.when(F.col("__typ__") == 0, F.col("__pos__"))).over(w)
+    return allp.withColumn("__cand__", cand).filter(F.col("__typ__") == 1).select(
+        _LID, "__cand__"
+    )
+
+
+def nearest_distance(
+    self: GenomicRanges,
+    other: GenomicRanges,
+    *,
+    strand_behavior: str = "auto",
+    match_by=None,
+    direction: str = nm.NEAREST_ANY,
+    exclude_overlaps: bool = False,
+    dist_col: str = "Distance",
+    bin_size: int = nm.DEFAULT_BIN_SIZE,
+) -> GenomicRanges:
+    """Self rows + the distance to the nearest other interval (no other columns
+    appended — the tie-ambiguity-free core of nearest_ranges). Rows with no
+    eligible neighbor are dropped (reference behavior)."""
+    odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    left = self.df.withColumn(_LID, F.monotonically_increasing_id())
+    right = odf.select(*keys, nm.START_COL, nm.END_COL)
+
+    cands = []
+    if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
+        fwd = _forward_candidates(left, right, keys).select(
+            _LID, (F.col("__cand__") - F.lit(0)).alias("__cand__"), F.lit("f").alias("__d__")
+        )
+        cands.append(fwd)
+    if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
+        bwd = _backward_candidates(left, right, keys).select(
+            _LID, F.col("__cand__"), F.lit("b").alias("__d__")
+        )
+        cands.append(bwd)
+    c = cands[0]
+    for extra in cands[1:]:
+        c = c.unionByName(extra)
+
+    coords = left.select(_LID, nm.START_COL, nm.END_COL).toDF(_LID, "__s__", "__e__")
+    c = c.join(coords, on=_LID, how="inner").withColumn(
+        "__dist__",
+        F.when(F.col("__d__") == "f", F.col("__cand__") - F.col("__e__") + 1).otherwise(
+            F.col("__s__") - F.col("__cand__") + 1
+        ),
+    ).filter(F.col("__cand__").isNotNull())
+
+    if not exclude_overlaps:
+        rb, rbkeys = rename_keys(
+            right.withColumnRenamed(nm.START_COL, "__rs__").withColumnRenamed(nm.END_COL, "__re__"),
+            keys,
+        )
+        ov = interval_pairs(
+            left.select(_LID, *keys, nm.START_COL, nm.END_COL),
+            rb,
+            keys=keys,
+            right_keys=rbkeys,
+            bin_size=bin_size,
+            rstart="__rs__",
+            rend="__re__",
+        ).select(_LID).distinct().withColumn("__dist__", F.lit(0).cast("long"))
+        c = c.select(_LID, "__dist__").unionByName(ov)
+    else:
+        c = c.select(_LID, "__dist__")
+
+    best = c.groupBy(_LID).agg(F.min("__dist__").alias(dist_col))
+    out = left.join(best, on=_LID, how="inner").drop(_LID)
+    return GenomicRanges(out)
+
+
+def nearest_ranges(
+    self: GenomicRanges,
+    other: GenomicRanges,
+    *,
+    strand_behavior: str = "auto",
+    match_by=None,
+    direction: str = nm.NEAREST_ANY,
+    exclude_overlaps: bool = False,
+    k: int = 1,
+    suffix: str = nm.JOIN_SUFFIX,
+    dist_col: str | None = "Distance",
+    bin_size: int = nm.DEFAULT_BIN_SIZE,
+):
+    """Append the nearest other row's columns (k=1; see module docstring).
+
+    Ties (several other rows at the same distance) are broken deterministically
+    by (other Start, other End) ascending — the reference's choice among ties is
+    algorithm-order-dependent, so any fixed rule is equally faithful."""
+    if k != 1:
+        raise NotImplementedError("k > 1 lands with the bin-expansion planner (round 2)")
+    odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    left = self.df.withColumn(_LID, F.monotonically_increasing_id())
+    rid = "__nr_rid__"
+    right = odf.withColumn(rid, F.monotonically_increasing_id())
+    rcoords, rckeys = rename_keys(
+        right.select(rid, *keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")),
+        keys,
+    )
+
+    # Candidate (lid, rid, dist) triples from the three generators.
+    cands = []
+    if not exclude_overlaps:
+        ov = interval_pairs(
+            left.select(_LID, *keys, nm.START_COL, nm.END_COL),
+            rcoords,
+            keys=keys,
+            right_keys=rckeys,
+            bin_size=bin_size,
+            rstart="__rs__",
+            rend="__re__",
+        ).select(_LID, rid, F.lit(0).cast("long").alias("__dist__"))
+        cands.append(ov)
+    rsel = right.select(*keys, nm.START_COL, nm.END_COL, rid)
+    if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
+        fwd = _forward_candidates(left, rsel, keys).filter(F.col("__cand__").isNotNull())
+        fwd = (
+            fwd.join(left.select(_LID, *keys, nm.END_COL), on=_LID)
+            .join(
+                rsel.select(*keys, F.col(nm.START_COL).alias("__cand__"), rid),
+                on=[*keys, "__cand__"],
+            )
+            .select(_LID, rid, (F.col("__cand__") - F.col(nm.END_COL) + 1).alias("__dist__"))
+        )
+        cands.append(fwd)
+    if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
+        bwd = _backward_candidates(left, rsel, keys).filter(F.col("__cand__").isNotNull())
+        bwd = (
+            bwd.join(left.select(_LID, *keys, nm.START_COL), on=_LID)
+            .join(
+                rsel.select(*keys, F.col(nm.END_COL).alias("__cand__"), rid),
+                on=[*keys, "__cand__"],
+            )
+            .select(_LID, rid, (F.col(nm.START_COL) - F.col("__cand__") + 1).alias("__dist__"))
+        )
+        cands.append(bwd)
+
+    allc = cands[0]
+    for extra in cands[1:]:
+        allc = allc.unionByName(extra)
+
+    # Keep the best candidate per left row (deterministic tie-break on rid's coords).
+    allc = allc.join(rcoords.select(rid, "__rs__", "__re__"), on=rid)
+    w = Window.partitionBy(_LID).orderBy(
+        F.col("__dist__").asc(), F.col("__rs__").asc(), F.col("__re__").asc(), F.col(rid).asc()
+    )
+    best = (
+        allc.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .select(_LID, rid, "__dist__")
+    )
+
+    # Assemble output: left columns + suffixed right columns (+ Distance).
+    right_out = right
+    for c in right.columns:
+        if c != rid and (c in self.df.columns or c in (nm.START_COL, nm.END_COL)):
+            right_out = right_out.withColumnRenamed(c, c + suffix)
+    res = left.join(best, on=_LID).join(right_out, on=rid)
+    if dist_col is not None:
+        res = res.withColumn(dist_col, F.col("__dist__"))
+    res = res.drop(_LID, rid, "__dist__")
+    return GenomicRanges.wrap(res)

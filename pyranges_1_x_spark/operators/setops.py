@@ -1,0 +1,229 @@
+"""Interval-set operators: subtract, complement, set union/intersect, split.
+
+Reference: ``subtract_overlaps`` (range_frame.py:652-711),
+``complement_ranges`` (pyranges_main.py:5705-5896, methods/complement.py:13-78),
+``set_union/intersect_overlaps`` (pyranges_main.py:2617-2820),
+``split_overlaps`` (pyranges_main.py:3264-3415, methods/split.py:12-37).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyranges_1_x_spark import names as nm
+from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.plans.interval_join import interval_pairs, rename_keys
+from pyranges_1_x_spark.plans.islands import island_agg
+
+
+def subtract_overlaps(
+    self: GenomicRanges,
+    other: GenomicRanges,
+    *,
+    strand_behavior: str = "auto",
+    match_by=None,
+    bin_size: int = nm.DEFAULT_BIN_SIZE,
+) -> GenomicRanges:
+    """Self minus (merged) other: each self row is split into the sub-intervals
+    not covered by any other interval; fully-covered rows disappear; metadata
+    is carried through (reference range_frame.py:699-707).
+
+    Plan: merge other per group (disjoint blockers) -> binned interval join ->
+    per-self-row ordered window over blockers emits the gap before each blocker
+    and, on the last blocker, the trailing gap; untouched rows pass through via
+    anti-join. No collect_list: per-row state is O(1) window state.
+    """
+    odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    blockers, bkeys = rename_keys(
+        island_agg(odf.select(*keys, nm.START_COL, nm.END_COL), keys)
+        .withColumnRenamed(nm.START_COL, "__bs__")
+        .withColumnRenamed(nm.END_COL, "__be__"),
+        keys,
+    )
+    lid = "__sub_lid__"
+    left = (
+        self.df.withColumn(lid, F.monotonically_increasing_id())
+        if lid not in self.df.columns
+        else self.df
+    )
+    pairs = interval_pairs(
+        left, blockers, keys=keys, right_keys=bkeys, bin_size=bin_size,
+        rstart="__bs__", rend="__be__",
+    )
+
+    w = Window.partitionBy(lid).orderBy(F.col("__bs__").asc())
+    prev_end = F.max("__be__").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    n_blockers = F.count(F.lit(1)).over(Window.partitionBy(lid))
+    rn_desc = F.row_number().over(Window.partitionBy(lid).orderBy(F.col("__bs__").desc()))
+    max_end_all = F.max("__be__").over(Window.partitionBy(lid))
+
+    gap_start = F.greatest(F.col(nm.START_COL), F.coalesce(prev_end, F.col(nm.START_COL)))
+    gap_end = F.least(F.col(nm.END_COL), F.col("__bs__"))
+    tail_start = F.greatest(F.col(nm.START_COL), max_end_all)
+
+    enriched = pairs.withColumn("__gs__", gap_start).withColumn("__ge__", gap_end).withColumn(
+        "__ts__", F.when(rn_desc == 1, tail_start)
+    ).withColumn("__n__", n_blockers)
+
+    meta = [c for c in left.columns if c not in (nm.START_COL, nm.END_COL)]
+
+    gaps = enriched.filter(F.col("__gs__") < F.col("__ge__")).select(
+        *meta, F.col("__gs__").alias(nm.START_COL), F.col("__ge__").alias(nm.END_COL)
+    )
+    tails = enriched.filter(
+        F.col("__ts__").isNotNull() & (F.col("__ts__") < F.col(nm.END_COL))
+    ).select(*meta, F.col("__ts__").alias(nm.START_COL), F.col(nm.END_COL))
+    untouched = left.join(pairs.select(lid).distinct(), on=lid, how="left_anti").select(
+        *meta, nm.START_COL, nm.END_COL
+    )
+
+    out = gaps.unionByName(tails).unionByName(untouched)
+    # restore original column order, drop the internal id
+    out = out.select(*[c for c in left.columns if c != lid])
+    return GenomicRanges(out)
+
+
+def complement_ranges(
+    self: GenomicRanges,
+    *,
+    use_strand="auto",
+    match_by=None,
+    chromsizes: DataFrame | None = None,
+    include_first_interval: bool = False,
+) -> GenomicRanges:
+    """Gaps between merged intervals per group (reference methods/complement.py:64-72).
+
+    With ``chromsizes`` (a DataFrame of Chromosome, End=size), also emits the
+    leading gap [0, first_Start) and trailing gap [last_End, size); with
+    ``include_first_interval`` the leading gap is emitted even without sizes.
+    """
+    keys = self.group_keys(use_strand, match_by)
+    merged = island_agg(self.df.select(*keys, nm.START_COL, nm.END_COL), keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(nm.START_COL).asc())
+    nxt = F.lead(nm.START_COL).over(w)
+    gaps = (
+        merged.withColumn("__next__", nxt)
+        .filter(F.col("__next__").isNotNull() & (F.col("__next__") > F.col(nm.END_COL)))
+        .select(
+            *keys,
+            F.col(nm.END_COL).alias(nm.START_COL),
+            F.col("__next__").alias(nm.END_COL),
+        )
+    )
+    extras = []
+    first_start = merged.groupBy(*keys).agg(
+        F.min(nm.START_COL).alias("__fs__"), F.max(nm.END_COL).alias("__le__")
+    )
+    if include_first_interval or chromsizes is not None:
+        lead_gap = first_start.filter(F.col("__fs__") > 0).select(
+            *keys, F.lit(0).cast("long").alias(nm.START_COL), F.col("__fs__").alias(nm.END_COL)
+        )
+        extras.append(lead_gap)
+    if chromsizes is not None:
+        sizes = chromsizes.select(
+            F.col(nm.CHROM_COL), F.col(nm.END_COL).cast("long").alias("__size__")
+        )
+        tail_gap = (
+            first_start.join(F.broadcast(sizes), on=nm.CHROM_COL, how="inner")
+            .filter(F.col("__le__") < F.col("__size__"))
+            .select(
+                *keys,
+                F.col("__le__").alias(nm.START_COL),
+                F.col("__size__").alias(nm.END_COL),
+            )
+        )
+        extras.append(tail_gap)
+    out = gaps
+    for e in extras:
+        out = out.unionByName(e)
+    return GenomicRanges(out)
+
+
+def set_union_overlaps(
+    self: GenomicRanges, other: GenomicRanges, *, strand_behavior: str = "auto"
+) -> GenomicRanges:
+    """Union of the two interval sets: concat loc columns, then merge
+    (reference pyranges_main.py:2723-2820)."""
+    odf, keys = self._binary_prepared(other, strand_behavior)
+    cols = [*keys, nm.START_COL, nm.END_COL]
+    both = self.df.select(*cols).unionByName(odf.select(*cols))
+    return GenomicRanges(island_agg(both, keys))
+
+
+def set_intersect_overlaps(
+    self: GenomicRanges, other: GenomicRanges, *, strand_behavior: str = "auto",
+    bin_size: int = nm.DEFAULT_BIN_SIZE,
+) -> GenomicRanges:
+    """Intersection of the two merged interval sets
+    (reference pyranges_main.py:2617-2721)."""
+    odf, keys = self._binary_prepared(other, strand_behavior)
+    cols = [*keys, nm.START_COL, nm.END_COL]
+    a = island_agg(self.df.select(*cols), keys)
+    b, bkeys = rename_keys(
+        island_agg(odf.select(*cols), keys)
+        .withColumnRenamed(nm.START_COL, "__bs__")
+        .withColumnRenamed(nm.END_COL, "__be__"),
+        keys,
+    )
+    pairs = interval_pairs(
+        a, b, keys=keys, right_keys=bkeys, bin_size=bin_size, rstart="__bs__", rend="__be__"
+    )
+    out = pairs.select(
+        *keys,
+        F.greatest(F.col(nm.START_COL), F.col("__bs__")).alias(nm.START_COL),
+        F.least(F.col(nm.END_COL), F.col("__be__")).alias(nm.END_COL),
+    )
+    return GenomicRanges(out)
+
+
+def split_overlaps(
+    self: GenomicRanges,
+    *,
+    use_strand="auto",
+    match_by=None,
+    between: bool = False,
+    bin_size: int = nm.DEFAULT_BIN_SIZE,
+) -> GenomicRanges:
+    """Atomize intervals at every Start/End boundary per group; ``between``
+    keeps the segments in gaps too (reference methods/split.py:12-37: concat
+    starts+ends, sort, dedupe, zip adjacent — here: union, distinct, lead)."""
+    keys = self.group_keys(use_strand, match_by)
+    base = self.df.select(*keys, nm.START_COL, nm.END_COL)
+    points = (
+        base.select(*keys, F.col(nm.START_COL).alias("__p__"))
+        .unionByName(base.select(*keys, F.col(nm.END_COL).alias("__p__")))
+        .distinct()
+    )
+    w = Window.partitionBy(*keys).orderBy(F.col("__p__").asc())
+    segs = (
+        points.withColumn("__np__", F.lead("__p__").over(w))
+        .filter(F.col("__np__").isNotNull())
+        .select(
+            *keys, F.col("__p__").alias(nm.START_COL), F.col("__np__").alias(nm.END_COL)
+        )
+    )
+    if between:
+        return GenomicRanges(segs)
+    segs_t = segs.withColumnRenamed(nm.START_COL, "__ss__").withColumnRenamed(
+        nm.END_COL, "__se__"
+    )
+    base_r, bkeys = rename_keys(
+        base.withColumnRenamed(nm.START_COL, "__bs2__").withColumnRenamed(nm.END_COL, "__be2__"),
+        keys,
+    )
+    covered = interval_pairs(
+        segs_t,
+        base_r,
+        keys=keys,
+        right_keys=bkeys,
+        bin_size=bin_size,
+        lstart="__ss__",
+        lend="__se__",
+        rstart="__bs2__",
+        rend="__be2__",
+    ).select(*keys, F.col("__ss__"), F.col("__se__")).distinct()
+    out = covered.select(
+        *keys, F.col("__ss__").alias(nm.START_COL), F.col("__se__").alias(nm.END_COL)
+    )
+    return GenomicRanges(out)

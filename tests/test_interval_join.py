@@ -1,0 +1,130 @@
+"""Interval-join planner tests: doctest goldens from the reference plus a
+randomized brute-force oracle (bin-boundary coverage via tiny bin_size)."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from pyranges_1_x_spark.core import GenomicRanges
+from tests.helpers import assert_df_equal, brute_overlap_pairs
+
+
+def gr(spark, rows, cols=("Chromosome", "Start", "End")):
+    return GenomicRanges(spark.createDataFrame(pd.DataFrame(rows, columns=list(cols))))
+
+
+@pytest.fixture(scope="module")
+def f1f2(spark):
+    # The join_overlaps doctest fixture (reference pyranges_main.py:1230-1278).
+    f1 = gr(
+        spark,
+        [("chr1", 3, 6, "interval1"), ("chr1", 8, 9, "interval3"), ("chr1", 5, 7, "interval2")],
+        ("Chromosome", "Start", "End", "Name"),
+    )
+    f2 = gr(
+        spark,
+        [("chr1", 1, 2, "a"), ("chr1", 6, 7, "b")],
+        ("Chromosome", "Start", "End", "Name"),
+    )
+    return f1, f2
+
+
+def test_join_inner_golden(f1f2):
+    f1, f2 = f1f2
+    res = f1.join_overlaps(f2)
+    expected = pd.DataFrame(
+        [("chr1", 5, 7, "interval2", 6, 7, "b")],
+        columns=["Chromosome", "Start", "End", "Name", "Start_b", "End_b", "Name_b"],
+    )
+    assert_df_equal(res, expected)
+
+
+def test_join_left_golden(f1f2):
+    f1, f2 = f1f2
+    res = f1.join_overlaps(f2, join_type="left").df.toPandas()
+    assert len(res) == 3
+    matched = res[res.Name == "interval2"]
+    assert matched.Start_b.tolist() == [6]
+    unmatched = res[res.Name != "interval2"]
+    assert unmatched.Start_b.isna().all()
+
+
+def test_join_outer_golden(f1f2):
+    f1, f2 = f1f2
+    res = f1.join_overlaps(f2, join_type="outer").df.toPandas()
+    assert len(res) == 4  # 1 match + 2 unmatched left + 1 unmatched right
+    right_only = res[res.Start.isna()]
+    assert right_only.Name_b.tolist() == ["a"]
+
+
+def test_overlap_semi_and_anti(f1f2):
+    f1, f2 = f1f2
+    hits = f1.overlap(f2).df.toPandas()
+    assert hits.Name.tolist() == ["interval2"]
+    miss = f1.complement_overlaps(f2).df.toPandas()
+    assert sorted(miss.Name) == ["interval1", "interval3"]
+
+
+def test_slack_captures_bookended(spark):
+    a = gr(spark, [("chr1", 1, 5)])
+    b = gr(spark, [("chr1", 5, 10)])
+    assert a.join_overlaps(b).df.count() == 0
+    assert a.join_overlaps(b, slack=1).df.count() == 1
+
+
+def test_contained_only(spark):
+    a = gr(spark, [("chr1", 2, 4), ("chr1", 2, 12)])
+    b = gr(spark, [("chr1", 1, 10)])
+    res = a.join_overlaps(b, contained_intervals_only=True).df.toPandas()
+    assert res.Start.tolist() == [2] and res.End.tolist() == [4]
+
+
+def test_multiple_first_last(spark):
+    a = gr(spark, [("chr1", 5, 20)])
+    b = gr(spark, [("chr1", 4, 6), ("chr1", 1, 30), ("chr1", 10, 12)])
+    first = a.join_overlaps(b, multiple="first").df.toPandas()
+    assert first.Start_b.tolist() == [1]  # smallest right Start
+    last = a.join_overlaps(b, multiple="last").df.toPandas()
+    assert last.End_b.tolist() == [30]  # biggest right End
+
+
+def test_strand_behavior(spark):
+    cols = ("Chromosome", "Start", "End", "Strand")
+    a = gr(spark, [("chr1", 1, 10, "+")], cols)
+    b = gr(spark, [("chr1", 5, 8, "-")], cols)
+    assert a.join_overlaps(b).df.count() == 0  # auto -> same
+    assert a.join_overlaps(b, strand_behavior="opposite").df.count() == 1
+    assert a.join_overlaps(b, strand_behavior="ignore").df.count() == 1
+
+
+def test_count_and_intersect(spark):
+    a = gr(spark, [("chr1", 1, 10), ("chr1", 50, 60), ("chr2", 1, 5)])
+    b = gr(spark, [("chr1", 5, 8), ("chr1", 9, 20), ("chr1", 55, 58)])
+    counts = a.count_overlaps(b).df.toPandas().sort_values(["Chromosome", "Start"])
+    assert counts.NumberOverlaps.tolist() == [2, 1, 0]
+    inter = a.intersect_overlaps(b).df.toPandas().sort_values("Start")
+    assert list(map(tuple, inter[["Start", "End"]].values)) == [(5, 8), (9, 10), (55, 58)]
+
+
+@pytest.mark.parametrize("bin_size,slack", [(7, 0), (7, 3), (100000, 0), (13, 1)])
+def test_random_against_bruteforce(spark, bin_size, slack):
+    rng = random.Random(42 + bin_size + slack)
+    mk = lambda n: pd.DataFrame(
+        {
+            "Chromosome": [f"chr{rng.randint(1, 3)}" for _ in range(n)],
+            "Start": [rng.randint(0, 200) for _ in range(n)],
+        }
+    ).assign(End=lambda d: d.Start + [rng.randint(1, 40) for _ in range(n)], idx=range(n))
+    pa, pb = mk(60), mk(40)
+    a = GenomicRanges(spark.createDataFrame(pa))
+    b = GenomicRanges(spark.createDataFrame(pb))
+    got = a.join_overlaps(b, slack=slack, bin_size=bin_size).df.toPandas()
+    expected_pairs = {
+        (pa.idx[i], pb.idx[j])
+        for i, j in brute_overlap_pairs(pa, pb, ["Chromosome"], slack=slack)
+    }
+    got_pairs = set(zip(got["idx"], got["idx_b"]))
+    assert got_pairs == expected_pairs

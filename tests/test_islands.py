@@ -1,0 +1,59 @@
+"""Island-planner tests: merge/cluster goldens from the reference doctests."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyranges_1_x_spark.core import GenomicRanges
+
+
+def gr(spark, starts, ends, chrom="1"):
+    return GenomicRanges(
+        spark.createDataFrame(pd.DataFrame({"Chromosome": chrom, "Start": starts, "End": ends}))
+    )
+
+
+# The cluster_overlaps doctest fixture (reference pyranges_main.py:683-745).
+STARTS = [5, 6, 12, 16, 20, 22, 24]
+ENDS = [9, 8, 16, 18, 23, 25, 27]
+
+
+def test_cluster_golden_slack0(spark):
+    res = gr(spark, STARTS, ENDS).cluster_overlaps().df.toPandas().sort_values(["Start", "End"])
+    assert res.Cluster.tolist() == [0, 0, 1, 2, 3, 3, 3]
+
+
+def test_cluster_golden_slack1(spark):
+    res = gr(spark, STARTS, ENDS).cluster_overlaps(slack=1).df.toPandas().sort_values(["Start", "End"])
+    assert res.Cluster.tolist() == [0, 0, 1, 1, 2, 2, 2]
+
+
+def test_cluster_golden_slack3(spark):
+    res = gr(spark, STARTS, ENDS).cluster_overlaps(slack=3).df.toPandas().sort_values(["Start", "End"])
+    assert res.Cluster.tolist() == [0, 0, 1, 1, 1, 1, 1]
+
+
+def test_merge_with_count(spark):
+    res = (
+        gr(spark, STARTS, ENDS)
+        .merge_overlaps(count_col="Count")
+        .df.toPandas()
+        .sort_values("Start")
+    )
+    assert list(map(tuple, res[["Start", "End", "Count"]].values)) == [
+        (5, 9, 2),
+        (12, 16, 1),
+        (16, 18, 1),
+        (20, 27, 3),
+    ]
+
+
+def test_merge_nested_interval(spark):
+    # an interval fully containing later ones must keep the island open
+    res = gr(spark, [1, 2, 8], [20, 3, 9]).merge_overlaps().df.toPandas()
+    assert list(map(tuple, res[["Start", "End"]].values)) == [(1, 20)]
+
+
+def test_outer_ranges(spark):
+    res = gr(spark, STARTS, ENDS).outer_ranges(count_col="Count").df.toPandas()
+    assert list(map(tuple, res[["Start", "End", "Count"]].values)) == [(5, 27, 7)]
