@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship interval pipeline at sf0.001;
+``queries()[name](spark, sf_dir)`` runs one engine operator per entry;
+``oracle_sql()[name]`` is the equivalent DuckDB SQL over the same parquet
+views. Interval-shaped inputs are deterministic projections of the TPC-H-ish
+tables (FIXTURES.md F8): both engines build them from the *same SQL text*
+(`_A_SQL`/`_B_SQL`), so any result difference is the operators', not the data's.
+
+SQL dialect note: the shared snippets quote the reserved column name as
+"End"; `_sp()` rewrites double quotes to backticks for Spark.
 """
 
 from __future__ import annotations
@@ -13,26 +17,530 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders", "lineitem",
+    "events", "documents", "embeddings",
+]
+
+# ----------------------------------------------------------------------------
+# Shared input views (identical text for Spark and DuckDB)
+# ----------------------------------------------------------------------------
+
+_A_SQL = """
+SELECT
+  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                                   l_quantity, l_extendedprice) AS BIGINT) AS row_id,
+  CASE CAST(l_partkey % 5 AS INTEGER)
+    WHEN 0 THEN 'chr1' WHEN 1 THEN 'chr2' WHEN 2 THEN 'chr3'
+    WHEN 3 THEN 'chr10' ELSE 'chrM' END AS Chromosome,
+  (l_partkey * 193 + l_orderkey * 7 + l_linenumber) % 500000 AS Start,
+  (l_partkey * 193 + l_orderkey * 7 + l_linenumber) % 500000
+    + 4 * CAST(FLOOR(l_quantity) AS BIGINT) AS "End",
+  CASE WHEN l_orderkey % 2 = 0 THEN '+' ELSE '-' END AS Strand,
+  l_suppkey AS Score
+FROM lineitem
+"""
+
+_B_SQL = """
+SELECT
+  o_orderkey AS row_id,
+  CASE CAST(o_custkey % 5 AS INTEGER)
+    WHEN 0 THEN 'chr1' WHEN 1 THEN 'chr2' WHEN 2 THEN 'chr3'
+    WHEN 3 THEN 'chr10' ELSE 'chrM' END AS Chromosome,
+  (o_orderkey * 131 + o_custkey) % 500000 AS Start,
+  (o_orderkey * 131 + o_custkey) % 500000 + 50 + o_orderkey % 150 AS "End",
+  CASE WHEN o_custkey % 2 = 0 THEN '+' ELSE '-' END AS Strand,
+  o_custkey AS Score
+FROM orders
+"""
+
+_AB = f"WITH a AS ({_A_SQL}), b AS ({_B_SQL})"
+
+#: Shared island construction over `a` per Chromosome (DuckDB dialect).
+_ISLANDS_A = """
+ord AS (
+  SELECT row_id, Chromosome, Strand, Score, Start, "End",
+         MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM a
+),
+isl AS (
+  SELECT *, CAST(SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+             OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS island
+  FROM ord
+)
+"""
+
+
+def _sp(sql: str) -> str:
+    """Rewrite the shared (DuckDB-style) SQL for Spark: "ident" -> `ident`."""
+    return sql.replace('"', "`")
+
+
+def _load(spark: SparkSession, sf_dir: str, tables=None) -> None:
+    for t in tables or TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _gr_a(spark: SparkSession, sf_dir: str):
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    _load(spark, sf_dir, ["lineitem"])
+    return GenomicRanges(spark.sql(_sp(_A_SQL)))
+
+
+def _gr_b(spark: SparkSession, sf_dir: str):
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    _load(spark, sf_dir, ["orders"])
+    return GenomicRanges(spark.sql(_sp(_B_SQL)))
+
+
+# ----------------------------------------------------------------------------
+# entry: flagship pipeline (smoke-checked at sf0.001)
+# ----------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interval join A⋈B + per-row overlap counting + merge of the
+    intersections — one fused Catalyst plan across three operators."""
+    sf_dir = "/root/testdata/sf0.001"
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    inter = a.intersect_overlaps(b, strand_behavior="ignore")
+    return inter.merge_overlaps(use_strand=False, count_col="n_fragments").df
+
+
+# ----------------------------------------------------------------------------
+# queries + oracles
+# ----------------------------------------------------------------------------
+
+def q_overlap_semi(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.overlap(b, strand_behavior="ignore").df
+
+
+def q_overlap_anti(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.complement_overlaps(b, strand_behavior="ignore").df
+
+
+def q_join_inner(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.join_overlaps(b, strand_behavior="ignore", report_overlap_column="overlap_len").df
+
+
+def q_join_left(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.join_overlaps(b, strand_behavior="ignore", join_type="left").df
+
+
+def q_join_same_strand(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.join_overlaps(b, strand_behavior="same").df
+
+
+def q_intersect(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.intersect_overlaps(b, strand_behavior="ignore").df
+
+
+def q_count_overlaps(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.count_overlaps(b, strand_behavior="ignore", count_col="n_overlaps").df
+
+
+def q_merge_stranded(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.merge_overlaps(use_strand=True, count_col="n_intervals").df
+
+
+def q_cluster(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.cluster_overlaps(use_strand=False).df
+
+
+def q_complement(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.complement_ranges(use_strand=False).df
+
+
+def q_subtract(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.subtract_overlaps(b, strand_behavior="ignore").df
+
+
+def q_nearest(spark, sf_dir):
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.operators.nearest import nearest_distance
+
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    a_sample = GenomicRanges(a.df.filter("row_id % 10 = 1"))
+    return nearest_distance(a_sample, b, strand_behavior="ignore").df
+
+
+def q_coverage(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.to_coverage(use_strand=False).df
+
+
+def q_tile(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.tile_ranges(100, overlap_column="overlap_len").df
+
+
+def q_boundary(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.outer_ranges(use_strand=True, count_col="n_intervals").df
+
+
+def q_sort_rank(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    ranked = a.sort_ranges(by="row_id", rank_col="rank")
+    return ranked.df.select("row_id", F.col("rank").cast("long").alias("rank"))
+
+
+def _load_events(spark, sf_dir):
+    """The events parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; load via pyarrow and hand Spark tz-free integer epoch
+    micros, reconstructed with timestamp_micros (UTC, session-tz independent)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    pdf = t.to_pandas()
+    pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns -> us epoch
+    ev = spark.createDataFrame(pdf)
+    return ev.withColumn("ts", F.timestamp_micros(F.col("ts")))
+
+
+def q_events_hourly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.streaming.events import windowed_event_stats
+
+    ev = _load_events(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = windowed_event_stats(ev, window_duration="1 hour")
+    return out.select(
+        (F.col("window_start").cast("long")).alias("epoch_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").alias("sum_cents"),
+    )
+
+
+def q_doc_signature_dedup(spark, sf_dir):
+    from pyranges_1_x_spark.ml.dedup import signature_duplicates
+
+    _load(spark, sf_dir, ["documents"])
+    return signature_duplicates(spark.table("documents"))
+
+
+def q_doc_quality(spark, sf_dir):
+    from pyranges_1_x_spark.ml.text import quality_stats
+
+    _load(spark, sf_dir, ["documents"])
+    return quality_stats(spark.table("documents"))
+
+
+def q_doc_langid(spark, sf_dir):
+    from pyranges_1_x_spark.ml.text import language_id
+
+    _load(spark, sf_dir, ["documents"])
+    return language_id(spark.table("documents"))
+
+
+def q_ann_topk(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.similarity import brute_force_topk
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").head()[0]]
+    topk = brute_force_topk(emb.filter("vec_id <> 0"), qv, k=10)
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select("vec_id", "rank")
+
+
+def q_tpch_pricing(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    _load(spark, sf_dir, ["lineitem"])
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("sum_base_cents"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "overlap_semi": q_overlap_semi,
+        "overlap_anti": q_overlap_anti,
+        "join_inner": q_join_inner,
+        "join_left": q_join_left,
+        "join_same_strand": q_join_same_strand,
+        "intersect": q_intersect,
+        "count_overlaps": q_count_overlaps,
+        "merge_stranded": q_merge_stranded,
+        "cluster": q_cluster,
+        "complement": q_complement,
+        "subtract": q_subtract,
+        "nearest": q_nearest,
+        "coverage": q_coverage,
+        "tile": q_tile,
+        "boundary": q_boundary,
+        "sort_rank": q_sort_rank,
+        "events_hourly": q_events_hourly,
+        "doc_signature_dedup": q_doc_signature_dedup,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "ann_topk": q_ann_topk,
+        "tpch_pricing": q_tpch_pricing,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ov = 'x.Chromosome = y.Chromosome AND x.Start < y."End" AND y.Start < x."End"'
+    ov_ab = ov.replace("x.", "a.").replace("y.", "b.")
+    return {
+        "overlap_semi": f"""
+            {_AB}
+            SELECT a.* FROM a
+            WHERE EXISTS (SELECT 1 FROM b WHERE {ov_ab})
+        """,
+        "overlap_anti": f"""
+            {_AB}
+            SELECT a.* FROM a
+            WHERE NOT EXISTS (SELECT 1 FROM b WHERE {ov_ab})
+        """,
+        "join_inner": f"""
+            {_AB}
+            SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score,
+                   b.row_id AS row_id_b, b.Start AS Start_b, b."End" AS End_b,
+                   b.Strand AS Strand_b, b.Score AS Score_b,
+                   LEAST(a."End", b."End") - GREATEST(a.Start, b.Start) AS overlap_len
+            FROM a JOIN b ON {ov_ab}
+        """,
+        "join_left": f"""
+            {_AB}
+            SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score,
+                   b.row_id AS row_id_b, b.Start AS Start_b, b."End" AS End_b,
+                   b.Strand AS Strand_b, b.Score AS Score_b
+            FROM a LEFT JOIN b ON {ov_ab}
+        """,
+        "join_same_strand": f"""
+            {_AB}
+            SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score,
+                   b.row_id AS row_id_b, b.Start AS Start_b, b."End" AS End_b,
+                   b.Score AS Score_b
+            FROM a JOIN b ON {ov_ab} AND a.Strand = b.Strand
+        """,
+        "intersect": f"""
+            {_AB}
+            SELECT a.row_id, a.Chromosome, GREATEST(a.Start, b.Start) AS Start,
+                   LEAST(a."End", b."End") AS "End", a.Strand, a.Score
+            FROM a JOIN b ON {ov_ab}
+        """,
+        "count_overlaps": f"""
+            {_AB}
+            SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score,
+                   CAST(COUNT(b.row_id) AS BIGINT) AS n_overlaps
+            FROM a LEFT JOIN b ON {ov_ab}
+            GROUP BY a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score
+        """,
+        "merge_stranded": f"""
+            {_AB},
+            ord AS (
+              SELECT Chromosome, Strand, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome, Strand ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM a
+            ),
+            isl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome, Strand ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM ord
+            )
+            SELECT Chromosome, Strand, MIN(Start) AS Start, MAX("End") AS "End",
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM isl GROUP BY Chromosome, Strand, island
+        """,
+        "cluster": f"""
+            {_AB},
+            {_ISLANDS_A}
+            SELECT row_id, Chromosome, Start, "End", Strand, Score, island AS Cluster
+            FROM isl
+        """,
+        "complement": f"""
+            {_AB},
+            {_ISLANDS_A},
+            blocks AS (
+              SELECT Chromosome, MIN(Start) AS s, MAX("End") AS e
+              FROM isl GROUP BY Chromosome, island
+            )
+            SELECT Chromosome, Start, "End" FROM (
+              SELECT Chromosome, e AS Start,
+                     LEAD(s) OVER (PARTITION BY Chromosome ORDER BY s) AS "End"
+              FROM blocks
+            ) WHERE "End" IS NOT NULL AND "End" > Start
+        """,
+        "subtract": f"""
+            {_AB},
+            bord AS (
+              SELECT Chromosome, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM b
+            ),
+            bisl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM bord
+            ),
+            blk AS (
+              SELECT Chromosome, MIN(Start) AS bs, MAX("End") AS be
+              FROM bisl GROUP BY Chromosome, island
+            ),
+            j AS (
+              SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score, blk.bs, blk.be
+              FROM a JOIN blk ON a.Chromosome = blk.Chromosome
+                             AND a.Start < blk.be AND blk.bs < a."End"
+            ),
+            seq AS (
+              SELECT *,
+                     MAX(be) OVER (PARTITION BY row_id ORDER BY bs
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end,
+                     ROW_NUMBER() OVER (PARTITION BY row_id ORDER BY bs DESC) AS rn_desc,
+                     MAX(be) OVER (PARTITION BY row_id) AS max_end
+              FROM j
+            )
+            SELECT row_id, Chromosome,
+                   GREATEST(Start, COALESCE(prev_end, Start)) AS Start,
+                   LEAST("End", bs) AS "End", Strand, Score
+            FROM seq
+            WHERE GREATEST(Start, COALESCE(prev_end, Start)) < LEAST("End", bs)
+            UNION ALL
+            SELECT row_id, Chromosome, GREATEST(Start, max_end) AS Start, "End", Strand, Score
+            FROM seq WHERE rn_desc = 1 AND GREATEST(Start, max_end) < "End"
+            UNION ALL
+            SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score
+            FROM a WHERE NOT EXISTS (
+              SELECT 1 FROM blk
+              WHERE blk.Chromosome = a.Chromosome AND a.Start < blk.be AND blk.bs < a."End"
+            )
+        """,
+        "nearest": f"""
+            {_AB}
+            SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score,
+                   CAST(MIN(CASE WHEN GREATEST(a.Start, b.Start) < LEAST(a."End", b."End") THEN 0
+                            ELSE GREATEST(a.Start, b.Start) - LEAST(a."End", b."End") + 1 END)
+                        AS BIGINT) AS Distance
+            FROM a JOIN b ON a.Chromosome = b.Chromosome
+            WHERE a.row_id % 10 = 1
+            GROUP BY a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score
+        """,
+        "coverage": f"""
+            {_AB},
+            pts AS (
+              SELECT Chromosome, Start AS pos, 1 AS delta FROM a
+              UNION ALL
+              SELECT Chromosome, "End" AS pos, -1 AS delta FROM a
+            ),
+            agg AS (SELECT Chromosome, pos, SUM(delta) AS delta FROM pts GROUP BY 1, 2),
+            cum AS (
+              SELECT Chromosome, pos,
+                     CAST(SUM(delta) OVER (PARTITION BY Chromosome ORDER BY pos
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumv,
+                     LEAD(pos) OVER (PARTITION BY Chromosome ORDER BY pos) AS next_pos
+              FROM agg
+            )
+            SELECT Chromosome, pos AS Start, next_pos AS "End", cumv AS Value
+            FROM cum WHERE next_pos IS NOT NULL
+        """,
+        "tile": f"""
+            {_AB}
+            SELECT a.row_id, a.Chromosome,
+                   t.tile * 100 AS Start, t.tile * 100 + 100 AS "End",
+                   a.Strand, a.Score,
+                   LEAST(a."End", t.tile * 100 + 100) - GREATEST(a.Start, t.tile * 100) AS overlap_len
+            FROM a, UNNEST(generate_series(a.Start // 100, (a."End" - 1) // 100)) AS t(tile)
+        """,
+        "boundary": f"""
+            {_AB}
+            SELECT Chromosome, Strand, MIN(Start) AS Start, MAX("End") AS "End",
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM a GROUP BY Chromosome, Strand
+        """,
+        "sort_rank": f"""
+            {_AB}
+            SELECT row_id,
+                   CAST(ROW_NUMBER() OVER (ORDER BY
+                     CASE Chromosome WHEN 'chr1' THEN 1 WHEN 'chr2' THEN 2 WHEN 'chr3' THEN 3
+                                     WHEN 'chr10' THEN 10 ELSE 1000 END,
+                     Strand, Start, "End", row_id) AS BIGINT) AS rank
+            FROM a
+        """,
+        "events_hourly": """
+            SELECT CAST(EPOCH(date_trunc('hour', ts)) AS BIGINT) AS epoch_start,
+                   event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "doc_signature_dedup": """
+            SELECT md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS sig,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS keep_id
+            FROM documents GROUP BY 1
+        """,
+        "doc_quality": """
+            SELECT doc_id,
+                   CAST(length(text) AS INTEGER) AS n_chars_text,
+                   CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS n_unique_tokens,
+                   CAST(len(list_filter(string_split(trim(text), ' '),
+                        x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x))))
+                        AS INTEGER) AS n_stopwords
+            FROM documents
+        """,
+        "doc_langid": """
+            SELECT doc_id,
+                   CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+                          x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) AS DOUBLE)
+                          / GREATEST(len(string_split(trim(text), ' ')), 1) >= 0.05
+                        THEN 'en' ELSE 'unknown' END AS pred_lang
+            FROM documents
+        """,
+        "ann_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS cos
+              FROM embeddings e, q WHERE e.vec_id <> 0
+            )
+            SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "tpch_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    }

@@ -256,15 +256,15 @@ class GenomicRanges:
 
         return _g.extend_ranges(self, **kw)
 
-    def tile_ranges(self, **kw):
+    def tile_ranges(self, tile_size, **kw):
         from pyranges_1_x_spark.operators import geometry as _g
 
-        return _g.tile_ranges(self, **kw)
+        return _g.tile_ranges(self, tile_size, **kw)
 
-    def window_ranges(self, **kw):
+    def window_ranges(self, window_size, **kw):
         from pyranges_1_x_spark.operators import geometry as _g
 
-        return _g.window_ranges(self, **kw)
+        return _g.window_ranges(self, window_size, **kw)
 
     def clip_ranges(self, chromsizes, **kw):
         from pyranges_1_x_spark.operators import geometry as _g

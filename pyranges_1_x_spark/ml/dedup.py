@@ -1,0 +1,144 @@
+"""Deduplication operators: exact, signature, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact/signature dedup = one hash aggregation (map-side combinable);
+- MinHash: per-row shingling + K independent hash-mins, all in built-in SQL
+  expressions (`transform`/`aggregate` over the shingle array — no Python UDF);
+  LSH banding turns near-dup search into an equi-join on (band, band-hash),
+  which shuffles evenly and never compares documents across buckets;
+- candidate verification (exact Jaccard on shingle sets) only runs per bucket
+  pair, keeping the quadratic step bounded by bucket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyranges_1_x_spark.ml.text import bow_signature, fingerprint
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Group identical documents: (fingerprint, n_docs, min doc id). One shuffle."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (smallest id) per identical text."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn__", F.row_number().over(w)).filter(F.col("__rn__") == 1).drop("__rn__")
+
+
+def signature_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Bag-of-words near-duplicate groups (token-permutation invariant)."""
+    return (
+        df.select(F.col(id_col), bow_signature(F.col(text_col)).alias("sig"))
+        .groupBy("sig")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingles as a distinct array (JVM-side: split + transform + slice)."""
+    toks = F.split(F.trim(text), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
+    """MinHash signature: for each of ``num_hashes`` seeded xxhash64 functions,
+    the min over the document's shingles. Pure SQL expressions (codegen'd)."""
+    sh = shingles(text, k)
+    mins = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ]
+    return F.array(*mins)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Documents agreeing on all rows of at least one band land in the same
+    bucket; the join is a self-equi-join on (band_index, band_hash) — even
+    shuffle, no cross-bucket comparisons. Returns (id_a, id_b, n_bands_agree)
+    with id_a < id_b.
+    """
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, k).alias("__sig__")
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.transform(F.slice("__sig__", b * rows + 1, rows), lambda x: x.cast("string")))
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.toDF("id_a", "band", "band_hash")
+    b = banded.toDF("id_b", "band_b", "band_hash_b")
+    pairs = a.join(
+        b,
+        (F.col("band") == F.col("band_b"))
+        & (F.col("band_hash") == F.col("band_hash_b"))
+        & (F.col("id_a") < F.col("id_b")),
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("n_bands_agree"))
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard (joins the shingle
+    arrays back in; intersection/union via array functions, still no UDF)."""
+    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    out = (
+        candidates.join(sh.toDF("id_a", "sh_a"), on="id_a")
+        .join(sh.toDF("id_b", "sh_b"), on="id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "inter", "uni", "jaccard")
+    )
+    return out
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: per-bit majority vote of token hashes,
+    expressed as a sum over bit positions (aggregate expressions; bits <= 62
+    to stay inside a signed long)."""
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62]")
+    toks = F.split(F.trim(text), r"\s+")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for i in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(2**i).cast("long"))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+- Brute-force cosine top-k: `F.zip_with`/`F.aggregate` dot products against a
+  broadcast query vector — one scan, no shuffle until the final top-k.
+- LSH-bucketed scale path: random-hyperplane signatures bucket vectors so a
+  query only scans its bucket (+ optional multi-probe neighbors); buckets are
+  an equi-join key, so the same binned-join posture as the interval planner.
+- All-pairs similarity join: bucket both sides, verify exact cosine in-bucket.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k against one query vector: scan + codegen'd arithmetic
+    + a single global top-k (rank window over one partition of k-filtered
+    per-partition candidates via orderBy/limit — Spark turns orderBy+limit into
+    a distributed TakeOrdered, no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    scored = df.select(
+        F.col(id_col),
+        (dot(F.col(vec_col), q) / (norm(F.col(vec_col)) * F.lit(qn))).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: sign-bit per plane, packed to a long."""
+    bits = []
+    for i, p in enumerate(planes):
+        pc = F.array(*[F.lit(float(x)) for x in p])
+        bits.append(F.when(dot(vec, pc) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    planes: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: scan only buckets within ``probe_hamming`` bit flips
+    of the query's bucket (multi-probe LSH). At 100TB the bucket column would be
+    a partition/bucketing key so non-probed buckets are pruned at the scan."""
+    sig = hyperplane_signature(F.col(vec_col), planes)
+    bucketed = df.withColumn("__bucket__", sig)
+
+    def sig_of(v: list[float]) -> int:
+        s = 0
+        for i, p in enumerate(planes):
+            if sum(x * y for x, y in zip(v, p)) >= 0:
+                s += 2**i
+        return s
+
+    qsig = sig_of(query_vec)
+    probes = {qsig}
+    if probe_hamming >= 1:
+        for i in range(len(planes)):
+            probes.add(qsig ^ (1 << i))
+    cand = bucketed.filter(F.col("__bucket__").isin([int(x) for x in probes]))
+    return brute_force_topk(cand, query_vec, vec_col=vec_col, id_col=id_col, k=k)
+
+
+def cosine_similarity_join(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs near-duplicate search by embedding cosine: bucket by
+    hyperplane signature, verify exact cosine within buckets only."""
+    b = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_signature(F.col(vec_col), planes).alias("__bucket__")
+    )
+    a_side = b.toDF("id_a", "vec_a", "bucket")
+    b_side = b.toDF("id_b", "vec_b", "bucket_b")
+    pairs = a_side.join(
+        b_side, (F.col("bucket") == F.col("bucket_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    return (
+        pairs.withColumn("cosine", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -13,11 +13,14 @@ recovered with one equi-join on (keys, boundary). Overlap candidates (distance
 0) come from the shared binned interval join. This is O(n log n) per group and
 shuffles on the same keys as every other operator.
 
+Because candidates come from SEVERAL plan branches that must be re-joined per
+input row, row identity uses the deterministic content-hash id
+(plans/ids.py), never ``monotonically_increasing_id``.
+
 Current limits (documented divergence, to be lifted): k must be 1 when
-appending other's columns; `nearest_distance` (distance only) supports any k=1
-semantics. Directions 'forward'/'backward' are in self-coordinate terms; the
-strand-aware upstream/downstream resolution of the PyRanges wrapper
-(pyranges_main.py:2327-2391) is layered on top.
+appending other's columns. Directions 'forward'/'backward' are in
+self-coordinate terms; the strand-aware upstream/downstream resolution of the
+PyRanges wrapper (pyranges_main.py:2327-2391) is layered on top.
 """
 
 from __future__ import annotations
@@ -27,26 +30,27 @@ from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
-from pyranges_1_x_spark.plans.interval_join import interval_pairs, rename_keys
+from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id
+from pyranges_1_x_spark.plans.interval_join import binned_join, rename_keys
 
-_LID = "__nr_lid__"
+_SID = STABLE_ID_COLS
 
 
 def _forward_candidates(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
     """Per left row: smallest right Start >= left End (as-of sweep).
 
-    Returns (lid, __cand__) where __cand__ is that right Start (null if none).
+    Returns stable-id cols + __cand__ (that right Start; null if none).
     """
-    l_pts = left.select(*keys, F.col(_LID), F.col(nm.END_COL).alias("__pos__")).withColumn(
+    l_pts = left.select(*keys, *_SID, F.col(nm.END_COL).alias("__pos__")).withColumn(
         "__typ__", F.lit(0)
     )
     r_pts = (
         right.select(*keys, F.col(nm.START_COL).alias("__pos__"))
         .withColumn("__typ__", F.lit(1))
-        .withColumn(_LID, F.lit(None).cast("long"))
-        .select(*keys, _LID, "__pos__", "__typ__")
     )
-    allp = l_pts.unionByName(r_pts)
+    for c in _SID:
+        r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
+    allp = l_pts.unionByName(r_pts.select(*keys, *_SID, "__pos__", "__typ__"))
     # Descending sweep: at each left End, the nearest right Start >= it is the
     # min of right starts seen so far. Right points sort before left at ties
     # (typ desc) because Start == End means touching => eligible.
@@ -56,32 +60,55 @@ def _forward_candidates(left: DataFrame, right: DataFrame, keys: list[str]) -> D
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cand = F.min(F.when(F.col("__typ__") == 1, F.col("__pos__"))).over(w)
-    return allp.withColumn("__cand__", cand).filter(F.col("__typ__") == 0).select(
-        _LID, "__cand__"
+    return (
+        allp.withColumn("__cand__", cand)
+        .filter(F.col("__typ__") == 0)
+        .select(*_SID, "__cand__")
     )
 
 
 def _backward_candidates(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
     """Per left row: largest right End <= left Start."""
-    l_pts = left.select(*keys, F.col(_LID), F.col(nm.START_COL).alias("__pos__")).withColumn(
+    l_pts = left.select(*keys, *_SID, F.col(nm.START_COL).alias("__pos__")).withColumn(
         "__typ__", F.lit(1)
     )
     r_pts = (
         right.select(*keys, F.col(nm.END_COL).alias("__pos__"))
         .withColumn("__typ__", F.lit(0))
-        .withColumn(_LID, F.lit(None).cast("long"))
-        .select(*keys, _LID, "__pos__", "__typ__")
     )
-    allp = l_pts.unionByName(r_pts)
+    for c in _SID:
+        r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
+    allp = l_pts.unionByName(r_pts.select(*keys, *_SID, "__pos__", "__typ__"))
     w = (
         Window.partitionBy(*keys)
         .orderBy(F.col("__pos__").asc(), F.col("__typ__").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cand = F.max(F.when(F.col("__typ__") == 0, F.col("__pos__"))).over(w)
-    return allp.withColumn("__cand__", cand).filter(F.col("__typ__") == 1).select(
-        _LID, "__cand__"
+    return (
+        allp.withColumn("__cand__", cand)
+        .filter(F.col("__typ__") == 1)
+        .select(*_SID, "__cand__")
     )
+
+
+def _overlap_ids(left: DataFrame, right: DataFrame, keys, bin_size: int) -> DataFrame:
+    """Distinct stable ids of left rows overlapping any right interval."""
+    rb, rkeys = rename_keys(
+        right.select(*keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")),
+        keys,
+    )
+    pairs = binned_join(
+        left.select(*_SID, *keys, nm.START_COL, nm.END_COL),
+        rb,
+        keys=keys,
+        right_keys=rkeys,
+        how="inner",
+        bin_size=bin_size,
+        rstart="__rs__",
+        rend="__re__",
+    )
+    return pairs.select(*_SID).distinct()
 
 
 def nearest_distance(
@@ -99,52 +126,38 @@ def nearest_distance(
     appended — the tie-ambiguity-free core of nearest_ranges). Rows with no
     eligible neighbor are dropped (reference behavior)."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    left = self.df.withColumn(_LID, F.monotonically_increasing_id())
+    left = with_stable_id(self.df)
     right = odf.select(*keys, nm.START_COL, nm.END_COL)
 
+    coords = left.select(*_SID, F.col(nm.START_COL).alias("__s__"), F.col(nm.END_COL).alias("__e__"))
     cands = []
     if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
-        fwd = _forward_candidates(left, right, keys).select(
-            _LID, (F.col("__cand__") - F.lit(0)).alias("__cand__"), F.lit("f").alias("__d__")
+        fwd = (
+            _forward_candidates(left, right, keys)
+            .filter(F.col("__cand__").isNotNull())
+            .join(coords, on=_SID)
+            .select(*_SID, (F.col("__cand__") - F.col("__e__") + 1).alias("__dist__"))
         )
         cands.append(fwd)
     if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
-        bwd = _backward_candidates(left, right, keys).select(
-            _LID, F.col("__cand__"), F.lit("b").alias("__d__")
+        bwd = (
+            _backward_candidates(left, right, keys)
+            .filter(F.col("__cand__").isNotNull())
+            .join(coords, on=_SID)
+            .select(*_SID, (F.col("__s__") - F.col("__cand__") + 1).alias("__dist__"))
         )
         cands.append(bwd)
-    c = cands[0]
-    for extra in cands[1:]:
-        c = c.unionByName(extra)
-
-    coords = left.select(_LID, nm.START_COL, nm.END_COL).toDF(_LID, "__s__", "__e__")
-    c = c.join(coords, on=_LID, how="inner").withColumn(
-        "__dist__",
-        F.when(F.col("__d__") == "f", F.col("__cand__") - F.col("__e__") + 1).otherwise(
-            F.col("__s__") - F.col("__cand__") + 1
-        ),
-    ).filter(F.col("__cand__").isNotNull())
-
     if not exclude_overlaps:
-        rb, rbkeys = rename_keys(
-            right.withColumnRenamed(nm.START_COL, "__rs__").withColumnRenamed(nm.END_COL, "__re__"),
-            keys,
+        ov = _overlap_ids(left, right, keys, bin_size).withColumn(
+            "__dist__", F.lit(0).cast("long")
         )
-        ov = interval_pairs(
-            left.select(_LID, *keys, nm.START_COL, nm.END_COL),
-            rb,
-            keys=keys,
-            right_keys=rbkeys,
-            bin_size=bin_size,
-            rstart="__rs__",
-            rend="__re__",
-        ).select(_LID).distinct().withColumn("__dist__", F.lit(0).cast("long"))
-        c = c.select(_LID, "__dist__").unionByName(ov)
-    else:
-        c = c.select(_LID, "__dist__")
+        cands.append(ov)
 
-    best = c.groupBy(_LID).agg(F.min("__dist__").alias(dist_col))
-    out = left.join(best, on=_LID, how="inner").drop(_LID)
+    allc = cands[0]
+    for extra in cands[1:]:
+        allc = allc.unionByName(extra)
+    best = allc.groupBy(*_SID).agg(F.min("__dist__").alias(dist_col))
+    out = left.join(best, on=_SID, how="inner").drop(*_SID)
     return GenomicRanges(out)
 
 
@@ -164,53 +177,56 @@ def nearest_ranges(
     """Append the nearest other row's columns (k=1; see module docstring).
 
     Ties (several other rows at the same distance) are broken deterministically
-    by (other Start, other End) ascending — the reference's choice among ties is
-    algorithm-order-dependent, so any fixed rule is equally faithful."""
+    by (other Start, other End, other id) ascending — the reference's choice
+    among ties is algorithm-order-dependent, so any fixed rule is equally
+    faithful."""
     if k != 1:
         raise NotImplementedError("k > 1 lands with the bin-expansion planner (round 2)")
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    left = self.df.withColumn(_LID, F.monotonically_increasing_id())
-    rid = "__nr_rid__"
-    right = odf.withColumn(rid, F.monotonically_increasing_id())
-    rcoords, rckeys = rename_keys(
-        right.select(rid, *keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")),
-        keys,
+    left = with_stable_id(self.df)
+    rsid = ["__rid1__", "__rid2__", "__rdr__"]
+    right = with_stable_id(odf)
+    for a, b in zip(STABLE_ID_COLS, rsid):
+        right = right.withColumnRenamed(a, b)
+    rcoords = right.select(
+        *rsid, *keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")
     )
 
-    # Candidate (lid, rid, dist) triples from the three generators.
+    # Candidate (left-id, right-id, dist) from the three generators.
     cands = []
     if not exclude_overlaps:
-        ov = interval_pairs(
-            left.select(_LID, *keys, nm.START_COL, nm.END_COL),
-            rcoords,
+        rb, rkeys = rename_keys(rcoords, keys)
+        ov = binned_join(
+            left.select(*_SID, *keys, nm.START_COL, nm.END_COL),
+            rb,
             keys=keys,
-            right_keys=rckeys,
+            right_keys=rkeys,
+            how="inner",
             bin_size=bin_size,
             rstart="__rs__",
             rend="__re__",
-        ).select(_LID, rid, F.lit(0).cast("long").alias("__dist__"))
+        ).select(*_SID, *rsid, F.lit(0).cast("long").alias("__dist__"))
         cands.append(ov)
-    rsel = right.select(*keys, nm.START_COL, nm.END_COL, rid)
     if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
-        fwd = _forward_candidates(left, rsel, keys).filter(F.col("__cand__").isNotNull())
+        fwd = _forward_candidates(left, right, keys).filter(F.col("__cand__").isNotNull())
         fwd = (
-            fwd.join(left.select(_LID, *keys, nm.END_COL), on=_LID)
+            fwd.join(left.select(*_SID, *keys, nm.END_COL), on=_SID)
             .join(
-                rsel.select(*keys, F.col(nm.START_COL).alias("__cand__"), rid),
+                rcoords.select(*keys, F.col("__rs__").alias("__cand__"), *rsid),
                 on=[*keys, "__cand__"],
             )
-            .select(_LID, rid, (F.col("__cand__") - F.col(nm.END_COL) + 1).alias("__dist__"))
+            .select(*_SID, *rsid, (F.col("__cand__") - F.col(nm.END_COL) + 1).alias("__dist__"))
         )
         cands.append(fwd)
     if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
-        bwd = _backward_candidates(left, rsel, keys).filter(F.col("__cand__").isNotNull())
+        bwd = _backward_candidates(left, right, keys).filter(F.col("__cand__").isNotNull())
         bwd = (
-            bwd.join(left.select(_LID, *keys, nm.START_COL), on=_LID)
+            bwd.join(left.select(*_SID, *keys, nm.START_COL), on=_SID)
             .join(
-                rsel.select(*keys, F.col(nm.END_COL).alias("__cand__"), rid),
+                rcoords.select(*keys, F.col("__re__").alias("__cand__"), *rsid),
                 on=[*keys, "__cand__"],
             )
-            .select(_LID, rid, (F.col(nm.START_COL) - F.col("__cand__") + 1).alias("__dist__"))
+            .select(*_SID, *rsid, (F.col(nm.START_COL) - F.col("__cand__") + 1).alias("__dist__"))
         )
         cands.append(bwd)
 
@@ -218,24 +234,25 @@ def nearest_ranges(
     for extra in cands[1:]:
         allc = allc.unionByName(extra)
 
-    # Keep the best candidate per left row (deterministic tie-break on rid's coords).
-    allc = allc.join(rcoords.select(rid, "__rs__", "__re__"), on=rid)
-    w = Window.partitionBy(_LID).orderBy(
-        F.col("__dist__").asc(), F.col("__rs__").asc(), F.col("__re__").asc(), F.col(rid).asc()
+    # Keep the best candidate per left row (deterministic tie-break).
+    allc = allc.join(rcoords.select(*rsid, "__rs__", "__re__"), on=rsid)
+    w = Window.partitionBy(*_SID).orderBy(
+        F.col("__dist__").asc(), F.col("__rs__").asc(), F.col("__re__").asc(),
+        *[F.col(c).asc() for c in rsid],
     )
     best = (
         allc.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
-        .select(_LID, rid, "__dist__")
+        .select(*_SID, *rsid, "__dist__")
     )
 
     # Assemble output: left columns + suffixed right columns (+ Distance).
     right_out = right
-    for c in right.columns:
-        if c != rid and (c in self.df.columns or c in (nm.START_COL, nm.END_COL)):
+    for c in odf.columns:
+        if c in self.df.columns or c in (nm.START_COL, nm.END_COL):
             right_out = right_out.withColumnRenamed(c, c + suffix)
-    res = left.join(best, on=_LID).join(right_out, on=rid)
+    res = left.join(best, on=_SID).join(right_out, on=rsid)
     if dist_col is not None:
         res = res.withColumn(dist_col, F.col("__dist__"))
-    res = res.drop(_LID, rid, "__dist__")
+    res = res.drop(*_SID, *rsid, "__dist__")
     return GenomicRanges.wrap(res)

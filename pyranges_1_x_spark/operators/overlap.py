@@ -4,6 +4,10 @@ Reference surface: ``overlap`` (semi), ``join_overlaps``, ``intersect_overlaps``
 ``count_overlaps``, ``complement_overlaps`` (anti) —
 ``/root/reference/pyranges1/range_frame/range_frame.py:315-607``,
 ``methods/overlap.py:50-101``, wrappers ``core/pyranges_main.py:769-876,1147,2393,5309``.
+
+All variants are SINGLE-BRANCH plans over ``binned_join`` (see
+plans/interval_join.py): semi = inner join + per-id dedup, anti = left join +
+not-matched filter, count = left join + hash agg. No self-join id comparisons.
 """
 
 from __future__ import annotations
@@ -12,15 +16,17 @@ from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
-from pyranges_1_x_spark.plans.interval_join import interval_join, interval_pairs, rename_keys
+from pyranges_1_x_spark.plans.interval_join import binned_join, interval_join, rename_keys
 
-_UNSET = object()
+_LID = "__ij_lid__"
 
 
-def _ids(gr: GenomicRanges, col: str) -> GenomicRanges:
-    if col in gr.df.columns:
-        return gr
-    return GenomicRanges(gr.df.withColumn(col, F.monotonically_increasing_id()))
+def _right_coords(odf, keys):
+    right, rkeys = rename_keys(
+        odf.select(*keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")),
+        keys,
+    )
+    return right, rkeys
 
 
 def overlap(
@@ -31,37 +37,25 @@ def overlap(
     match_by=None,
     slack: int = 0,
     contained_intervals_only: bool = False,
-    multiple: str = "all",
     bin_size: int = nm.DEFAULT_BIN_SIZE,
 ) -> GenomicRanges:
     """Semi-join: rows of self overlapping at least one interval of other
-    (reference range_frame.py:539-607; 'first'/'last' degenerate to the same
-    row-set for a semi-join, so `multiple` only matters for duplicates count —
-    we follow `multiple='all'` ≡ distinct self rows, like the reference's
-    overlap which never duplicates self rows)."""
-    del multiple  # semi-join semantics: each self row reported once
+    (reference range_frame.py:539-607); each self row reported once."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    lid = "__ov_lid__"
-    left = _ids(self, lid).df
-    # Bin-join then dedupe self rows: a left_semi on the binned join would keep
-    # one row per (left, bin), so dedupe by row-id instead.
-    right, rkeys = rename_keys(
-        odf.select(*keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")),
-        keys,
-    )
-    pairs = interval_pairs(
-        left,
+    right, rkeys = _right_coords(odf, keys)
+    pairs = binned_join(
+        self.df,
         right,
         keys=keys,
         right_keys=rkeys,
+        how="inner",
         slack=slack,
         contained=contained_intervals_only,
         bin_size=bin_size,
         rstart="__rs__",
         rend="__re__",
     )
-    hit_ids = pairs.select(lid).distinct()
-    out = left.join(hit_ids, on=lid, how="left_semi").drop(lid)
+    out = pairs.dropDuplicates([_LID]).select(*self.df.columns)
     return GenomicRanges(out)
 
 
@@ -75,20 +69,22 @@ def complement_overlaps(
     bin_size: int = nm.DEFAULT_BIN_SIZE,
 ) -> GenomicRanges:
     """Anti-join: rows of self overlapping NOTHING in other
-    (reference methods/complement_overlaps.py:26-34)."""
+    (reference methods/complement_overlaps.py:26-34). The left binned join
+    already emits exactly one not-matched row per matchless self row."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    lid = "__ov_lid__"
-    left = _ids(self, lid).df
-    right, rkeys = rename_keys(
-        odf.select(*keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")),
-        keys,
+    right, rkeys = _right_coords(odf, keys)
+    joined = binned_join(
+        self.df,
+        right,
+        keys=keys,
+        right_keys=rkeys,
+        how="left",
+        slack=slack,
+        bin_size=bin_size,
+        rstart="__rs__",
+        rend="__re__",
     )
-    pairs = interval_pairs(
-        left, right, keys=keys, right_keys=rkeys, slack=slack, bin_size=bin_size,
-        rstart="__rs__", rend="__re__",
-    )
-    hit_ids = pairs.select(lid).distinct()
-    out = left.join(hit_ids, on=lid, how="left_anti").drop(lid)
+    out = joined.filter(~F.col("__matched__")).select(*self.df.columns)
     return GenomicRanges(out)
 
 
@@ -114,12 +110,9 @@ def join_overlaps(
     matching the reference's doctest).
     """
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    lid, rid = "__jl_id__", "__jr_id__"
-    left = _ids(self, lid).df
-    right = odf.withColumn(rid, F.monotonically_increasing_id())
     out = interval_join(
-        left,
-        right,
+        self.df,
+        odf,
         keys=keys,
         how=join_type,
         multiple=multiple,
@@ -128,11 +121,9 @@ def join_overlaps(
         suffix=suffix,
         report_overlap_column=report_overlap_column,
         bin_size=bin_size,
-        left_id=lid,
-        right_id=rid,
         broadcast_right=broadcast_other,
     )
-    return GenomicRanges.wrap(out.drop(lid, rid))
+    return GenomicRanges.wrap(out)
 
 
 def intersect_overlaps(
@@ -141,7 +132,6 @@ def intersect_overlaps(
     *,
     strand_behavior: str = "auto",
     match_by=None,
-    multiple: str = "all",
     slack: int = 0,
     bin_size: int = nm.DEFAULT_BIN_SIZE,
 ) -> GenomicRanges:
@@ -149,27 +139,22 @@ def intersect_overlaps(
     (reference methods/overlap.py:72-101): Start=max(s1,s2), End=min(e1,e2);
     other's metadata columns are NOT reported."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    lid, rid = "__jl_id__", "__jr_id__"
-    left = _ids(self, lid).df
-    right = odf.select(*keys, nm.START_COL, nm.END_COL).withColumn(
-        rid, F.monotonically_increasing_id()
-    )
-    joined = interval_join(
-        left,
+    right, rkeys = _right_coords(odf, keys)
+    joined = binned_join(
+        self.df,
         right,
         keys=keys,
+        right_keys=rkeys,
         how="inner",
-        multiple=multiple,
         slack=slack,
         bin_size=bin_size,
-        left_id=lid,
-        right_id=rid,
+        rstart="__rs__",
+        rend="__re__",
     )
-    sb, eb = nm.START_COL + nm.JOIN_SUFFIX, nm.END_COL + nm.JOIN_SUFFIX
     out = (
-        joined.withColumn(nm.START_COL, F.greatest(F.col(nm.START_COL), F.col(sb)))
-        .withColumn(nm.END_COL, F.least(F.col(nm.END_COL), F.col(eb)))
-        .drop(sb, eb, lid, rid)
+        joined.withColumn(nm.START_COL, F.greatest(F.col(nm.START_COL), F.col("__rs__")))
+        .withColumn(nm.END_COL, F.least(F.col(nm.END_COL), F.col("__re__")))
+        .select(*self.df.columns)
     )
     return GenomicRanges(out)
 
@@ -185,28 +170,23 @@ def count_overlaps(
     bin_size: int = nm.DEFAULT_BIN_SIZE,
 ) -> GenomicRanges:
     """Append the per-self-row count of overlapping other intervals, zero-filled
-    (reference range_frame.py:112-157, wrapper pyranges_main.py:769-876)."""
+    (reference range_frame.py:112-157): one left binned join + one hash agg."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    lid = "__cnt_lid__"
-    left = _ids(self, lid).df
-    right, rkeys = rename_keys(
-        odf.select(*keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")),
-        keys,
-    )
-    pairs = interval_pairs(
-        left.select(lid, *keys, nm.START_COL, nm.END_COL),
+    right, rkeys = _right_coords(odf, keys)
+    joined = binned_join(
+        self.df,
         right,
         keys=keys,
         right_keys=rkeys,
+        how="left",
         slack=slack,
         bin_size=bin_size,
         rstart="__rs__",
         rend="__re__",
     )
-    counts = pairs.groupBy(lid).agg(F.count(F.lit(1)).alias(count_col))
     out = (
-        left.join(counts, on=lid, how="left")
-        .withColumn(count_col, F.coalesce(F.col(count_col), F.lit(0)))
-        .drop(lid)
+        joined.groupBy(*self.df.columns, _LID)
+        .agg(F.sum(F.when(F.col("__matched__"), 1).otherwise(0)).alias(count_col))
+        .drop(_LID)
     )
     return GenomicRanges(out)

@@ -13,8 +13,10 @@ from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
-from pyranges_1_x_spark.plans.interval_join import interval_pairs, rename_keys
+from pyranges_1_x_spark.plans.interval_join import binned_join, rename_keys
 from pyranges_1_x_spark.plans.islands import island_agg
+
+_LID = "__ij_lid__"
 
 
 def subtract_overlaps(
@@ -29,10 +31,11 @@ def subtract_overlaps(
     not covered by any other interval; fully-covered rows disappear; metadata
     is carried through (reference range_frame.py:699-707).
 
-    Plan: merge other per group (disjoint blockers) -> binned interval join ->
+    Plan: merge other per group (disjoint blockers) -> ONE left binned join ->
     per-self-row ordered window over blockers emits the gap before each blocker
-    and, on the last blocker, the trailing gap; untouched rows pass through via
-    anti-join. No collect_list: per-row state is O(1) window state.
+    and, on the last row, the trailing gap (matchless rows are their own last
+    row and emit the full interval). Single-branch: no anti-join, no id reuse
+    across branches; per-row window state is O(1).
     """
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     blockers, bkeys = rename_keys(
@@ -41,46 +44,47 @@ def subtract_overlaps(
         .withColumnRenamed(nm.END_COL, "__be__"),
         keys,
     )
-    lid = "__sub_lid__"
-    left = (
-        self.df.withColumn(lid, F.monotonically_increasing_id())
-        if lid not in self.df.columns
-        else self.df
-    )
-    pairs = interval_pairs(
-        left, blockers, keys=keys, right_keys=bkeys, bin_size=bin_size,
-        rstart="__bs__", rend="__be__",
+    joined = binned_join(
+        self.df,
+        blockers,
+        keys=keys,
+        right_keys=bkeys,
+        how="left",
+        bin_size=bin_size,
+        rstart="__bs__",
+        rend="__be__",
     )
 
-    w = Window.partitionBy(lid).orderBy(F.col("__bs__").asc())
+    w = Window.partitionBy(_LID).orderBy(F.col("__bs__").asc_nulls_first())
     prev_end = F.max("__be__").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    n_blockers = F.count(F.lit(1)).over(Window.partitionBy(lid))
-    rn_desc = F.row_number().over(Window.partitionBy(lid).orderBy(F.col("__bs__").desc()))
-    max_end_all = F.max("__be__").over(Window.partitionBy(lid))
+    rn_desc = F.row_number().over(
+        Window.partitionBy(_LID).orderBy(F.col("__bs__").desc_nulls_last())
+    )
+    max_end = F.max("__be__").over(Window.partitionBy(_LID))
 
     gap_start = F.greatest(F.col(nm.START_COL), F.coalesce(prev_end, F.col(nm.START_COL)))
     gap_end = F.least(F.col(nm.END_COL), F.col("__bs__"))
-    tail_start = F.greatest(F.col(nm.START_COL), max_end_all)
+    tail_start = F.when(
+        F.col("__matched__"), F.greatest(F.col(nm.START_COL), max_end)
+    ).otherwise(F.col(nm.START_COL))
 
-    enriched = pairs.withColumn("__gs__", gap_start).withColumn("__ge__", gap_end).withColumn(
-        "__ts__", F.when(rn_desc == 1, tail_start)
-    ).withColumn("__n__", n_blockers)
+    enriched = (
+        joined.withColumn("__gs__", gap_start)
+        .withColumn("__ge__", gap_end)
+        .withColumn("__ts__", F.when(rn_desc == 1, tail_start))
+    )
 
-    meta = [c for c in left.columns if c not in (nm.START_COL, nm.END_COL)]
-
-    gaps = enriched.filter(F.col("__gs__") < F.col("__ge__")).select(
+    meta = [c for c in self.df.columns if c not in (nm.START_COL, nm.END_COL)]
+    # NB: F.least/greatest skip nulls, so gate on __matched__ — otherwise a
+    # matchless row (null __bs__) would get __ge__ = End and leak a full-row gap.
+    gaps = enriched.filter(F.col("__matched__") & (F.col("__gs__") < F.col("__ge__"))).select(
         *meta, F.col("__gs__").alias(nm.START_COL), F.col("__ge__").alias(nm.END_COL)
     )
     tails = enriched.filter(
         F.col("__ts__").isNotNull() & (F.col("__ts__") < F.col(nm.END_COL))
     ).select(*meta, F.col("__ts__").alias(nm.START_COL), F.col(nm.END_COL))
-    untouched = left.join(pairs.select(lid).distinct(), on=lid, how="left_anti").select(
-        *meta, nm.START_COL, nm.END_COL
-    )
 
-    out = gaps.unionByName(tails).unionByName(untouched)
-    # restore original column order, drop the internal id
-    out = out.select(*[c for c in left.columns if c != lid])
+    out = gaps.unionByName(tails).select(*self.df.columns)
     return GenomicRanges(out)
 
 
@@ -112,11 +116,11 @@ def complement_ranges(
         )
     )
     extras = []
-    first_start = merged.groupBy(*keys).agg(
+    spans = merged.groupBy(*keys).agg(
         F.min(nm.START_COL).alias("__fs__"), F.max(nm.END_COL).alias("__le__")
     )
     if include_first_interval or chromsizes is not None:
-        lead_gap = first_start.filter(F.col("__fs__") > 0).select(
+        lead_gap = spans.filter(F.col("__fs__") > 0).select(
             *keys, F.lit(0).cast("long").alias(nm.START_COL), F.col("__fs__").alias(nm.END_COL)
         )
         extras.append(lead_gap)
@@ -125,7 +129,7 @@ def complement_ranges(
             F.col(nm.CHROM_COL), F.col(nm.END_COL).cast("long").alias("__size__")
         )
         tail_gap = (
-            first_start.join(F.broadcast(sizes), on=nm.CHROM_COL, how="inner")
+            spans.join(F.broadcast(sizes), on=nm.CHROM_COL, how="inner")
             .filter(F.col("__le__") < F.col("__size__"))
             .select(
                 *keys,
@@ -166,8 +170,9 @@ def set_intersect_overlaps(
         .withColumnRenamed(nm.END_COL, "__be__"),
         keys,
     )
-    pairs = interval_pairs(
-        a, b, keys=keys, right_keys=bkeys, bin_size=bin_size, rstart="__bs__", rend="__be__"
+    pairs = binned_join(
+        a, b, keys=keys, right_keys=bkeys, how="inner", bin_size=bin_size,
+        rstart="__bs__", rend="__be__",
     )
     out = pairs.select(
         *keys,
@@ -205,25 +210,13 @@ def split_overlaps(
     )
     if between:
         return GenomicRanges(segs)
-    segs_t = segs.withColumnRenamed(nm.START_COL, "__ss__").withColumnRenamed(
-        nm.END_COL, "__se__"
-    )
+    # keep only segments covered by >= 1 input interval: semi = inner + dedup
     base_r, bkeys = rename_keys(
         base.withColumnRenamed(nm.START_COL, "__bs2__").withColumnRenamed(nm.END_COL, "__be2__"),
         keys,
     )
-    covered = interval_pairs(
-        segs_t,
-        base_r,
-        keys=keys,
-        right_keys=bkeys,
-        bin_size=bin_size,
-        lstart="__ss__",
-        lend="__se__",
-        rstart="__bs2__",
-        rend="__be2__",
-    ).select(*keys, F.col("__ss__"), F.col("__se__")).distinct()
-    out = covered.select(
-        *keys, F.col("__ss__").alias(nm.START_COL), F.col("__se__").alias(nm.END_COL)
-    )
-    return GenomicRanges(out)
+    covered = binned_join(
+        segs, base_r, keys=keys, right_keys=bkeys, how="inner", bin_size=bin_size,
+        rstart="__bs2__", rend="__be2__",
+    ).dropDuplicates([_LID])
+    return GenomicRanges(covered.select(*keys, nm.START_COL, nm.END_COL))

@@ -16,14 +16,24 @@ chromosome and catastrophically skewed (chr1 >> chrM).
 Instead we *bin* the coordinate axis: each interval is exploded to the fixed-width
 bins it touches, the join becomes an equi-join on ``(keys..., bin)`` with the exact
 range predicate re-applied, and duplicate pairs (intervals co-occurring in several
-bins) are eliminated with the emit-once trick: keep a pair only in the bin that
-contains ``max(start_l, start_r)``. This:
+bins) are eliminated with the emit-once trick *inside the join condition*: a pair
+qualifies only in the bin containing ``max(start_l, start_r)``. This:
 
 * turns the join into a plain hash/sort-merge equi-join with high key cardinality
   (chrom x bin) — shuffles partition evenly, AQE can split residual skew;
-* needs no ``distinct()`` (emit-once is a cheap filter, no extra shuffle);
+* needs no ``distinct()`` (emit-once is part of the join predicate);
 * costs an explode factor of ``len/bin + 1`` per row (~1 for genomic intervals
   with the default 100kb bin).
+
+Single-branch discipline (correctness posture)
+----------------------------------------------
+``monotonically_increasing_id`` is nondeterministic across separate evaluations
+of the same subtree, so NOTHING here ever joins an id produced in one plan
+branch against the same id produced in another (the classic self-join id bug).
+Left/outer variants are computed in ONE pass: a (left/full) outer binned join
+plus per-row-id windows over *that same relation* decide which null-padded rows
+survive. Row ids are therefore only ever compared within a single evaluation,
+where they are consistent by construction.
 
 All arithmetic is integer-exact (no float floor-division) so it is safe for
 arbitrary 64-bit coordinates.
@@ -31,11 +41,10 @@ arbitrary 64-bit coordinates.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyranges_1_x_spark.names import (
-    BIN_COL,
     DEFAULT_BIN_SIZE,
     END_COL,
     JOIN_SUFFIX,
@@ -47,7 +56,10 @@ from pyranges_1_x_spark.names import (
     VALID_OVERLAP_MODES,
 )
 
-__all__ = ["interval_join", "interval_pairs", "rename_keys", "add_bins", "floordiv"]
+__all__ = ["interval_join", "binned_join", "rename_keys", "floordiv"]
+
+_LBIN, _RBIN = "__lbin__", "__rbin__"
+_LID, _RID = "__ij_lid__", "__ij_rid__"
 
 
 def floordiv(c: Column, w: int) -> Column:
@@ -56,25 +68,13 @@ def floordiv(c: Column, w: int) -> Column:
     return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
 
 
-def _bin_of(c: Column, w: int) -> Column:
-    return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
-
-
-def add_bins(
-    df: DataFrame,
-    start_col: str,
-    end_col: str,
-    bin_size: int,
-    bin_col: str = BIN_COL,
-) -> DataFrame:
+def _explode_bins(df: DataFrame, start: str, end: str, bin_size: int, bin_col: str) -> DataFrame:
     """Explode each interval to the bins it touches: ``[floor(s/W), floor((e-1)/W)]``.
 
-    Empty/invalid intervals (End <= Start) land in their start bin only (the
-    overlap predicate excludes them downstream anyway); ``greatest`` guards
-    against Spark's descending-``sequence`` behavior.
-    """
-    lo = floordiv(F.col(start_col), bin_size)
-    hi = F.greatest(lo, floordiv(F.col(end_col) - 1, bin_size))
+    Empty intervals (End <= Start) land in their start bin only (``greatest``
+    guards Spark's descending-``sequence`` behavior)."""
+    lo = floordiv(F.col(start), bin_size)
+    hi = F.greatest(lo, floordiv(F.col(end) - 1, bin_size))
     return df.withColumn(bin_col, F.explode(F.sequence(lo, hi)))
 
 
@@ -90,12 +90,13 @@ def rename_keys(right: DataFrame, keys: list[str], prefix: str = "__rk") -> tupl
     return out, rkeys
 
 
-def interval_pairs(
+def binned_join(
     left: DataFrame,
     right: DataFrame,
     *,
     keys: list[str],
     right_keys: list[str],
+    how: str = "inner",
     slack: int = 0,
     contained: bool = False,
     bin_size: int = DEFAULT_BIN_SIZE,
@@ -104,53 +105,94 @@ def interval_pairs(
     rstart: str = START_COL,
     rend: str = END_COL,
     broadcast_right: bool = False,
-    keep_right_keys: bool = False,
 ) -> DataFrame:
-    """Inner-join matching interval pairs, exactly once per pair.
+    """The one shared binned interval join. Column contract: left/right names
+    must be disjoint (use ``rename_keys``).
 
-    Contract: ``left`` and ``right`` column names must be disjoint (use
-    ``rename_keys`` for the right side's grouping keys). Output: all left
-    columns + right non-key columns (+ right keys if ``keep_right_keys``).
-    ``slack`` widens the LEFT side's intervals before testing (reference
-    semantics, range_frame.py:564-567). ``contained`` keeps only left intervals
-    fully inside the right interval (unwidened coordinates).
+    how='inner': one output row per matching pair (emit-once in the condition).
+    how='left' : additionally one null-padded row per matchless left row.
+    how='right'/'outer': symmetric, via a full-outer binned join.
+
+    ``slack`` widens the LEFT intervals before testing (reference semantics,
+    range_frame.py:564-567). ``contained`` additionally requires the left
+    interval inside the right one (unwidened).
+
+    Output = left columns + right non-key columns. Internal row ids and match
+    flags are exposed as ``__ij_lid__``/``__ij_rid__``/``__matched__`` for
+    downstream windows (same-relation only!); callers drop them.
     """
+    if how not in VALID_JOIN_TYPES:
+        raise ValueError(f"how must be one of {VALID_JOIN_TYPES}, got {how!r}")
     dup = set(left.columns) & set(right.columns)
     if dup:
         raise ValueError(f"left/right column names must be disjoint; shared: {sorted(dup)}")
-    lbin, rbin = "__lbin__", "__rbin__"
 
+    lb = left.withColumn(_LID, F.monotonically_increasing_id())
     if slack:
         lb = (
-            left.withColumn("__ws__", F.col(lstart) - F.lit(slack))
+            lb.withColumn("__ws__", F.col(lstart) - F.lit(slack))
             .withColumn("__we__", F.col(lend) + F.lit(slack))
-            .transform(lambda d: add_bins(d, "__ws__", "__we__", bin_size, lbin))
-            .drop("__ws__", "__we__")
         )
     else:
-        lb = add_bins(left, lstart, lend, bin_size, lbin)
-    rb = add_bins(right, rstart, rend, bin_size, rbin)
+        lb = lb.withColumn("__ws__", F.col(lstart)).withColumn("__we__", F.col(lend))
+    lb = _explode_bins(lb, "__ws__", "__we__", bin_size, _LBIN)
+    rb = right.withColumn(_RID, F.monotonically_increasing_id())
+    rb = _explode_bins(rb, rstart, rend, bin_size, _RBIN)
     if broadcast_right:
         rb = F.broadcast(rb)
 
+    ws, we = F.col("__ws__"), F.col("__we__")
     ls, le = F.col(lstart), F.col(lend)
     rs, re_ = F.col(rstart), F.col(rend)
-    ws, we = ls - F.lit(slack), le + F.lit(slack)
 
-    cond = F.col(lbin) == F.col(rbin)
+    cond = F.col(_LBIN) == F.col(_RBIN)
     for k, rk in zip(keys, right_keys):
         cond = cond & (F.col(k) == F.col(rk))
     cond = cond & (ws < re_) & (rs < we)
     if contained:
         cond = cond & (ls >= rs) & (le <= re_)
-    # Emit-once: keep the pair only in the bin holding max(widened left start, right start).
-    cond = cond & (F.col(lbin) == _bin_of(F.greatest(ws, rs), bin_size))
+    # Emit-once: the pair qualifies only in the bin of max(widened-left-start, right-start).
+    first_common = F.greatest(ws, rs)
+    cond = cond & (
+        F.col(_LBIN) == ((first_common - F.pmod(first_common, F.lit(bin_size))) / F.lit(bin_size)).cast("long")
+    )
 
-    joined = lb.join(rb, cond, "inner")
-    out_cols = list(left.columns) + [c for c in right.columns if c not in right_keys]
-    if keep_right_keys:
-        out_cols = list(left.columns) + list(right.columns)
-    return joined.select(*out_cols)
+    spark_how = {"inner": "inner", "left": "left", "right": "full_outer", "outer": "full_outer"}[how]
+    joined = lb.join(rb, cond, spark_how)
+    joined = joined.withColumn("__matched__", F.col(_RID).isNotNull() & F.col(_LID).isNotNull())
+
+    out_cols = (
+        [F.col(c) for c in left.columns]
+        + [F.col(c) for c in right.columns if c not in right_keys]
+        + [F.col(_LID), F.col(_RID), F.col("__matched__")]
+    )
+
+    if how == "inner":
+        return joined.select(*out_cols)
+
+    # Window expressions can't appear in a filter: materialize, filter, drop.
+    match_int = F.when(F.col("__matched__"), 1).otherwise(0)
+    if how in ("left", "outer"):
+        joined = joined.withColumn("__nl__", F.sum(match_int).over(Window.partitionBy(_LID)))
+    if how in ("right", "outer"):
+        joined = joined.withColumn("__nr__", F.sum(match_int).over(Window.partitionBy(_RID)))
+
+    keep = F.col("__matched__")
+    if how in ("left", "outer"):
+        # keep one representative bin-row per matchless left row
+        first_lbin = floordiv(ws, bin_size)
+        keep = keep | (
+            F.col(_LID).isNotNull() & (F.col("__nl__") == 0) & (F.col(_LBIN) == first_lbin)
+        )
+    if how in ("right", "outer"):
+        first_rbin = floordiv(rs, bin_size)
+        keep = keep | (
+            F.col(_RID).isNotNull() & (F.col("__nr__") == 0) & (F.col(_RBIN) == first_rbin)
+        )
+        if how == "right":
+            keep = keep & F.col(_RID).isNotNull()
+
+    return joined.filter(keep).select(*out_cols)
 
 
 def interval_join(
@@ -165,11 +207,9 @@ def interval_join(
     suffix: str = JOIN_SUFFIX,
     report_overlap_column: str | None = None,
     bin_size: int = DEFAULT_BIN_SIZE,
-    left_id: str | None = None,
-    right_id: str | None = None,
     broadcast_right: bool = False,
 ) -> DataFrame:
-    """Full interval join with the reference's `join_overlaps` surface.
+    """Full `join_overlaps` surface over ``binned_join``.
 
     Parameters mirror ``RangeFrame.join_overlaps`` (reference range_frame.py:315-395):
     ``how`` in {inner,left,right,outer}; ``multiple`` in {all,first,last} where
@@ -180,18 +220,10 @@ def interval_join(
 
     Output columns: all of left; right's Start/End as Start_b/End_b; right's
     other non-key columns, suffixed on collision. Right key columns are dropped.
-
-    ``left_id`` / ``right_id`` name pre-existing unique row-id columns; required
-    for how != inner or multiple != all.
     """
-    if how not in VALID_JOIN_TYPES:
-        raise ValueError(f"how must be one of {VALID_JOIN_TYPES}, got {how!r}")
     if multiple not in VALID_OVERLAP_MODES:
         raise ValueError(f"multiple must be one of {VALID_OVERLAP_MODES}, got {multiple!r}")
-    if (how != "inner" or multiple != OVERLAP_ALL) and (left_id is None or right_id is None):
-        raise ValueError("left_id/right_id are required for outer joins or multiple != 'all'")
 
-    # Suffix-rename the right side: Start/End always; other collisions with left.
     right_sfx, rkeys = rename_keys(right, keys)
     for c in right.columns:
         if c in keys:
@@ -199,13 +231,13 @@ def interval_join(
         if c in (START_COL, END_COL) or c in left.columns:
             right_sfx = right_sfx.withColumnRenamed(c, c + suffix)
     rstart, rend = START_COL + suffix, END_COL + suffix
-    rid = (right_id + suffix) if (right_id is not None and right_id in left.columns) else right_id
 
-    pairs = interval_pairs(
+    out = binned_join(
         left,
         right_sfx,
         keys=keys,
         right_keys=rkeys,
+        how=how,
         slack=slack,
         contained=contained,
         bin_size=bin_size,
@@ -215,43 +247,22 @@ def interval_join(
     )
 
     if multiple != OVERLAP_ALL:
-        from pyspark.sql import Window
-
         if multiple == OVERLAP_FIRST:
-            order = [F.col(rstart).asc(), F.col(rend).asc(), F.col(rid).asc()]
+            order = [F.col(rstart).asc_nulls_last(), F.col(rend).asc_nulls_last()]
         else:  # OVERLAP_LAST: biggest End wins
-            order = [F.col(rend).desc(), F.col(rstart).desc(), F.col(rid).asc()]
-        w = Window.partitionBy(left_id).orderBy(*order)
-        pairs = (
-            pairs.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__rn__") == 1)
-            .drop("__rn__")
-        )
+            order = [F.col(rend).desc_nulls_last(), F.col(rstart).desc_nulls_last()]
+        w = Window.partitionBy(_LID).orderBy(*order)
+        out = out.withColumn("__rn__", F.row_number().over(w)).filter(
+            F.col(_LID).isNull() | (F.col("__rn__") == 1)
+        ).drop("__rn__")
 
     if report_overlap_column is not None:
-        pairs = pairs.withColumn(
+        out = out.withColumn(
             report_overlap_column,
-            F.least(F.col(END_COL), F.col(rend)) - F.greatest(F.col(START_COL), F.col(rstart)),
+            F.when(
+                F.col("__matched__"),
+                F.least(F.col(END_COL), F.col(rend)) - F.greatest(F.col(START_COL), F.col(rstart)),
+            ),
         )
 
-    if how == "inner":
-        return pairs
-
-    right_nonkey = right_sfx.drop(*rkeys)
-    null_right = [F.lit(None).cast(right_nonkey.schema[c].dataType).alias(c) for c in right_nonkey.columns]
-    null_left = [F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns]
-    extra = (
-        [F.lit(None).cast("long").alias(report_overlap_column)]
-        if report_overlap_column is not None
-        else []
-    )
-    out = pairs
-    if how in ("left", "outer"):
-        missed_l = left.join(pairs.select(left_id).distinct(), on=left_id, how="left_anti")
-        missed_l = missed_l.select(*[F.col(c) for c in left.columns], *null_right, *extra)
-        out = out.unionByName(missed_l)
-    if how in ("right", "outer"):
-        missed_r = right_nonkey.join(pairs.select(rid).distinct(), on=rid, how="left_anti")
-        missed_r = missed_r.select(*null_left, *[F.col(c) for c in right_nonkey.columns], *extra)
-        out = out.unionByName(missed_r)
-    return out
+    return out.drop(_LID, _RID, "__matched__")
