@@ -275,3 +275,63 @@ class GenomicRanges:
         from pyranges_1_x_spark.operators import disjoint as _d
 
         return _d.max_disjoint_overlaps(self, **kw)
+
+    def group_cumsum(self, group_by=None, **kw):
+        from pyranges_1_x_spark.operators import local_coords as _lc
+
+        return _lc.group_cumsum(self, group_by, **kw)
+
+    def slice_ranges(self, start=0, end=None, group_by=None, **kw):
+        from pyranges_1_x_spark.operators import local_coords as _lc
+
+        return _lc.slice_ranges(self, start, end, group_by, **kw)
+
+    def five_end(self, group_by=None, **kw):
+        from pyranges_1_x_spark.operators import local_coords as _lc
+
+        return _lc.five_end(self, group_by, **kw)
+
+    def three_end(self, group_by=None, **kw):
+        from pyranges_1_x_spark.operators import local_coords as _lc
+
+        return _lc.three_end(self, group_by, **kw)
+
+    def upstream(self, length, **kw):
+        from pyranges_1_x_spark.operators import local_coords as _lc
+
+        return _lc.upstream(self, length, **kw)
+
+    def downstream(self, length, **kw):
+        from pyranges_1_x_spark.operators import local_coords as _lc
+
+        return _lc.downstream(self, length, **kw)
+
+    def calculate_frame(self, group_by, **kw):
+        from pyranges_1_x_spark.operators import local_coords as _lc
+
+        return _lc.calculate_frame(self, group_by, **kw)
+
+    def nearest_distance(self, other, **kw):
+        from pyranges_1_x_spark.operators import nearest as _n
+
+        return _n.nearest_distance(self, other, **kw)
+
+    def compute_interval_metrics(self, metrics, **kw):
+        from pyranges_1_x_spark.functions import metrics as _mx
+
+        return GenomicRanges.wrap(_mx.compute_interval_metrics(self._df, metrics, **kw))
+
+    def combine_interval_columns(self, how="intersect"):
+        from pyranges_1_x_spark.functions import metrics as _mx
+
+        return GenomicRanges.wrap(_mx.combine_interval_columns(self._df, how))
+
+    def get_sequence(self, sequences, **kw):
+        from pyranges_1_x_spark.functions import seqs as _sq
+
+        return _sq.get_sequence(self, sequences, **kw)
+
+    def get_transcript_sequence(self, sequences, group_by, **kw):
+        from pyranges_1_x_spark.functions import seqs as _sq
+
+        return _sq.get_transcript_sequence(self, sequences, group_by, **kw)

@@ -1,0 +1,104 @@
+"""Sequence operations (reference ext/seqs.py:9-144, pyranges_main.py:5898-6073).
+
+``reverse_complement`` is a JVM-side translate+reverse; ``translate_cds`` (codon
+-> amino acid) is a transform-expression over codon positions; ``get_sequence``
+joins a (Chromosome, Sequence) table — broadcast when small — and substrings,
+reverse-complementing '-' rows; the per-transcript variant concatenates exon
+sequences in 5'->3' order over a sorted window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from pyranges_1_x_spark import names as nm
+from pyranges_1_x_spark.core import GenomicRanges
+
+#: NCBI standard genetic code (table 1) — the reference ships 25 tables
+#: (ext/seqs.py); others plug in as alternate dicts.
+STANDARD_CODE = {
+    "TTT": "F", "TTC": "F", "TTA": "L", "TTG": "L", "CTT": "L", "CTC": "L",
+    "CTA": "L", "CTG": "L", "ATT": "I", "ATC": "I", "ATA": "I", "ATG": "M",
+    "GTT": "V", "GTC": "V", "GTA": "V", "GTG": "V", "TCT": "S", "TCC": "S",
+    "TCA": "S", "TCG": "S", "CCT": "P", "CCC": "P", "CCA": "P", "CCG": "P",
+    "ACT": "T", "ACC": "T", "ACA": "T", "ACG": "T", "GCT": "A", "GCC": "A",
+    "GCA": "A", "GCG": "A", "TAT": "Y", "TAC": "Y", "TAA": "*", "TAG": "*",
+    "CAT": "H", "CAC": "H", "CAA": "Q", "CAG": "Q", "AAT": "N", "AAC": "N",
+    "AAA": "K", "AAG": "K", "GAT": "D", "GAC": "D", "GAA": "E", "GAG": "E",
+    "TGT": "C", "TGC": "C", "TGA": "*", "TGG": "W", "CGT": "R", "CGC": "R",
+    "CGA": "R", "CGG": "R", "AGT": "S", "AGC": "S", "AGA": "R", "AGG": "R",
+    "GGT": "G", "GGC": "G", "GGA": "G", "GGG": "G",
+}
+
+
+def reverse_complement(seq: Column) -> Column:
+    """ACGT (upper+lower) reverse complement, JVM-side."""
+    return F.reverse(F.translate(seq, "ACGTacgt", "TGCAtgca"))
+
+
+def translate_cds(seq: Column, code: dict[str, str] | None = None, unknown: str = "X") -> Column:
+    """Translate a nucleotide string to amino acids via a map literal over
+    codon windows (transform over sequence indices — no Python UDF)."""
+    code = code or STANDARD_CODE
+    pairs = []
+    for k, v in code.items():
+        pairs += [F.lit(k), F.lit(v)]
+    codon_map = F.create_map(*pairs)
+    n_codons = F.floor(F.length(seq) / 3).cast("int")
+    idx = F.sequence(F.lit(0), F.greatest(n_codons - 1, F.lit(0)))
+    codons = F.transform(idx, lambda i: F.upper(F.substring(seq, i * 3 + 1, 3)))
+    aa = F.transform(codons, lambda c: F.coalesce(codon_map[c], F.lit(unknown)))
+    return F.when(F.length(seq) >= 3, F.concat_ws("", aa)).otherwise(F.lit(""))
+
+
+def get_sequence(
+    self: GenomicRanges,
+    sequences: DataFrame,
+    *,
+    seq_col: str = "Sequence",
+    out_col: str = "Seq",
+    use_strand: str | bool = "auto",
+) -> GenomicRanges:
+    """Fetch the subsequence of each interval from a per-chromosome sequence
+    table (the pyfaidx stand-in, reference pyranges_main.py:5898-6073);
+    '-' strand rows are reverse-complemented."""
+    seqs = sequences.select(F.col(nm.CHROM_COL), F.col(seq_col).alias("__chromseq__"))
+    d = self.df.join(F.broadcast(seqs), on=nm.CHROM_COL, how="left")
+    sub = F.substring(
+        F.col("__chromseq__"),
+        (F.col(nm.START_COL) + 1).cast("int"),
+        (F.col(nm.END_COL) - F.col(nm.START_COL)).cast("int"),
+    )
+    stranded = self.has_strand and (use_strand is True or use_strand == "auto")
+    if stranded:
+        sub = F.when(F.col(nm.STRAND_COL) == "-", reverse_complement(sub)).otherwise(sub)
+    return GenomicRanges(d.withColumn(out_col, sub).drop("__chromseq__"))
+
+
+def get_transcript_sequence(
+    self: GenomicRanges,
+    sequences: DataFrame,
+    group_by: str,
+    *,
+    seq_col: str = "Sequence",
+    out_col: str = "Seq",
+) -> DataFrame:
+    """Per-transcript spliced sequence: exon sequences concatenated in 5'->3'
+    order (reference pyranges_main.py:6050-6073: 5' sort + agg ''.join —
+    here collect_list over an ordered window, then one row per transcript).
+
+    NOTE the collect is per-transcript (bounded, ~1e2 exons * ~1e4 bp), not
+    per-chromosome, so no unbounded-group risk at scale.
+    """
+    with_seq = get_sequence(self, sequences, seq_col=seq_col, out_col="__exonseq__").df
+    neg = F.col(nm.STRAND_COL) == "-" if self.has_strand else F.lit(False)
+    order_key = F.when(neg, -F.col(nm.START_COL)).otherwise(F.col(nm.START_COL))
+    w = Window.partitionBy(nm.CHROM_COL, group_by).orderBy(order_key.asc())
+    seq = F.concat_ws("", F.collect_list("__exonseq__").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    out = (
+        with_seq.withColumn(out_col, seq)
+        .groupBy(nm.CHROM_COL, group_by)
+        .agg(F.first(out_col).alias(out_col))
+    )
+    return out

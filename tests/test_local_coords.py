@@ -1,0 +1,100 @@
+"""Local-coordinate family: goldens from the reference's group_cumsum doctest
+(pyranges_main.py:5252-5280) plus slice/five_end/three_end behavior."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyranges_1_x_spark.core import GenomicRanges
+
+# The ensembl exon fixture from the group_cumsum doctest.
+EXONS = [
+    ("1", 11868, 12227, "+", "DDX11L1"),
+    ("1", 12612, 12721, "+", "DDX11L1"),
+    ("1", 13220, 14409, "+", "DDX11L1"),
+    ("1", 112699, 112804, "-", "AL627309.1"),
+    ("1", 110952, 111357, "-", "AL627309.1"),
+    ("1", 133373, 133723, "-", "AL627309.1"),
+    ("1", 129054, 129223, "-", "AL627309.1"),
+    ("1", 120873, 120932, "-", "AL627309.1"),
+]
+COLS = ["Chromosome", "Start", "End", "Strand", "gene_name"]
+
+
+@pytest.fixture(scope="module")
+def exons(spark):
+    return GenomicRanges(spark.createDataFrame(pd.DataFrame(EXONS, columns=COLS)))
+
+
+def test_group_cumsum_golden(exons):
+    res = exons.group_cumsum(group_by="gene_name").df.toPandas()
+    got = {
+        (r.gene_name, r.Start, r.End) for r in res.itertuples()
+    }
+    expected = {
+        ("DDX11L1", 0, 359),
+        ("DDX11L1", 359, 468),
+        ("DDX11L1", 468, 1657),
+        ("AL627309.1", 578, 683),
+        ("AL627309.1", 683, 1088),
+        ("AL627309.1", 0, 350),
+        ("AL627309.1", 350, 519),
+        ("AL627309.1", 519, 578),
+    }
+    assert got == expected
+
+
+def test_slice_ranges_spliced(exons):
+    # first 400 local bases of DDX11L1 (+): exon1 [11868,12227) = 359, then 41 of exon2
+    res = (
+        exons.slice_ranges(0, 400, group_by="gene_name")
+        .df.filter("gene_name = 'DDX11L1'")
+        .toPandas()
+        .sort_values("Start")
+    )
+    assert list(map(tuple, res[["Start", "End"]].values)) == [(11868, 12227), (12612, 12653)]
+
+
+def test_slice_negative_from_three_end(exons):
+    # last 50 local bases of DDX11L1: tail of exon3
+    res = (
+        exons.slice_ranges(-50, None, group_by="gene_name")
+        .df.filter("gene_name = 'DDX11L1'")
+        .toPandas()
+    )
+    assert list(map(tuple, res[["Start", "End"]].values)) == [(14359, 14409)]
+
+
+def test_five_end_grouped(exons):
+    res = exons.five_end(group_by="gene_name").df.toPandas()
+    got = {(r.gene_name, r.Start, r.End) for r in res.itertuples()}
+    # DDX11L1 '+': first base of exon1; AL627309.1 '-': last base of rightmost exon
+    assert got == {("DDX11L1", 11868, 11869), ("AL627309.1", 133722, 133723)}
+
+
+def test_three_end_grouped(exons):
+    res = exons.three_end(group_by="gene_name").df.toPandas()
+    got = {(r.gene_name, r.Start, r.End) for r in res.itertuples()}
+    assert got == {("DDX11L1", 14408, 14409), ("AL627309.1", 110952, 110953)}
+
+
+def test_upstream_downstream(spark):
+    gr = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [("chr1", 100, 200, "+"), ("chr1", 300, 400, "-")],
+                columns=["Chromosome", "Start", "End", "Strand"],
+            )
+        )
+    )
+    up = gr.upstream(10, gap=5).df.toPandas().sort_values("Start")
+    assert list(map(tuple, up[["Start", "End"]].values)) == [(85, 95), (405, 415)]
+    dn = gr.downstream(10).df.toPandas().sort_values("Start")
+    assert list(map(tuple, dn[["Start", "End"]].values)) == [(200, 210), (290, 300)]
+
+
+def test_calculate_frame(exons):
+    res = exons.calculate_frame("gene_name").df.toPandas()
+    ddx = res[res.gene_name == "DDX11L1"].sort_values("Start")
+    assert ddx.Frame.tolist() == [0, 359 % 3, 468 % 3]

@@ -1,0 +1,144 @@
+"""Training-data-pipeline ops (dedup/text/similarity/multimodal) + sequence ops."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+
+def test_exact_and_signature_dedup(spark):
+    from pyranges_1_x_spark.ml.dedup import dedup_exact, exact_duplicates, signature_duplicates
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": ["a b c", "a b c", "c b a", "x y z"],
+            }
+        )
+    )
+    ed = exact_duplicates(docs).toPandas()
+    assert sorted(ed.n_docs) == [1, 1, 2]
+    kept = dedup_exact(docs).toPandas()
+    assert sorted(kept.doc_id) == [1, 3, 4]
+    sig = signature_duplicates(docs).toPandas()
+    # "a b c" x2 and "c b a" share a bag-of-words signature
+    assert sorted(sig.n_docs) == [1, 3]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    from pyranges_1_x_spark.ml.dedup import minhash_lsh_candidates, ngram_jaccard_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [base, base.replace("lazy", "sleepy"), "completely different words entirely here now okay"],
+            }
+        )
+    )
+    cand = minhash_lsh_candidates(docs, num_hashes=32, bands=16, k=2).toPandas()
+    pairs = set(zip(cand.id_a, cand.id_b))
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+    verified = ngram_jaccard_pairs(
+        minhash_lsh_candidates(docs, num_hashes=32, bands=16, k=2), docs, k=2, threshold=0.5
+    ).toPandas()
+    assert set(zip(verified.id_a, verified.id_b)) == {(1, 2)}
+
+
+def test_simhash_similar_docs_close(spark):
+    from pyranges_1_x_spark.ml.dedup import simhash
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta epsilon zeta eta iota",
+                    "one two three four five six seven eight",
+                ],
+            }
+        )
+    )
+    out = docs.select("doc_id", simhash(F.col("text"), bits=32).alias("sh")).toPandas()
+    h = dict(zip(out.doc_id, out.sh))
+    d12 = bin(int(h[1]) ^ int(h[2])).count("1")
+    d13 = bin(int(h[1]) ^ int(h[3])).count("1")
+    assert d12 < d13
+
+
+def test_brute_force_topk_cosine(spark):
+    from pyranges_1_x_spark.ml.similarity import brute_force_topk
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    top = brute_force_topk(df, [1.0, 0.0, 0.0], k=2).toPandas()
+    assert top.vec_id.tolist() == [0, 1]
+    assert math.isclose(top.cosine.iloc[0], 1.0, abs_tol=1e-9)
+
+
+def test_lsh_topk_matches_brute_force(spark):
+    import random
+
+    from pyranges_1_x_spark.ml.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(4)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = vecs[7][1]
+    planes = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+    exact = brute_force_topk(df, q, k=1).toPandas().vec_id.tolist()
+    approx = lsh_topk(df, q, planes, k=1, probe_hamming=1).toPandas().vec_id.tolist()
+    assert approx[0] == exact[0]  # query's own bucket contains itself
+
+
+def test_multimodal_feature_plumbing(spark):
+    from pyranges_1_x_spark.ml.multimodal import extract_features, frame_sample, synthetic_media
+
+    media = synthetic_media(spark, 30)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 8 for f in feats.feature)
+    fs = frame_sample(media, every_n=7).toPandas()
+    assert (fs.frame_index % 7 == 0).all()
+
+
+def test_reverse_complement_and_translate(spark):
+    from pyranges_1_x_spark.functions.seqs import reverse_complement, translate_cds
+
+    df = spark.createDataFrame([("ATGAAATAG",)], "seq string")
+    out = df.select(
+        reverse_complement(F.col("seq")).alias("rc"),
+        translate_cds(F.col("seq")).alias("aa"),
+    ).head()
+    assert out.rc == "CTATTTCAT"
+    assert out.aa == "MK*"
+
+
+def test_get_sequence(spark):
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    gr = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [("chr1", 1, 4, "+"), ("chr1", 1, 4, "-")],
+                columns=["Chromosome", "Start", "End", "Strand"],
+            )
+        )
+    )
+    seqs = spark.createDataFrame([("chr1", "AACGTT")], "Chromosome string, Sequence string")
+    out = gr.get_sequence(seqs).df.toPandas().sort_values("Strand")
+    assert out[out.Strand == "+"].Seq.iloc[0] == "ACG"
+    assert out[out.Strand == "-"].Seq.iloc[0] == "CGT"

@@ -1,0 +1,143 @@
+"""Brute-force-oracle tests for subtract/complement/split/coverage/nearest
+(reference precedent: tests/unit/k_nearest.py compares against naive numpy)."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+
+from pyranges_1_x_spark.core import GenomicRanges
+
+
+def random_frame(seed, n, max_pos=300, max_len=40):
+    rng = random.Random(seed)
+    return pd.DataFrame(
+        {
+            "Chromosome": [f"chr{rng.randint(1, 3)}" for _ in range(n)],
+            "Start": [rng.randint(0, max_pos) for _ in range(n)],
+        }
+    ).assign(End=lambda d: d.Start + [rng.randint(1, max_len) for _ in range(n)])
+
+
+def brute_subtract(a: pd.DataFrame, b: pd.DataFrame):
+    out = []
+    for _, ra in a.iterrows():
+        pieces = [(ra.Start, ra.End)]
+        for _, rb in b[b.Chromosome == ra.Chromosome].iterrows():
+            nxt = []
+            for s, e in pieces:
+                if rb.Start < e and s < rb.End:  # overlap: cut
+                    if s < rb.Start:
+                        nxt.append((s, rb.Start))
+                    if rb.End < e:
+                        nxt.append((rb.End, e))
+                else:
+                    nxt.append((s, e))
+            pieces = nxt
+        out += [(ra.Chromosome, s, e) for s, e in pieces]
+    return sorted(out)
+
+
+def brute_coverage(a: pd.DataFrame):
+    runs = []
+    for chrom, grp in a.groupby("Chromosome"):
+        events = {}
+        for _, r in grp.iterrows():
+            events[r.Start] = events.get(r.Start, 0) + 1
+            events[r.End] = events.get(r.End, 0) - 1
+        pos = sorted(events)
+        depth = 0
+        for p, nxt in zip(pos, pos[1:]):
+            depth += events[p]
+            runs.append((chrom, p, nxt, depth))
+    return sorted(runs)
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_subtract_bruteforce(spark, seed):
+    pa, pb = random_frame(seed, 50), random_frame(seed + 100, 30)
+    a, b = GenomicRanges(spark.createDataFrame(pa)), GenomicRanges(spark.createDataFrame(pb))
+    got = sorted(
+        map(tuple, a.subtract_overlaps(b, bin_size=17).df.toPandas()[["Chromosome", "Start", "End"]].values)
+    )
+    assert got == brute_subtract(pa, pb)
+
+
+def test_coverage_bruteforce(spark):
+    pa = random_frame(3, 60)
+    a = GenomicRanges(spark.createDataFrame(pa))
+    got = sorted(
+        map(tuple, a.to_coverage(use_strand=False).df.toPandas()[["Chromosome", "Start", "End", "Value"]].values)
+    )
+    assert got == brute_coverage(pa)
+
+
+def test_complement_roundtrip(spark):
+    pa = random_frame(5, 40)
+    a = GenomicRanges(spark.createDataFrame(pa))
+    merged = a.merge_overlaps(use_strand=False).df.toPandas()
+    gaps = a.complement_ranges(use_strand=False).df.toPandas()
+    # each gap must sit exactly between two consecutive merged intervals
+    for chrom, grp in merged.groupby("Chromosome"):
+        g = grp.sort_values("Start")
+        expected = [
+            (e, s)
+            for e, s in zip(g.End[:-1], g.Start[1:])
+            if s > e
+        ]
+        got = sorted(map(tuple, gaps[gaps.Chromosome == chrom][["Start", "End"]].values))
+        assert got == sorted(expected)
+
+
+def test_split_covers_input(spark):
+    pa = random_frame(11, 30)
+    a = GenomicRanges(spark.createDataFrame(pa))
+    segs = a.split_overlaps(use_strand=False, bin_size=23).df.toPandas()
+    # total split length equals merged coverage length
+    merged = a.merge_overlaps(use_strand=False).df.toPandas()
+    assert (segs.End - segs.Start).sum() == (merged.End - merged.Start).sum()
+    # segments are disjoint
+    for chrom, grp in segs.groupby("Chromosome"):
+        g = grp.sort_values("Start")
+        assert all(s >= e for e, s in zip(g.End[:-1], g.Start[1:]))
+
+
+def brute_nearest_distance(a, b):
+    out = {}
+    for ia, ra in a.iterrows():
+        best = None
+        for _, rb in b[b.Chromosome == ra.Chromosome].iterrows():
+            if max(ra.Start, rb.Start) < min(ra.End, rb.End):
+                d = 0
+            else:
+                d = max(ra.Start, rb.Start) - min(ra.End, rb.End) + 1
+            best = d if best is None else min(best, d)
+        if best is not None:
+            out[ia] = best
+    return out
+
+
+def test_nearest_distance_bruteforce(spark):
+    pa, pb = random_frame(21, 40).assign(idx=range(40)), random_frame(22, 25)
+    a, b = GenomicRanges(spark.createDataFrame(pa)), GenomicRanges(spark.createDataFrame(pb))
+    got = a.nearest_distance(b).df.toPandas()
+    expected = brute_nearest_distance(pa, pb)
+    assert dict(zip(got.idx, got.Distance)) == expected
+    # nearest_ranges agrees on the distances
+    nr = a.nearest_ranges(b).df.toPandas()
+    assert dict(zip(nr.idx, nr.Distance)) == expected
+
+
+def test_max_disjoint(spark):
+    gr = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [("chr1", 1, 5), ("chr1", 3, 7), ("chr1", 6, 10), ("chr1", 9, 12)],
+                columns=["Chromosome", "Start", "End"],
+            )
+        )
+    )
+    res = gr.max_disjoint_overlaps(use_strand=False).df.toPandas().sort_values("Start")
+    assert list(map(tuple, res[["Start", "End"]].values)) == [(1, 5), (6, 10)]
