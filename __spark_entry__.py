@@ -87,14 +87,14 @@ def _gr_a(spark: SparkSession, sf_dir: str):
     from pyranges_1_x_spark.core import GenomicRanges
 
     _load(spark, sf_dir, ["lineitem"])
-    return GenomicRanges(spark.sql(_sp(_A_SQL)))
+    return GenomicRanges(spark.sql(_sp(_A_SQL)), bin_size=1000)
 
 
 def _gr_b(spark: SparkSession, sf_dir: str):
     from pyranges_1_x_spark.core import GenomicRanges
 
     _load(spark, sf_dir, ["orders"])
-    return GenomicRanges(spark.sql(_sp(_B_SQL)))
+    return GenomicRanges(spark.sql(_sp(_B_SQL)), bin_size=1000)
 
 
 # ----------------------------------------------------------------------------
@@ -174,7 +174,7 @@ def q_nearest(spark, sf_dir):
     from pyranges_1_x_spark.operators.nearest import nearest_distance
 
     a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
-    a_sample = GenomicRanges(a.df.filter("row_id % 10 = 1"))
+    a_sample = GenomicRanges(a.df.filter("row_id % 10 = 1"), bin_size=1000)
     return nearest_distance(a_sample, b, strand_behavior="ignore").df
 
 
@@ -285,6 +285,104 @@ def q_tpch_pricing(spark, sf_dir):
     )
 
 
+def q_split(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.split_overlaps(use_strand=False).df
+
+
+def q_set_union(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.set_union_overlaps(b, strand_behavior="ignore").df
+
+
+def q_set_intersect(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.set_intersect_overlaps(b, strand_behavior="ignore").df
+
+
+def q_extend(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.extend_ranges(ext_5=5, ext_3=10, use_strand=True).df
+
+
+def q_window_ranges(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.window_ranges(75).df
+
+
+CHROMSIZES = [("chr1", 400000), ("chr2", 300000), ("chr3", 200000), ("chr10", 100000), ("chrM", 50000)]
+
+
+def q_clip(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    sizes = spark.createDataFrame(CHROMSIZES, "Chromosome string, End long")
+    return a.clip_ranges(sizes, mode="clip").df
+
+
+def q_group_cumsum(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    out = a.group_cumsum(
+        group_by="Score",
+        cumsum_start_column="local_start",
+        cumsum_end_column="local_end",
+        tiebreak=["row_id"],
+    )
+    return out.df.select("row_id", "local_start", "local_end")
+
+
+def q_five_end(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.five_end(group_by=["Score", "Strand"], tiebreak=["row_id"]).df
+
+
+def q_token_jaccard(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import ngram_jaccard_pairs
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    pairs = (
+        docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+        .join(
+            docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")),
+            (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+    )
+    out = ngram_jaccard_pairs(pairs, docs, k=1, threshold=0.5)
+    return out.select("id_a", "id_b", "inter", "uni")
+
+
+def q_sessions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.streaming.events import sessionize
+
+    ev = _load_events(spark, sf_dir)
+    s = sessionize(ev, gap="30 minutes")
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+def q_max_disjoint(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.max_disjoint_overlaps(use_strand=False).df
+
+
+def q_minhash_lsh(spark, sf_dir):
+    from pyranges_1_x_spark.ml.dedup import minhash_lsh_candidates
+
+    _load(spark, sf_dir, ["documents"])
+    return minhash_lsh_candidates(spark.table("documents"), num_hashes=32, bands=16, k=3)
+
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "overlap_semi": q_overlap_semi,
@@ -309,6 +407,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": q_doc_langid,
         "ann_topk": q_ann_topk,
         "tpch_pricing": q_tpch_pricing,
+        "split": q_split,
+        "set_union": q_set_union,
+        "set_intersect": q_set_intersect,
+        "extend": q_extend,
+        "window_ranges": q_window_ranges,
+        "clip": q_clip,
+        "group_cumsum": q_group_cumsum,
+        "five_end": q_five_end,
+        "token_jaccard": q_token_jaccard,
+        "sessions": q_sessions,
+        "max_disjoint": q_max_disjoint,      # rows-only (greedy scan, not SQL-expressible)
+        "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
 
 
@@ -542,5 +652,163 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
                    CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "split": f"""
+            {_AB},
+            pts AS (
+              SELECT Chromosome, Start AS p FROM a
+              UNION
+              SELECT Chromosome, "End" AS p FROM a
+            ),
+            segs AS (
+              SELECT Chromosome, p AS Start,
+                     LEAD(p) OVER (PARTITION BY Chromosome ORDER BY p) AS "End"
+              FROM pts
+            )
+            SELECT DISTINCT s.Chromosome, s.Start, s."End"
+            FROM segs s JOIN a ON s.Chromosome = a.Chromosome
+                              AND s.Start < a."End" AND a.Start < s."End"
+            WHERE s."End" IS NOT NULL
+        """,
+        "set_union": f"""
+            {_AB},
+            u AS (
+              SELECT Chromosome, Start, "End" FROM a
+              UNION ALL
+              SELECT Chromosome, Start, "End" FROM b
+            ),
+            uord AS (
+              SELECT Chromosome, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM u
+            ),
+            uisl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM uord
+            )
+            SELECT Chromosome, MIN(Start) AS Start, MAX("End") AS "End"
+            FROM uisl GROUP BY Chromosome, island
+        """,
+        "set_intersect": f"""
+            {_AB},
+            aord AS (
+              SELECT Chromosome, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM a
+            ),
+            aisl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM aord
+            ),
+            am AS (SELECT Chromosome, MIN(Start) AS s, MAX("End") AS e FROM aisl GROUP BY Chromosome, island),
+            bord AS (
+              SELECT Chromosome, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM b
+            ),
+            bisl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM bord
+            ),
+            bm AS (SELECT Chromosome, MIN(Start) AS s, MAX("End") AS e FROM bisl GROUP BY Chromosome, island)
+            SELECT am.Chromosome, GREATEST(am.s, bm.s) AS Start, LEAST(am.e, bm.e) AS "End"
+            FROM am JOIN bm ON am.Chromosome = bm.Chromosome AND am.s < bm.e AND bm.s < am.e
+        """,
+        "extend": f"""
+            {_AB}
+            SELECT row_id, Chromosome,
+                   GREATEST(Start - CASE WHEN Strand = '-' THEN 10 ELSE 5 END, 0) AS Start,
+                   "End" + CASE WHEN Strand = '-' THEN 5 ELSE 10 END AS "End",
+                   Strand, Score
+            FROM a
+        """,
+        "window_ranges": f"""
+            {_AB}
+            SELECT row_id, Chromosome,
+                   a.Start + t.i * 75 AS Start,
+                   LEAST(a.Start + (t.i + 1) * 75, a."End") AS "End",
+                   Strand, Score
+            FROM a, UNNEST(generate_series(0, (a."End" - a.Start - 1) // 75)) AS t(i)
+        """,
+        "clip": f"""
+            {_AB},
+            sizes AS (
+              SELECT * FROM (VALUES ('chr1', 400000), ('chr2', 300000), ('chr3', 200000),
+                                    ('chr10', 100000), ('chrM', 50000)) AS t(Chromosome, sz)
+            )
+            SELECT row_id, a.Chromosome, GREATEST(a.Start, 0) AS Start,
+                   LEAST(a."End", sz) AS "End", Strand, Score
+            FROM a JOIN sizes ON a.Chromosome = sizes.Chromosome
+            WHERE GREATEST(a.Start, 0) < LEAST(a."End", sz)
+        """,
+        "group_cumsum": f"""
+            {_AB}
+            SELECT row_id,
+                   CAST(SUM("End" - Start) OVER w - ("End" - Start) AS BIGINT) AS local_start,
+                   CAST(SUM("End" - Start) OVER w AS BIGINT) AS local_end
+            FROM a
+            WINDOW w AS (PARTITION BY Chromosome, Score
+                         ORDER BY CASE WHEN Strand = '-' THEN -Start ELSE Start END,
+                                  CASE WHEN Strand = '-' THEN -"End" ELSE "End" END,
+                                  row_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "five_end": f"""
+            {_AB},
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY Chromosome, Score, Strand
+                         ORDER BY CASE WHEN Strand = '-' THEN -Start ELSE Start END,
+                                  CASE WHEN Strand = '-' THEN -"End" ELSE "End" END,
+                                  row_id) AS rn
+              FROM a
+            )
+            SELECT row_id, Chromosome,
+                   CASE WHEN Strand = '-' THEN "End" - 1 ELSE Start END AS Start,
+                   CASE WHEN Strand = '-' THEN "End" ELSE Start + 1 END AS "End",
+                   Strand, Score
+            FROM ranked WHERE rn = 1
+        """,
+        "token_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, source, list_distinct(string_split(trim(text), ' ')) AS tk
+              FROM documents
+            )
+            SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+                   CAST(len(list_intersect(x.tk, y.tk)) AS INTEGER) AS inter,
+                   CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS INTEGER) AS uni
+            FROM toks x JOIN toks y ON x.source = y.source AND x.doc_id < y.doc_id
+            WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+                  / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) >= 0.5
+        """,
+        "sessions": """
+            WITH ord AS (
+              SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+              FROM events
+            ),
+            flag AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+              FROM ord
+            ),
+            isl AS (
+              SELECT user_id, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                                ROWS UNBOUNDED PRECEDING) AS s
+              FROM flag
+            ),
+            per_session AS (
+              SELECT user_id, s, COUNT(*) AS cnt FROM isl GROUP BY user_id, s
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(MAX(cnt) AS BIGINT) AS max_session_events
+            FROM per_session GROUP BY user_id
         """,
     }

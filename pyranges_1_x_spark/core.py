@@ -50,13 +50,21 @@ def _resolve_use_strand(has_strand: bool, use_strand: Union[bool, str]) -> bool:
 class GenomicRanges:
     """Interval-frame façade over a Spark DataFrame (see module docstring)."""
 
-    def __init__(self, df: DataFrame):
+    def __init__(self, df: DataFrame, bin_size: int | None = None):
         missing = [c for c in nm.GENOME_LOC_COLS if c not in df.columns]
         if missing:
             raise ValueError(f"GenomicRanges requires columns {nm.GENOME_LOC_COLS}; missing {missing}")
         self._df = df.withColumn(nm.START_COL, F.col(nm.START_COL).cast("long")).withColumn(
             nm.END_COL, F.col(nm.END_COL).cast("long")
         )
+        #: Bin width for the binned interval join. THE scale knob: pick
+        #: ~max(typical interval length, coordinate_span / desired_parallelism).
+        #: Too coarse => few (key,bin) buckets => quadratic in-bucket pairing;
+        #: too fine => explode factor from intervals spanning many bins.
+        self._bin_size = bin_size
+
+    def resolve_bin(self, bin_size: int | None) -> int:
+        return bin_size or self._bin_size or nm.DEFAULT_BIN_SIZE
 
     # -- plumbing ---------------------------------------------------------
     @property

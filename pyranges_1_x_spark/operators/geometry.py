@@ -94,7 +94,15 @@ def window_ranges(self: GenomicRanges, window_size: int) -> GenomicRanges:
     d = d.withColumn("__w__", F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))))
     ws = F.col(nm.START_COL) + F.col("__w__") * window_size
     we = F.least(ws + window_size, F.col(nm.END_COL))
-    out = d.withColumn(nm.START_COL, ws).withColumn(nm.END_COL, we).drop("__w__")
+    # compute into temp columns first: the second withColumn would otherwise
+    # see the already-replaced Start inside `we`
+    out = (
+        d.withColumn("__ws__", ws)
+        .withColumn("__we__", we)
+        .withColumn(nm.START_COL, F.col("__ws__"))
+        .withColumn(nm.END_COL, F.col("__we__"))
+        .drop("__w__", "__ws__", "__we__")
+    )
     return GenomicRanges(out)
 
 

@@ -31,11 +31,14 @@ def _neg(self: GenomicRanges, use_strand) -> "F.Column":
     return F.col(nm.STRAND_COL) == "-" if stranded else F.lit(False)
 
 
-def _five_prime_window(keys, neg):
-    """Window walking each group 5'->3': ascending Start on '+', descending on '-'."""
+def _five_prime_window(keys, neg, tiebreak=None):
+    """Window walking each group 5'->3': ascending Start on '+', descending on '-'.
+    ``tiebreak`` columns make the walk a total order (needed for deterministic
+    results when identical coordinates repeat within a group)."""
     order_key = F.when(neg, -F.col(nm.START_COL)).otherwise(F.col(nm.START_COL))
     order_key2 = F.when(neg, -F.col(nm.END_COL)).otherwise(F.col(nm.END_COL))
-    return Window.partitionBy(*keys).orderBy(order_key.asc(), order_key2.asc())
+    extra = [F.col(c).asc() for c in (tiebreak or [])]
+    return Window.partitionBy(*keys).orderBy(order_key.asc(), order_key2.asc(), *extra)
 
 
 def group_cumsum(
@@ -45,6 +48,7 @@ def group_cumsum(
     use_strand="auto",
     cumsum_start_column: str | None = None,
     cumsum_end_column: str | None = None,
+    tiebreak=None,
 ) -> GenomicRanges:
     """Running total of interval lengths before/after each interval, walking
     each (Chromosome[, group_by]) group 5'->3' (doctest-verified against the
@@ -52,7 +56,7 @@ def group_cumsum(
     Start/End are REPLACED by the local coordinates (reference behavior)."""
     keys = _group_keys(self, group_by)
     neg = _neg(self, use_strand)
-    w = _five_prime_window(keys, neg)
+    w = _five_prime_window(keys, neg, tiebreak)
     length = F.col(nm.END_COL) - F.col(nm.START_COL)
     cum_end = F.sum(length).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum_start = cum_end - length
@@ -78,6 +82,7 @@ def slice_ranges(
     group_by=None,
     *,
     use_strand="auto",
+    tiebreak=None,
 ) -> GenomicRanges:
     """Spliced subsequence [start, end) in transcript-local coordinates;
     negative indices count from the 3' end (reference slice_ranges,
@@ -86,7 +91,7 @@ def slice_ranges(
     entirely outside disappear."""
     keys = _group_keys(self, group_by)
     neg = _neg(self, use_strand)
-    w = _five_prime_window(keys, neg)
+    w = _five_prime_window(keys, neg, tiebreak)
     length = F.col(nm.END_COL) - F.col(nm.START_COL)
     cum_end = F.sum(length).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum_start = cum_end - length
@@ -126,19 +131,19 @@ def slice_ranges(
     return GenomicRanges(out)
 
 
-def five_end(self: GenomicRanges, group_by=None, *, ext: int = 0) -> GenomicRanges:
+def five_end(self: GenomicRanges, group_by=None, *, ext: int = 0, tiebreak=None) -> GenomicRanges:
     """Length-1 (+ext) interval at the 5' end; with ``group_by``, at the 5' end
     of each whole transcript (reference composes slice_ranges(0,1) + extend,
     pyranges_main.py:1128-1131 — we compose identically)."""
-    sliced = slice_ranges(self, 0, 1, group_by=group_by)
+    sliced = slice_ranges(self, 0, 1, group_by=group_by, tiebreak=tiebreak)
     if ext:
         return sliced.extend_ranges(ext=ext)
     return sliced
 
 
-def three_end(self: GenomicRanges, group_by=None, *, ext: int = 0) -> GenomicRanges:
+def three_end(self: GenomicRanges, group_by=None, *, ext: int = 0, tiebreak=None) -> GenomicRanges:
     """Length-1 (+ext) interval at the 3' end (slice_ranges(-1, None))."""
-    sliced = slice_ranges(self, -1, None, group_by=group_by)
+    sliced = slice_ranges(self, -1, None, group_by=group_by, tiebreak=tiebreak)
     if ext:
         return sliced.extend_ranges(ext=ext)
     return sliced

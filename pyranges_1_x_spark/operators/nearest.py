@@ -120,12 +120,13 @@ def nearest_distance(
     direction: str = nm.NEAREST_ANY,
     exclude_overlaps: bool = False,
     dist_col: str = "Distance",
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ) -> GenomicRanges:
     """Self rows + the distance to the nearest other interval (no other columns
     appended — the tie-ambiguity-free core of nearest_ranges). Rows with no
     eligible neighbor are dropped (reference behavior)."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
     left = with_stable_id(self.df)
     right = odf.select(*keys, nm.START_COL, nm.END_COL)
 
@@ -172,7 +173,7 @@ def nearest_ranges(
     k: int = 1,
     suffix: str = nm.JOIN_SUFFIX,
     dist_col: str | None = "Distance",
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ):
     """Append the nearest other row's columns (k=1; see module docstring).
 
@@ -183,6 +184,7 @@ def nearest_ranges(
     if k != 1:
         raise NotImplementedError("k > 1 lands with the bin-expansion planner (round 2)")
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
     left = with_stable_id(self.df)
     rsid = ["__rid1__", "__rid2__", "__rdr__"]
     right = with_stable_id(odf)

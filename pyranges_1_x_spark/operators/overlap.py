@@ -37,11 +37,12 @@ def overlap(
     match_by=None,
     slack: int = 0,
     contained_intervals_only: bool = False,
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ) -> GenomicRanges:
     """Semi-join: rows of self overlapping at least one interval of other
     (reference range_frame.py:539-607); each self row reported once."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
     right, rkeys = _right_coords(odf, keys)
     pairs = binned_join(
         self.df,
@@ -66,12 +67,13 @@ def complement_overlaps(
     strand_behavior: str = "auto",
     match_by=None,
     slack: int = 0,
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ) -> GenomicRanges:
     """Anti-join: rows of self overlapping NOTHING in other
     (reference methods/complement_overlaps.py:26-34). The left binned join
     already emits exactly one not-matched row per matchless self row."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
     right, rkeys = _right_coords(odf, keys)
     joined = binned_join(
         self.df,
@@ -100,7 +102,7 @@ def join_overlaps(
     slack: int = 0,
     suffix: str = nm.JOIN_SUFFIX,
     report_overlap_column: str | None = None,
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
     broadcast_other: bool = False,
 ):
     """Attribute join on overlap (reference range_frame.py:315-395, methods/join.py:13-71).
@@ -110,6 +112,7 @@ def join_overlaps(
     matching the reference's doctest).
     """
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
     out = interval_join(
         self.df,
         odf,
@@ -133,12 +136,13 @@ def intersect_overlaps(
     strand_behavior: str = "auto",
     match_by=None,
     slack: int = 0,
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ) -> GenomicRanges:
     """Join + clip coordinates to the overlapping stretch
     (reference methods/overlap.py:72-101): Start=max(s1,s2), End=min(e1,e2);
     other's metadata columns are NOT reported."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
     right, rkeys = _right_coords(odf, keys)
     joined = binned_join(
         self.df,
@@ -167,11 +171,12 @@ def count_overlaps(
     match_by=None,
     slack: int = 0,
     count_col: str = "NumberOverlaps",
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ) -> GenomicRanges:
     """Append the per-self-row count of overlapping other intervals, zero-filled
     (reference range_frame.py:112-157): one left binned join + one hash agg."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
     right, rkeys = _right_coords(odf, keys)
     joined = binned_join(
         self.df,

@@ -25,7 +25,7 @@ def subtract_overlaps(
     *,
     strand_behavior: str = "auto",
     match_by=None,
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ) -> GenomicRanges:
     """Self minus (merged) other: each self row is split into the sub-intervals
     not covered by any other interval; fully-covered rows disappear; metadata
@@ -38,6 +38,7 @@ def subtract_overlaps(
     across branches; per-row window state is O(1).
     """
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
     blockers, bkeys = rename_keys(
         island_agg(odf.select(*keys, nm.START_COL, nm.END_COL), keys)
         .withColumnRenamed(nm.START_COL, "__bs__")
@@ -157,11 +158,12 @@ def set_union_overlaps(
 
 def set_intersect_overlaps(
     self: GenomicRanges, other: GenomicRanges, *, strand_behavior: str = "auto",
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ) -> GenomicRanges:
     """Intersection of the two merged interval sets
     (reference pyranges_main.py:2617-2721)."""
     odf, keys = self._binary_prepared(other, strand_behavior)
+    bin_size = self.resolve_bin(bin_size)
     cols = [*keys, nm.START_COL, nm.END_COL]
     a = island_agg(self.df.select(*cols), keys)
     b, bkeys = rename_keys(
@@ -188,12 +190,13 @@ def split_overlaps(
     use_strand="auto",
     match_by=None,
     between: bool = False,
-    bin_size: int = nm.DEFAULT_BIN_SIZE,
+    bin_size: int | None = None,
 ) -> GenomicRanges:
     """Atomize intervals at every Start/End boundary per group; ``between``
     keeps the segments in gaps too (reference methods/split.py:12-37: concat
     starts+ends, sort, dedupe, zip adjacent — here: union, distinct, lead)."""
     keys = self.group_keys(use_strand, match_by)
+    bin_size = self.resolve_bin(bin_size)
     base = self.df.select(*keys, nm.START_COL, nm.END_COL)
     points = (
         base.select(*keys, F.col(nm.START_COL).alias("__p__"))
