@@ -375,6 +375,33 @@ def q_max_disjoint(spark, sf_dir):
     return a.max_disjoint_overlaps(use_strand=False).df
 
 
+def q_count_matrix(spark, sf_dir):
+    from pyranges_1_x_spark import count_overlaps_matrix
+
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    out = count_overlaps_matrix({"count_a": a, "count_b": b}, use_strand=False, bin_size=1000)
+    return out.df.select("Chromosome", "Start", "End", "count_a", "count_b")
+
+
+def q_summary_stats(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    a = _gr_a(spark, sf_dir)
+    out = a.summary(use_strand=True)
+    # Exact-integer projection (doubles hash differently across engines).
+    return out.select(
+        "scope",
+        "metric",
+        "count",
+        "min",
+        "max",
+        "sum",
+        F.floor(F.col("median") * 2).cast("long").alias("median_x2"),
+        F.floor(F.col("q25") * 4).cast("long").alias("q25_x4"),
+        F.floor(F.col("q75") * 4).cast("long").alias("q75_x4"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from pyranges_1_x_spark.ml.dedup import minhash_lsh_candidates
 
@@ -417,6 +444,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "five_end": q_five_end,
         "token_jaccard": q_token_jaccard,
         "sessions": q_sessions,
+        "count_matrix": q_count_matrix,
+        "summary_stats": q_summary_stats,
         "max_disjoint": q_max_disjoint,      # rows-only (greedy scan, not SQL-expressible)
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
@@ -776,6 +805,68 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN Strand = '-' THEN "End" ELSE Start + 1 END AS "End",
                    Strand, Score
             FROM ranked WHERE rn = 1
+        """,
+        "count_matrix": f"""
+            {_AB},
+            pts AS (
+              SELECT Chromosome, Start AS p FROM a
+              UNION SELECT Chromosome, "End" AS p FROM a
+              UNION SELECT Chromosome, Start AS p FROM b
+              UNION SELECT Chromosome, "End" AS p FROM b
+            ),
+            segs AS (
+              SELECT Chromosome, p AS Start,
+                     LEAD(p) OVER (PARTITION BY Chromosome ORDER BY p) AS "End"
+              FROM pts
+            )
+            SELECT s.Chromosome, s.Start, s."End",
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM a
+                     WHERE a.Chromosome = s.Chromosome AND s.Start < a."End" AND a.Start < s."End") AS count_a,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM b
+                     WHERE b.Chromosome = s.Chromosome AND s.Start < b."End" AND b.Start < s."End") AS count_b
+            FROM segs s WHERE s."End" IS NOT NULL
+        """,
+        "summary_stats": f"""
+            {_AB},
+            mord AS (
+              SELECT Chromosome, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM a
+            ),
+            misl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM mord
+            ),
+            mall AS (SELECT Chromosome, MIN(Start) AS s, MAX("End") AS e FROM misl GROUP BY Chromosome, island),
+            sord AS (
+              SELECT Chromosome, Strand, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome, Strand ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM a
+            ),
+            sisl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome, Strand ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM sord
+            ),
+            ms AS (SELECT Chromosome, Strand, MIN(Start) AS s, MAX("End") AS e
+                   FROM sisl GROUP BY Chromosome, Strand, island),
+            lens AS (
+              SELECT 'all' AS scope, 'interval_length' AS metric, "End" - Start AS L FROM a
+              UNION ALL SELECT 'all', 'coverage_run_length', e - s FROM mall
+              UNION ALL SELECT 'strand ' || Strand, 'interval_length', "End" - Start FROM a
+              UNION ALL SELECT 'strand ' || Strand, 'coverage_run_length', e - s FROM ms
+            )
+            SELECT scope, metric, CAST(COUNT(*) AS BIGINT) AS count,
+                   MIN(L) AS min, MAX(L) AS max, CAST(SUM(L) AS BIGINT) AS sum,
+                   CAST(FLOOR(quantile_cont(L, 0.5) * 2) AS BIGINT) AS median_x2,
+                   CAST(FLOOR(quantile_cont(L, 0.25) * 4) AS BIGINT) AS q25_x4,
+                   CAST(FLOOR(quantile_cont(L, 0.75) * 4) AS BIGINT) AS q75_x4
+            FROM lens GROUP BY scope, metric
         """,
         "token_jaccard": """
             WITH toks AS (

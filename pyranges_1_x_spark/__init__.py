@@ -16,6 +16,7 @@ from pyranges_1_x_spark.names import (
     STRAND_COL,
 )
 from pyranges_1_x_spark.operators.geometry import tile_genome
+from pyranges_1_x_spark.operators.multi import count_overlaps_matrix
 
 __all__ = [
     "GenomicRanges",
@@ -26,6 +27,7 @@ __all__ = [
     "GENOME_LOC_COLS",
     "GENOME_LOC_COLS_WITH_STRAND",
     "tile_genome",
+    "count_overlaps_matrix",
     "concat",
 ]
 

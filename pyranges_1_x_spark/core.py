@@ -319,6 +319,18 @@ class GenomicRanges:
 
         return _lc.calculate_frame(self, group_by, **kw)
 
+    def summary(self, **kw):
+        from pyranges_1_x_spark.operators import multi as _mu
+
+        return _mu.summary(self, **kw)
+
+    def count_overlaps_matrix(self, others: dict, **kw):
+        """N-ary count matrix with self as the features frame
+        (reference pr.count_overlaps with features=self)."""
+        from pyranges_1_x_spark.operators import multi as _mu
+
+        return _mu.count_overlaps_matrix(others, features=self, **kw)
+
     def nearest_distance(self, other, **kw):
         from pyranges_1_x_spark.operators import nearest as _n
 
