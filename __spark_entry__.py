@@ -402,6 +402,33 @@ def q_summary_stats(spark, sf_dir):
     )
 
 
+#: Transcript-local query intervals derived from `a` (tx id = Score).
+_LOCAL_SQL = """
+SELECT row_id, Score AS Chromosome,
+       Start % 400 AS Start,
+       (Start % 400) + 1 + ("End" - Start) % 50 AS "End",
+       Strand
+FROM a
+"""
+
+
+def q_map_to_global(spark, sf_dir):
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    b = _gr_b(spark, sf_dir)
+    _load(spark, sf_dir, ["lineitem"])
+    local = GenomicRanges(spark.sql(_sp(f"WITH a AS ({_A_SQL}) {_LOCAL_SQL}")))
+    return local.map_to_global(b, "Score", tiebreak=["row_id"]).df
+
+
+def q_map_to_local(spark, sf_dir):
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    a_s = GenomicRanges(a.df.filter("row_id % 5 = 2"), bin_size=1000)
+    return a_s.map_to_local(b, "Score", tiebreak=["row_id"]).df
+
+
 def q_minhash_lsh(spark, sf_dir):
     from pyranges_1_x_spark.ml.dedup import minhash_lsh_candidates
 
@@ -446,6 +473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "count_matrix": q_count_matrix,
         "summary_stats": q_summary_stats,
+        "map_to_global": q_map_to_global,
+        "map_to_local": q_map_to_local,
         "max_disjoint": q_max_disjoint,      # rows-only (greedy scan, not SQL-expressible)
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
@@ -867,6 +896,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(quantile_cont(L, 0.25) * 4) AS BIGINT) AS q25_x4,
                    CAST(FLOOR(quantile_cont(L, 0.75) * 4) AS BIGINT) AS q75_x4
             FROM lens GROUP BY scope, metric
+        """,
+        "map_to_global": f"""
+            {_AB},
+            excum AS (
+              SELECT Chromosome AS gchrom, Start AS gs, "End" AS ge, Strand AS gstrand,
+                     Score AS tx,
+                     SUM("End" - Start) OVER w - ("End" - Start) AS cs,
+                     SUM("End" - Start) OVER w AS ce
+              FROM b
+              WINDOW w AS (PARTITION BY Chromosome, Score
+                           ORDER BY CASE WHEN Strand = '-' THEN -Start ELSE Start END,
+                                    CASE WHEN Strand = '-' THEN -"End" ELSE "End" END,
+                                    row_id
+                           ROWS UNBOUNDED PRECEDING)
+            ),
+            loc AS ({_LOCAL_SQL.replace('Score AS Chromosome', 'Score AS tx').replace('AS Start', 'AS ls').replace('AS "End"', 'AS le')})
+            SELECT l.row_id, e.gchrom AS Chromosome,
+                   CASE WHEN e.gstrand = '-' THEN e.ge - (LEAST(l.le, e.ce) - e.cs)
+                        ELSE e.gs + (GREATEST(l.ls, e.cs) - e.cs) END AS Start,
+                   CASE WHEN e.gstrand = '-' THEN e.ge - (GREATEST(l.ls, e.cs) - e.cs)
+                        ELSE e.gs + (LEAST(l.le, e.ce) - e.cs) END AS "End",
+                   CASE WHEN l.Strand = e.gstrand THEN '+' ELSE '-' END AS Strand
+            FROM loc l JOIN excum e ON l.tx = e.tx
+                 AND GREATEST(l.ls, e.cs) < LEAST(l.le, e.ce)
+        """,
+        "map_to_local": f"""
+            {_AB},
+            refcum AS (
+              SELECT Chromosome, Start AS rs, "End" AS re, Strand AS rstrand, Score AS tx,
+                     SUM("End" - Start) OVER w - ("End" - Start) AS cs
+              FROM b
+              WINDOW w AS (PARTITION BY Chromosome, Score
+                           ORDER BY CASE WHEN Strand = '-' THEN -Start ELSE Start END,
+                                    CASE WHEN Strand = '-' THEN -"End" ELSE "End" END,
+                                    row_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT a.row_id, r.tx AS Chromosome,
+                   CASE WHEN r.rstrand = '-' THEN r.re - LEAST(a."End", r.re) + r.cs
+                        ELSE GREATEST(a.Start, r.rs) - r.rs + r.cs END AS Start,
+                   CASE WHEN r.rstrand = '-' THEN r.re - GREATEST(a.Start, r.rs) + r.cs
+                        ELSE LEAST(a."End", r.re) - r.rs + r.cs END AS "End",
+                   CASE WHEN a.Strand = r.rstrand THEN '+' ELSE '-' END AS Strand,
+                   a.Score
+            FROM a JOIN refcum r ON a.Chromosome = r.Chromosome
+                 AND a.Start < r.re AND r.rs < a."End"
+            WHERE a.row_id % 5 = 2
         """,
         "token_jaccard": """
             WITH toks AS (

@@ -319,6 +319,16 @@ class GenomicRanges:
 
         return _lc.calculate_frame(self, group_by, **kw)
 
+    def map_to_global(self, gr_global, global_on, **kw):
+        from pyranges_1_x_spark.operators import mapping as _mp
+
+        return _mp.map_to_global(self, gr_global, global_on, **kw)
+
+    def map_to_local(self, ref, ref_on, **kw):
+        from pyranges_1_x_spark.operators import mapping as _mp
+
+        return _mp.map_to_local(self, ref, ref_on, **kw)
+
     def summary(self, **kw):
         from pyranges_1_x_spark.operators import multi as _mu
 
