@@ -429,6 +429,53 @@ def q_map_to_local(spark, sf_dir):
     return a_s.map_to_local(b, "Score", tiebreak=["row_id"]).df
 
 
+def q_simes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.functions.stats import simes
+
+    a = _gr_a(spark, sf_dir)
+    # CAST to DOUBLE: Spark would otherwise type `x / 1000000.0` as DECIMAL
+    # and decimal-round the p-values away from the oracle's double math.
+    d = a.df.withColumn(
+        "PValue", F.expr("CAST(row_id * 2654435761 % 1000000 AS DOUBLE) / 1000000")
+    )
+    out = simes(d, "Score", "PValue")
+    return out.select(
+        "Score", F.floor(F.col("Simes") * 1e9).cast("long").alias("simes_nano")
+    )
+
+
+def q_mcc(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.functions.stats import mcc
+
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    genome_length = sum(s for _, s in CHROMSIZES)
+    out = mcc({"a": a, "b": b}, genome_length=genome_length)
+    sdf = spark.createDataFrame(out)
+    return sdf.select(
+        "T", "F", "TP", "FP", "TN", "FN",
+        F.floor(F.col("MCC") * 1e6).cast("long").alias("mcc_micro"),
+    )
+
+
+def q_spearman_rows(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.functions.stats import rowbased_spearman
+
+    _load(spark, sf_dir, ["embeddings"])
+    e = spark.table("embeddings").withColumn("x", F.col("embedding").cast("array<double>"))
+    return e.select(
+        "vec_id",
+        F.floor(rowbased_spearman(F.col("x"), F.reverse(F.col("x"))) * 1e6)
+        .cast("long")
+        .alias("spearman_micro"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from pyranges_1_x_spark.ml.dedup import minhash_lsh_candidates
 
@@ -475,6 +522,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summary_stats": q_summary_stats,
         "map_to_global": q_map_to_global,
         "map_to_local": q_map_to_local,
+        "simes": q_simes,
+        "mcc": q_mcc,
+        "spearman_rows": q_spearman_rows,
         "max_disjoint": q_max_disjoint,      # rows-only (greedy scan, not SQL-expressible)
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
@@ -943,6 +993,100 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN refcum r ON a.Chromosome = r.Chromosome
                  AND a.Start < r.re AND r.rs < a."End"
             WHERE a.row_id % 5 = 2
+        """,
+        "simes": f"""
+            {_AB},
+            p AS (SELECT Score, ((row_id * 2654435761) % 1000000) / 1000000.0 AS pv FROM a),
+            r AS (SELECT Score, pv,
+                         ROW_NUMBER() OVER (PARTITION BY Score ORDER BY pv) AS rk,
+                         COUNT(*) OVER (PARTITION BY Score) AS n
+                  FROM p)
+            SELECT Score, CAST(FLOOR(MIN(pv * n / rk) * 1e9) AS BIGINT) AS simes_nano
+            FROM r GROUP BY Score
+        """,
+        "mcc": f"""
+            {_AB},
+            aord AS (
+              SELECT Chromosome, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM a
+            ),
+            aisl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM aord
+            ),
+            am AS (SELECT Chromosome, MIN(Start) AS s, MAX("End") AS e FROM aisl GROUP BY Chromosome, island),
+            bord AS (
+              SELECT Chromosome, Start, "End",
+                     MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM b
+            ),
+            bisl AS (
+              SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                               ROWS UNBOUNDED PRECEDING) AS island
+              FROM bord
+            ),
+            bm AS (SELECT Chromosome, MIN(Start) AS s, MAX("End") AS e FROM bisl GROUP BY Chromosome, island),
+            vals AS (
+              SELECT (SELECT CAST(SUM(e - s) AS BIGINT) FROM am) AS la,
+                     (SELECT CAST(SUM(e - s) AS BIGINT) FROM bm) AS lb,
+                     (SELECT CAST(COALESCE(SUM(LEAST(am.e, bm.e) - GREATEST(am.s, bm.s)), 0) AS BIGINT)
+                        FROM am JOIN bm ON am.Chromosome = bm.Chromosome
+                                       AND am.s < bm.e AND bm.s < am.e) AS tp
+            ),
+            pair AS (
+              SELECT tp, lb - tp AS fp, la - tp AS fn,
+                     1050000 - (tp + (lb - tp) + (la - tp)) AS tn, la, lb
+              FROM vals
+            ),
+            offdiag AS (
+              SELECT tp, fp, fn, tn,
+                     CAST(FLOOR(((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                          / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)))
+                          * 1e6) AS BIGINT) AS m
+              FROM pair
+            )
+            SELECT 'a' AS T, 'a' AS F, la AS TP, CAST(0 AS BIGINT) AS FP,
+                   1050000 - la AS TN, CAST(0 AS BIGINT) AS FN, CAST(1000000 AS BIGINT) AS mcc_micro
+            FROM vals
+            UNION ALL
+            SELECT 'b', 'b', lb, 0, 1050000 - lb, 0, 1000000 FROM vals
+            UNION ALL
+            SELECT 'a', 'b', tp, fp, tn, fn, m FROM offdiag
+            UNION ALL
+            SELECT 'b', 'a', tp, fn, tn, fp, m FROM offdiag
+        """,
+        "spearman_rows": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x,
+                     list_reverse(CAST(embedding AS DOUBLE[])) AS y
+              FROM embeddings
+            ),
+            rk AS (
+              SELECT vec_id,
+                     list_transform(x, xi -> (len(list_filter(x, xj -> xj < xi)) + 1
+                                              + len(list_filter(x, xj -> xj <= xi))) / 2.0) AS rx,
+                     list_transform(y, yi -> (len(list_filter(y, yj -> yj < yi)) + 1
+                                              + len(list_filter(y, yj -> yj <= yi))) / 2.0) AS ry
+              FROM e
+            ),
+            s AS (
+              SELECT vec_id, CAST(len(rx) AS DOUBLE) AS n,
+                     list_sum(rx) AS sx, list_sum(ry) AS sy,
+                     list_dot_product(rx, rx) AS sxx,
+                     list_dot_product(ry, ry) AS syy,
+                     list_dot_product(rx, ry) AS sxy
+              FROM rk
+            )
+            SELECT vec_id,
+                   CAST(FLOOR(((n * sxy - sx * sy)
+                        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6) AS BIGINT) AS spearman_micro
+            FROM s
         """,
         "token_jaccard": """
             WITH toks AS (

@@ -17,6 +17,7 @@ from pyranges_1_x_spark.names import (
 )
 from pyranges_1_x_spark.operators.geometry import tile_genome
 from pyranges_1_x_spark.operators.multi import count_overlaps_matrix
+from pyranges_1_x_spark.sources.synthetic import empty, from_string, random
 
 __all__ = [
     "GenomicRanges",
@@ -29,6 +30,9 @@ __all__ = [
     "tile_genome",
     "count_overlaps_matrix",
     "concat",
+    "random",
+    "from_string",
+    "empty",
 ]
 
 __version__ = "0.1.0"

@@ -98,6 +98,121 @@ def relative_distance(
     return d.select(F.least(rel, 1 - rel).alias("reldist"))
 
 
+def simes(
+    df: DataFrame,
+    by,
+    pcol: str,
+    *,
+    keep_position: bool = False,
+    has_strand: bool | None = None,
+) -> DataFrame:
+    """Simes combined p-value per group: min over i of p_(i) * n / i with p
+    ranked ascending (reference ext/stats.py:569-680). With ``keep_position``
+    the output also spans the group's region (min Start, max End, Chromosome/
+    Strand of the smallest-p row)."""
+    by = [by] if isinstance(by, str) else list(by)
+    if has_strand is None:
+        has_strand = nm.STRAND_COL in df.columns
+    w = Window.partitionBy(*by).orderBy(F.col(pcol).asc())
+    rank = F.row_number().over(w)
+    n = F.count(F.lit(1)).over(Window.partitionBy(*by))
+    d = df.withColumn("__simes__", F.col(pcol) * n / rank)
+    if not keep_position:
+        return d.groupBy(*by).agg(F.min("__simes__").alias("Simes"))
+    aggs = [
+        F.expr(f"min_by(Chromosome, {pcol})").alias(nm.CHROM_COL),
+        F.min(nm.START_COL).alias(nm.START_COL),
+        F.max(nm.END_COL).alias(nm.END_COL),
+        F.min("__simes__").alias("Simes"),
+    ]
+    if has_strand:
+        aggs.append(F.expr(f"min_by(Strand, {pcol})").alias(nm.STRAND_COL))
+    return d.groupBy(*by).agg(*aggs)
+
+
+def mcc(
+    grs: dict[str, GenomicRanges],
+    *,
+    genome_length: int,
+    strand_behavior: str = "ignore",
+):
+    """Matthews correlation coefficient for every ordered pair of interval sets
+    (reference ext/stats.py:249-409). Interval sets are merged first; TP is the
+    merged length of the pairwise intersection; TN is inferred from
+    ``genome_length``. Returns a small pandas DataFrame (driver-side result —
+    one distributed job per unordered pair; O(N^2) pairs of N named inputs)."""
+    import math
+
+    import pandas as pd
+
+    items = [(k, g.merge_overlaps(use_strand=False)) for k, g in grs.items()]
+    lengths = {k: g.length_sum().head()[0] for k, g in items}
+
+    def _mcc_val(tp, fp, tn, fn):
+        denom = math.sqrt(float(tp + fp) * float(tp + fn) * float(tn + fp) * float(tn + fn))
+        return (float(tp) * tn - float(fp) * fn) / denom if denom else 0.0
+
+    rows = []
+    for i, (lt, t) in enumerate(items):
+        for lf, f in items[i:]:
+            if lt == lf:
+                tp = lengths[lt]
+                rows.append({"T": lt, "F": lf, "TP": tp, "FP": 0,
+                             "TN": genome_length - tp, "FN": 0, "MCC": 1.0})
+                continue
+            tp = (
+                t.set_intersect_overlaps(f, strand_behavior=strand_behavior)
+                .length_sum()
+                .head()[0]
+            )
+            fp = lengths[lf] - tp
+            fn = lengths[lt] - tp
+            tn = genome_length - (tp + fp + fn)
+            v = _mcc_val(tp, fp, tn, fn)
+            rows.append({"T": lt, "F": lf, "TP": tp, "FP": fp, "TN": tn, "FN": fn, "MCC": v})
+            rows.append({"T": lf, "F": lt, "TP": tp, "FP": fn, "TN": tn, "FN": fp, "MCC": v})
+    return pd.DataFrame.from_records(rows).sort_values(["T", "F"]).reset_index(drop=True)
+
+
+def rowbased_rankdata(col) -> F.Column:
+    """Per-row fractional ranks (scipy ``rankdata(method='average')``) of an
+    array column (reference ext/stats.py:506-566): rank_i = (#{x_j < x_i} + 1
+    + #{x_j <= x_i}) / 2. O(d^2) per row in pure Catalyst expressions — fine
+    for feature-vector widths; no Python round-trip."""
+    c = col if isinstance(col, F.Column) else F.col(col)
+    return F.transform(
+        c,
+        lambda xi: (
+            F.size(F.filter(c, lambda xj: xj < xi))
+            + 1
+            + F.size(F.filter(c, lambda xj: xj <= xi))
+        )
+        / F.lit(2.0),
+    )
+
+
+def rowbased_pearson(x, y) -> F.Column:
+    """Per-row Pearson correlation of two equal-length array columns
+    (reference ext/stats.py:453-504) as a single Catalyst expression."""
+    x = x if isinstance(x, F.Column) else F.col(x)
+    y = y if isinstance(y, F.Column) else F.col(y)
+    n = F.size(x).cast("double")
+    _sum = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v)  # noqa: E731
+    sx, sy = _sum(x), _sum(y)
+    sxx = _sum(F.transform(x, lambda v: v * v))
+    syy = _sum(F.transform(y, lambda v: v * v))
+    sxy = _sum(F.zip_with(x, y, lambda a, b: a * b))
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return F.when(den != 0, num / den)
+
+
+def rowbased_spearman(x, y) -> F.Column:
+    """Per-row Spearman = Pearson over per-row average ranks
+    (reference ext/stats.py:411-451)."""
+    return rowbased_pearson(rowbased_rankdata(x), rowbased_rankdata(y))
+
+
 def fisher_exact(*_args, **_kwargs):
     """Reference ext/stats.py:174-246 uses scipy (not in this container)."""
     raise NotImplementedError(

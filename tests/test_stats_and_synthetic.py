@@ -1,0 +1,110 @@
+"""simes/mcc/rowbased stats + random/from_string/empty generators."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from pyranges_1_x_spark import empty, from_string, random
+from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.functions.stats import (
+    mcc,
+    rowbased_pearson,
+    rowbased_rankdata,
+    rowbased_spearman,
+    simes,
+)
+
+
+def test_simes_doctest(spark):
+    # Reference ext/stats.py simes doctest: P53 -> 3e-4, FOX -> 3e-7.
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "Chromosome": ["1", "1", "1", "2", "2", "2"],
+                "Start": [10, 20, 30, 60, 70, 80],
+                "End": [20, 35, 40, 65, 75, 90],
+                "Strand": ["+", "+", "+", "-", "-", "-"],
+                "Gene": ["P53", "P53", "P53", "FOX", "FOX", "FOX"],
+                "PValue": [0.0001, 0.0002, 0.0003, 0.05, 1e-07, 2.1e-06],
+            }
+        )
+    )
+    out = {r.Gene: r.Simes for r in simes(df, "Gene", "PValue").collect()}
+    assert out["P53"] == pytest.approx(3e-4)
+    assert out["FOX"] == pytest.approx(3e-7)
+    pos = {r.Gene: r for r in simes(df, "Gene", "PValue", keep_position=True).collect()}
+    assert (pos["FOX"].Start, pos["FOX"].End, pos["FOX"].Strand) == (60, 90, "-")
+    assert (pos["P53"].Start, pos["P53"].End) == (10, 40)
+
+
+def test_rowbased_correlations(spark):
+    # Reference ext/stats.py doctests: spearman [-0.5, 0.5, -1.0].
+    df = spark.createDataFrame(
+        [([7.0, 2.0, 9.0], [5.0, 3.0, 2.0]),
+         ([3.0, 6.0, 0.0], [9.0, 6.0, 0.0]),
+         ([0.0, 6.0, 3.0], [7.0, 3.0, 5.0])],
+        "x array<double>, y array<double>",
+    )
+    sp = [r[0] for r in df.select(rowbased_spearman("x", "y")).collect()]
+    assert sp == pytest.approx([-0.5, 0.5, -1.0])
+    rk = df.select(rowbased_rankdata("x").alias("r")).collect()[0][0]
+    assert rk == [2.0, 1.0, 3.0]
+    # pearson of y=x is 1
+    pe = [r[0] for r in df.select(rowbased_pearson("x", "x")).collect()]
+    assert pe == pytest.approx([1.0, 1.0, 1.0])
+    # ties get averaged ranks
+    t = spark.createDataFrame([([1.0, 1.0, 2.0],)], "x array<double>")
+    assert t.select(rowbased_rankdata("x")).collect()[0][0] == [1.5, 1.5, 3.0]
+
+
+def test_mcc_self_and_disjoint(spark):
+    def gr(starts, ends):
+        return GenomicRanges(
+            spark.createDataFrame(
+                pd.DataFrame({"Chromosome": "1", "Start": starts, "End": ends})
+            )
+        )
+
+    a = gr([0, 100], [50, 150])       # len 100
+    b = gr([0], [50])                 # len 50, wholly inside a
+    out = mcc({"a": a, "b": b}, genome_length=1000)
+    rows = {(r.T, r.F): r for r in out.itertuples()}
+    assert rows[("a", "a")].MCC == 1.0 and rows[("a", "a")].TP == 100
+    ab = rows[("a", "b")]
+    assert (ab.TP, ab.FP, ab.FN, ab.TN) == (50, 0, 50, 900)
+    expected = (50 * 900 - 0) / math.sqrt(50 * 100 * 950 * 900)
+    assert ab.MCC == pytest.approx(expected)
+    ba = rows[("b", "a")]
+    assert (ba.TP, ba.FP, ba.FN) == (50, 50, 0)
+
+
+def test_random_generator(spark):
+    sizes = {"chr1": 10_000, "chr2": 1_000}
+    g = random(spark, n=500, length=100, chromsizes=sizes, seed=42)
+    pdf = g.df.toPandas()
+    assert len(pdf) == 500
+    assert set(pdf.Chromosome) <= {"chr1", "chr2"}
+    assert ((pdf.End - pdf.Start) == 100).all()
+    assert (pdf.Start >= 0).all()
+    for chrom, size in sizes.items():
+        sub = pdf[pdf.Chromosome == chrom]
+        assert (sub.End <= size).all()
+    # proportional pick: chr1 is 10x chr2
+    frac = (pdf.Chromosome == "chr1").mean()
+    assert 0.8 < frac < 0.98
+    assert set(pdf.Strand) <= {"+", "-"}
+
+
+def test_from_string_and_empty(spark):
+    s = """Chromosome Start End Strand
+chr1 10 20 +
+chr2 30 40 -"""
+    g = from_string(spark, s)
+    assert isinstance(g, GenomicRanges)
+    assert g.df.count() == 2
+    e = empty(spark, strand=True)
+    assert e.df.columns == ["Chromosome", "Start", "End", "Strand"]
+    assert e.df.count() == 0
