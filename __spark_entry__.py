@@ -26,10 +26,17 @@ TABLES = [
 # Shared input views (identical text for Spark and DuckDB)
 # ----------------------------------------------------------------------------
 
+# row_id: unique deterministic id WITHOUT a global window (a global ROW_NUMBER
+# forces a single-partition sort — 7.5s of serial time per query at sf0.1).
+# (l_orderkey, l_linenumber) alone is not unique in this synthetic data, so
+# rank within each order over the full 6-column key (which is unique), then
+# combine: per-order counts are < 32.
 _A_SQL = """
 SELECT
-  CAST(ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                                   l_quantity, l_extendedprice) AS BIGINT) AS row_id,
+  CAST(l_orderkey * 32 + ROW_NUMBER() OVER (
+      PARTITION BY l_orderkey
+      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
+  ) AS BIGINT) AS row_id,
   CASE CAST(l_partkey % 5 AS INTEGER)
     WHEN 0 THEN 'chr1' WHEN 1 THEN 'chr2' WHEN 2 THEN 'chr3'
     WHEN 3 THEN 'chr10' ELSE 'chrM' END AS Chromosome,

@@ -7,7 +7,7 @@ then one count column per input; ``summary`` (methods/summary.py:17-57).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
@@ -22,21 +22,67 @@ def count_overlaps_matrix(
     bin_size: int | None = None,
 ) -> GenomicRanges:
     """One row per atomic segment of the union (or per ``features`` row), one
-    count column per input name (reference core/multioverlap.py:11-143)."""
+    count column per input name (reference core/multioverlap.py:11-143).
+
+    Without ``features`` this never joins: because the atomic segments are cut
+    at every input boundary, "intervals overlapping a segment" equals
+    "intervals covering the segment start", so all N count columns come from
+    ONE event-point sweep — union of tagged ±1 deltas, one hash aggregation,
+    one window computing all N running sums in a single pass. With explicit
+    ``features`` (arbitrary, unaligned) it falls back to N binned count joins.
+    """
     from pyranges_1_x_spark import concat
 
     items = list(grs.items())
-    if features is None:
-        allg = concat([g for _, g in items])
-        base = allg.remove_strand() if use_strand is False else allg
-        features = base.split_overlaps(use_strand=use_strand, between=True, bin_size=bin_size)
-    out = features
-    for name, g in items:
-        out = out.count_overlaps(
-            g, strand_behavior="ignore" if use_strand is False else "auto",
-            count_col=name, bin_size=bin_size,
-        )
-    return out
+    if features is not None:
+        out = features
+        for name, g in items:
+            out = out.count_overlaps(
+                g, strand_behavior="ignore" if use_strand is False else "auto",
+                count_col=name, bin_size=bin_size,
+            )
+        return out
+
+    allg = concat([g for _, g in items])
+    base = allg.remove_strand() if use_strand is False else allg
+    keys = base.group_keys(use_strand)
+
+    n = len(items)
+    evs = []
+    for idx, (_, g) in enumerate(items):
+        d = g.remove_strand().df if use_strand is False else g.df
+        for pos_col, delta in ((nm.START_COL, 1), (nm.END_COL, -1)):
+            evs.append(
+                d.select(
+                    *keys,
+                    F.col(pos_col).alias("__pos__"),
+                    *[
+                        F.lit(delta if j == idx else 0).alias(f"__d{j}__")
+                        for j in range(n)
+                    ],
+                )
+            )
+    ev = evs[0]
+    for e in evs[1:]:
+        ev = ev.unionByName(e)
+    agg = ev.groupBy(*keys, "__pos__").agg(
+        *[F.sum(f"__d{j}__").alias(f"__d{j}__") for j in range(n)]
+    )
+    worder = Window.partitionBy(*keys).orderBy(F.col("__pos__").asc())
+    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = agg.select(
+        *keys,
+        "__pos__",
+        F.lead("__pos__").over(worder).alias("__np__"),
+        *[F.sum(F.col(f"__d{j}__")).over(wcum).alias(items[j][0]) for j in range(n)],
+    )
+    out = cum.filter(F.col("__np__").isNotNull()).select(
+        *keys,
+        F.col("__pos__").alias(nm.START_COL),
+        F.col("__np__").alias(nm.END_COL),
+        *[name for name, _ in items],
+    )
+    return GenomicRanges(out)
 
 
 def summary(self: GenomicRanges, *, use_strand="auto") -> DataFrame:

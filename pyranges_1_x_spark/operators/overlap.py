@@ -188,6 +188,7 @@ def count_overlaps(
         bin_size=bin_size,
         rstart="__rs__",
         rend="__re__",
+        keep_unmatched_bins=True,  # the groupBy below collapses them: one shuffle saved
     )
     out = (
         joined.groupBy(*self.df.columns, _LID)

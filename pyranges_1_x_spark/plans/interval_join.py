@@ -105,6 +105,7 @@ def binned_join(
     rstart: str = START_COL,
     rend: str = END_COL,
     broadcast_right: bool = False,
+    keep_unmatched_bins: bool = False,
 ) -> DataFrame:
     """The one shared binned interval join. Column contract: left/right names
     must be disjoint (use ``rename_keys``).
@@ -120,6 +121,13 @@ def binned_join(
     Output = left columns + right non-key columns. Internal row ids and match
     flags are exposed as ``__ij_lid__``/``__ij_rid__``/``__matched__`` for
     downstream windows (same-relation only!); callers drop them.
+
+    ``keep_unmatched_bins`` (how='left' only) skips the window pass that
+    reduces matchless left rows to one representative bin-row: the raw plain
+    left join is returned, where a left row may surface null-padded rows for
+    every bin in which it found no partner. Correct — and one whole shuffle
+    cheaper — for aggregating consumers that group by left row id anyway
+    (e.g. count_overlaps).
     """
     if how not in VALID_JOIN_TYPES:
         raise ValueError(f"how must be one of {VALID_JOIN_TYPES}, got {how!r}")
@@ -160,6 +168,16 @@ def binned_join(
     spark_how = {"inner": "inner", "left": "left", "right": "full_outer", "outer": "full_outer"}[how]
     joined = lb.join(rb, cond, spark_how)
     joined = joined.withColumn("__matched__", F.col(_RID).isNotNull() & F.col(_LID).isNotNull())
+
+    if keep_unmatched_bins:
+        if how != "left":
+            raise ValueError("keep_unmatched_bins only applies to how='left'")
+        out_cols_raw = (
+            [F.col(c) for c in left.columns]
+            + [F.col(c) for c in right.columns if c not in right_keys]
+            + [F.col(_LID), F.col(_RID), F.col("__matched__")]
+        )
+        return joined.select(*out_cols_raw)
 
     out_cols = (
         [F.col(c) for c in left.columns]
