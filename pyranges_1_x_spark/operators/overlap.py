@@ -29,6 +29,41 @@ def _right_coords(odf, keys):
     return right, rkeys
 
 
+def _any_match(
+    self: GenomicRanges,
+    other: GenomicRanges,
+    strand_behavior: str,
+    match_by,
+    slack: int,
+    contained: bool,
+    bin_size: int | None,
+):
+    """Per self row: did any other interval overlap it? One raw left binned
+    join (no dedup windows) + one aggregate — the same cheap plan shape as
+    count_overlaps; duplicate bin rows collapse in the groupBy."""
+    odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+    bin_size = self.resolve_bin(bin_size)
+    right, rkeys = _right_coords(odf, keys)
+    joined = binned_join(
+        self.df,
+        right,
+        keys=keys,
+        right_keys=rkeys,
+        how="left",
+        slack=slack,
+        contained=contained,
+        bin_size=bin_size,
+        rstart="__rs__",
+        rend="__re__",
+        keep_unmatched_bins=True,
+    )
+    return (
+        joined.groupBy(*self.df.columns, _LID)
+        .agg(F.max("__matched__").alias("__any__"))
+        .drop(_LID)
+    )
+
+
 def overlap(
     self: GenomicRanges,
     other: GenomicRanges,
@@ -41,23 +76,10 @@ def overlap(
 ) -> GenomicRanges:
     """Semi-join: rows of self overlapping at least one interval of other
     (reference range_frame.py:539-607); each self row reported once."""
-    odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    bin_size = self.resolve_bin(bin_size)
-    right, rkeys = _right_coords(odf, keys)
-    pairs = binned_join(
-        self.df,
-        right,
-        keys=keys,
-        right_keys=rkeys,
-        how="inner",
-        slack=slack,
-        contained=contained_intervals_only,
-        bin_size=bin_size,
-        rstart="__rs__",
-        rend="__re__",
+    flags = _any_match(
+        self, other, strand_behavior, match_by, slack, contained_intervals_only, bin_size
     )
-    out = pairs.dropDuplicates([_LID]).select(*self.df.columns)
-    return GenomicRanges(out)
+    return GenomicRanges(flags.filter(F.col("__any__")).drop("__any__"))
 
 
 def complement_overlaps(
@@ -70,24 +92,9 @@ def complement_overlaps(
     bin_size: int | None = None,
 ) -> GenomicRanges:
     """Anti-join: rows of self overlapping NOTHING in other
-    (reference methods/complement_overlaps.py:26-34). The left binned join
-    already emits exactly one not-matched row per matchless self row."""
-    odf, keys = self._binary_prepared(other, strand_behavior, match_by)
-    bin_size = self.resolve_bin(bin_size)
-    right, rkeys = _right_coords(odf, keys)
-    joined = binned_join(
-        self.df,
-        right,
-        keys=keys,
-        right_keys=rkeys,
-        how="left",
-        slack=slack,
-        bin_size=bin_size,
-        rstart="__rs__",
-        rend="__re__",
-    )
-    out = joined.filter(~F.col("__matched__")).select(*self.df.columns)
-    return GenomicRanges(out)
+    (reference methods/complement_overlaps.py:26-34)."""
+    flags = _any_match(self, other, strand_behavior, match_by, slack, False, bin_size)
+    return GenomicRanges(flags.filter(~F.col("__any__")).drop("__any__"))
 
 
 def join_overlaps(

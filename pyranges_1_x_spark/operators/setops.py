@@ -54,6 +54,12 @@ def subtract_overlaps(
         bin_size=bin_size,
         rstart="__bs__",
         rend="__be__",
+        # Raw bin rows (matchless rows keep their real per-row _LID, possibly
+        # once per bin). Harmless to the windows below: extra rows carry null
+        # __bs__/__be__, which max() skips and desc_nulls_last ranks after
+        # every real blocker; gap rows are gated on __matched__ and the tail
+        # fires once at rn_desc == 1 (row_number is unique).
+        keep_unmatched_bins=True,
     )
 
     w = Window.partitionBy(_LID).orderBy(F.col("__bs__").asc_nulls_first())

@@ -165,13 +165,10 @@ def binned_join(
         F.col(_LBIN) == ((first_common - F.pmod(first_common, F.lit(bin_size))) / F.lit(bin_size)).cast("long")
     )
 
-    spark_how = {"inner": "inner", "left": "left", "right": "full_outer", "outer": "full_outer"}[how]
-    joined = lb.join(rb, cond, spark_how)
-    joined = joined.withColumn("__matched__", F.col(_RID).isNotNull() & F.col(_LID).isNotNull())
-
     if keep_unmatched_bins:
         if how != "left":
             raise ValueError("keep_unmatched_bins only applies to how='left'")
+        joined = lb.join(rb, cond, "left").withColumn("__matched__", F.col(_RID).isNotNull())
         out_cols_raw = (
             [F.col(c) for c in left.columns]
             + [F.col(c) for c in right.columns if c not in right_keys]
@@ -179,38 +176,57 @@ def binned_join(
         )
         return joined.select(*out_cols_raw)
 
-    out_cols = (
-        [F.col(c) for c in left.columns]
-        + [F.col(c) for c in right.columns if c not in right_keys]
-        + [F.col(_LID), F.col(_RID), F.col("__matched__")]
+    right_vals = [f for f in right.schema.fields if f.name not in right_keys]
+    out_names = left.columns + [f.name for f in right_vals] + [_LID, _RID, "__matched__"]
+
+    matched = (
+        lb.join(rb, cond, "inner")
+        .withColumn("__matched__", F.lit(True))
+        .select(*out_names)
     )
-
     if how == "inner":
-        return joined.select(*out_cols)
+        return matched
 
-    # Window expressions can't appear in a filter: materialize, filter, drop.
-    match_int = F.when(F.col("__matched__"), 1).otherwise(0)
+    # Outer variants: UNION the inner pairs with separately-computed anti rows
+    # (raw left join -> per-row any-match aggregate -> null-pad). Each branch
+    # evaluates its own monotonically_increasing_id, but the anti branches
+    # null their ids, so ids are never compared across evaluations — and no
+    # window over the (potentially huge) pair relation is ever needed.
+    parts = [matched]
+    null_l = F.lit(None).cast("long")
     if how in ("left", "outer"):
-        joined = joined.withColumn("__nl__", F.sum(match_int).over(Window.partitionBy(_LID)))
-    if how in ("right", "outer"):
-        joined = joined.withColumn("__nr__", F.sum(match_int).over(Window.partitionBy(_RID)))
-
-    keep = F.col("__matched__")
-    if how in ("left", "outer"):
-        # keep one representative bin-row per matchless left row
-        first_lbin = floordiv(ws, bin_size)
-        keep = keep | (
-            F.col(_LID).isNotNull() & (F.col("__nl__") == 0) & (F.col(_LBIN) == first_lbin)
+        lflags = (
+            lb.join(rb, cond, "left")
+            .groupBy(*left.columns, _LID)
+            .agg(F.max(F.col(_RID).isNotNull()).alias("__any__"))
         )
-    if how in ("right", "outer"):
-        first_rbin = floordiv(rs, bin_size)
-        keep = keep | (
-            F.col(_RID).isNotNull() & (F.col("__nr__") == 0) & (F.col(_RBIN) == first_rbin)
+        anti_l = lflags.filter(~F.col("__any__")).select(
+            *left.columns,
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in right_vals],
+            null_l.alias(_LID),
+            null_l.alias(_RID),
+            F.lit(False).alias("__matched__"),
         )
-        if how == "right":
-            keep = keep & F.col(_RID).isNotNull()
+        parts.append(anti_l)
+    if how in ("right", "outer"):
+        rflags = (
+            rb.join(lb, cond, "left")
+            .groupBy(*[c for c in right.columns], _RID)
+            .agg(F.max(F.col(_LID).isNotNull()).alias("__any__"))
+        )
+        anti_r = rflags.filter(~F.col("__any__")).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+            *[f.name for f in right_vals],
+            null_l.alias(_LID),
+            null_l.alias(_RID),
+            F.lit(False).alias("__matched__"),
+        )
+        parts.append(anti_r)
 
-    return joined.filter(keep).select(*out_cols)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def interval_join(
