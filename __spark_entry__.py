@@ -483,6 +483,17 @@ def q_spearman_rows(spark, sf_dir):
     )
 
 
+def q_coverage_ratio(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    a = _gr_a(spark, sf_dir)
+    out = a.coverage_ratio(value_col="Score", defragment=False, log2=False)
+    return out.df.select(
+        "Chromosome", "Start", "End",
+        F.col("Value").cast("long").alias("value_sum"), "Depth",
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     from pyranges_1_x_spark.ml.dedup import minhash_lsh_candidates
 
@@ -532,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simes": q_simes,
         "mcc": q_mcc,
         "spearman_rows": q_spearman_rows,
+        "coverage_ratio": q_coverage_ratio,
         "max_disjoint": q_max_disjoint,      # rows-only (greedy scan, not SQL-expressible)
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
@@ -1094,6 +1106,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(((n * sxy - sx * sy)
                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6) AS BIGINT) AS spearman_micro
             FROM s
+        """,
+        "coverage_ratio": f"""
+            {_AB},
+            pts AS (
+              SELECT Chromosome, Start AS pos, CAST(Score AS DOUBLE) AS dv, 1 AS dc FROM a
+              UNION ALL
+              SELECT Chromosome, "End" AS pos, -CAST(Score AS DOUBLE) AS dv, -1 AS dc FROM a
+            ),
+            agg AS (SELECT Chromosome, pos, SUM(dv) AS dv, SUM(dc) AS dc FROM pts GROUP BY 1, 2),
+            cum AS (
+              SELECT Chromosome, pos,
+                     CAST(SUM(dv) OVER w AS BIGINT) AS value_sum,
+                     CAST(SUM(dc) OVER w AS BIGINT) AS Depth,
+                     LEAD(pos) OVER (PARTITION BY Chromosome ORDER BY pos) AS next_pos
+              FROM agg
+              WINDOW w AS (PARTITION BY Chromosome ORDER BY pos ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT Chromosome, pos AS Start, next_pos AS "End", value_sum, Depth
+            FROM cum WHERE next_pos IS NOT NULL
         """,
         "token_jaccard": """
             WITH toks AS (

@@ -254,6 +254,11 @@ class GenomicRanges:
 
         return _c.to_coverage(self, **kw)
 
+    def coverage_ratio(self, **kw):
+        from pyranges_1_x_spark.operators import coverage as _c
+
+        return _c.coverage_ratio(self, **kw)
+
     def sort_ranges(self, **kw):
         from pyranges_1_x_spark.operators import sort as _srt
 

@@ -101,3 +101,37 @@ def to_gtf(df: DataFrame, path: str) -> None:
         attr.alias("Attribute"),
     )
     out.write.mode("overwrite").csv(path, sep="\t", header=False)
+
+
+def to_gff3(df: DataFrame, path: str) -> None:
+    """GFF3 writer: metadata folded as `key=value;` attribute pairs, 0->1-based
+    (reference core/out.py:233-315)."""
+    meta = [c for c in df.columns if c not in GTF_FIXED]
+    attr = F.concat_ws(
+        "",
+        *[
+            F.when(
+                F.col(c).isNotNull(),
+                F.concat(F.lit(f"{c}="), F.col(c).cast("string"), F.lit(";")),
+            ).otherwise(F.lit(""))
+            for c in meta
+        ],
+    )
+
+    def fixed(c, default="."):
+        if c in df.columns:
+            return F.coalesce(F.col(c).cast("string"), F.lit(default)).alias(c)
+        return F.lit(default).alias(c)
+
+    out = df.select(
+        F.col("Chromosome"),
+        fixed("Source"),
+        fixed("Feature"),
+        (F.col("Start") + 1).alias("Start"),
+        F.col("End"),
+        fixed("Score"),
+        fixed("Strand"),
+        fixed("Frame"),
+        attr.alias("Attribute"),
+    )
+    out.write.mode("overwrite").csv(path, sep="\t", header=False)

@@ -1,0 +1,95 @@
+"""coverage_ratio + GFF3 round-trip + binary-format stubs."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.sources.binary import read_bam, read_bigwig
+from pyranges_1_x_spark.sources.gtf import read_gff3, to_gff3
+
+
+def test_coverage_ratio_golden(spark):
+    # two overlapping reads with Score weights 4 and 2:
+    # [0,10) w=4 ; [5,15) w=2  => runs: [0,5) v=4 c=1; [5,10) v=6 c=2; [10,15) v=2 c=1
+    g = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"Chromosome": ["1", "1"], "Start": [0, 5], "End": [10, 15], "Score": [4, 2]}
+            )
+        )
+    )
+    out = g.coverage_ratio(value_col="Score", defragment=False).df.toPandas()
+    out = out.sort_values("Start").reset_index(drop=True)
+    assert list(map(tuple, out[["Start", "End", "Value", "Depth"]].values)) == [
+        (0, 5, 4, 1),
+        (5, 10, 6, 2),
+        (10, 15, 2, 1),
+    ]
+    assert out.Ratio.tolist() == pytest.approx([2.0, math.log2(3.0), 1.0])
+
+
+def test_coverage_ratio_defragment(spark):
+    # equal-weight reads: ratio == weight everywhere it's covered -> defrag to one run
+    g = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"Chromosome": ["1", "1"], "Start": [0, 10], "End": [10, 20], "Score": [8, 8]}
+            )
+        )
+    )
+    out = g.coverage_ratio(value_col="Score").df.toPandas()
+    covered = out[out.Ratio.notna()]
+    assert len(covered) == 1
+    assert (covered.iloc[0].Start, covered.iloc[0].End, covered.iloc[0].Ratio) == (0, 20, 3.0)
+
+
+def test_gff3_round_trip(spark, tmp_path):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "Chromosome": ["chr1", "chr1"],
+                "Source": ["test", "test"],
+                "Feature": ["gene", "exon"],
+                "Start": [9, 19],
+                "End": [100, 50],
+                "Score": [".", "."],
+                "Strand": ["+", "-"],
+                "Frame": [".", "."],
+                "gene_id": ["g1", "g1"],
+            }
+        )
+    )
+    path = str(tmp_path / "out.gff3")
+    to_gff3(df, path)
+    back = read_gff3(spark, path)
+    pdf = back.df.toPandas().sort_values("Start").reset_index(drop=True)
+    assert pdf.Start.tolist() == [9, 19]  # 1-based on disk, 0-based in memory
+    assert pdf.End.tolist() == [100, 50]
+    assert pdf.gene_id.tolist() == ["g1", "g1"]
+
+
+def test_binary_stubs(spark, tmp_path):
+    with pytest.raises(NotImplementedError):
+        read_bam(spark, "/some/file.bam")
+    with pytest.raises(NotImplementedError):
+        read_bigwig(spark, "/some/file.bw")
+    # parquet-converted fixture path works, with flag filtering
+    p = str(tmp_path / "bam.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "Chromosome": ["chr1", "chr1", "chr1"],
+                "Start": [0, 10, 20],
+                "End": [5, 15, 25],
+                "Strand": ["+", "-", "+"],
+                "Flag": [0, 4, 0],   # 4 = unmapped, filtered by default mask 1540
+                "MapQ": [60, 60, 10],
+            }
+        )
+    ).write.mode("overwrite").parquet(p)
+    got = read_bam(spark, p, mapq=30).df.toPandas()
+    assert sorted(got.Start.tolist()) == [0]
