@@ -17,10 +17,15 @@ Because candidates come from SEVERAL plan branches that must be re-joined per
 input row, row identity uses the deterministic content-hash id
 (plans/ids.py), never ``monotonically_increasing_id``.
 
-Current limits (documented divergence, to be lifted): k must be 1 when
-appending other's columns. Directions 'forward'/'backward' are in
-self-coordinate terms; the strand-aware upstream/downstream resolution of the
-PyRanges wrapper (pyranges_main.py:2327-2391) is layered on top.
+k > 1 uses the rank trick: rank the other frame's rows by boundary position
+per group; the sweep then carries the FIRST eligible rank instead of the
+boundary itself, and the k nearest candidates in that direction are exactly
+the k consecutive ranks from there — one explode(sequence(r0, r0+k-1)) and an
+equi-join on (keys, rank). No per-group loop, no expanding re-scan.
+
+Directions 'forward'/'backward' are in self-coordinate terms; the
+strand-aware upstream/downstream resolution of the PyRanges wrapper
+(pyranges_main.py:2327-2391) is layered on top.
 """
 
 from __future__ import annotations
@@ -175,14 +180,14 @@ def nearest_ranges(
     dist_col: str | None = "Distance",
     bin_size: int | None = None,
 ):
-    """Append the nearest other row's columns (k=1; see module docstring).
+    """Append the k nearest other rows' columns (see module docstring).
 
     Ties (several other rows at the same distance) are broken deterministically
     by (other Start, other End, other id) ascending — the reference's choice
     among ties is algorithm-order-dependent, so any fixed rule is equally
     faithful."""
-    if k != 1:
-        raise NotImplementedError("k > 1 lands with the bin-expansion planner (round 2)")
+    if k < 1:
+        raise ValueError("k must be >= 1")
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
     left = with_stable_id(self.df)
@@ -209,27 +214,70 @@ def nearest_ranges(
             rend="__re__",
         ).select(*_SID, *rsid, F.lit(0).cast("long").alias("__dist__"))
         cands.append(ov)
-    if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
-        fwd = _forward_candidates(left, right, keys).filter(F.col("__cand__").isNotNull())
-        fwd = (
-            fwd.join(left.select(*_SID, *keys, nm.END_COL), on=_SID)
-            .join(
-                rcoords.select(*keys, F.col("__rs__").alias("__cand__"), *rsid),
-                on=[*keys, "__cand__"],
-            )
-            .select(*_SID, *rsid, (F.col("__cand__") - F.col(nm.END_COL) + 1).alias("__dist__"))
+
+    def _rank_explode(ranked_right, first_rank_per_left, dist_expr):
+        """ranks [r0, r0+k-1] per left row -> equi-join on (keys, rank)."""
+        exploded = first_rank_per_left.withColumn(
+            "__rr__", F.explode(F.sequence(F.col("__r0__"), F.col("__r0__") + F.lit(k - 1)))
         )
+        return (
+            exploded.join(ranked_right, on=[*keys, "__rr__"])
+            .select(*_SID, *rsid, dist_expr.alias("__dist__"))
+        )
+
+    if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
+        wf = Window.partitionBy(*keys).orderBy(
+            F.col("__rs__").asc(), F.col("__re__").asc(), *[F.col(c).asc() for c in rsid]
+        )
+        r_fwd = rcoords.withColumn("__rr__", F.row_number().over(wf).cast("long"))
+        # sweep: per left End, the min forward rank (rank grows with Start,
+        # so min rank among Start >= End is the as-of candidate)
+        l_pts = left.select(
+            *keys, *_SID, F.col(nm.END_COL).alias("__pos__"), F.col(nm.END_COL).alias("__le__")
+        ).withColumn("__typ__", F.lit(0)).withColumn("__rk__", F.lit(None).cast("long"))
+        r_pts = r_fwd.select(
+            *keys, F.col("__rs__").alias("__pos__"), F.col("__rr__").alias("__rk__")
+        ).withColumn("__typ__", F.lit(1)).withColumn("__le__", F.lit(None).cast("long"))
+        for c in _SID:
+            r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
+        allp = l_pts.unionByName(r_pts.select(*l_pts.columns))
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__pos__").desc(), F.col("__typ__").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        r0 = (
+            allp.withColumn("__r0__", F.min(F.when(F.col("__typ__") == 1, F.col("__rk__"))).over(w))
+            .filter((F.col("__typ__") == 0) & F.col("__r0__").isNotNull())
+            .select(*keys, *_SID, "__le__", "__r0__")
+        )
+        fwd = _rank_explode(r_fwd, r0, F.col("__rs__") - F.col("__le__") + 1)
         cands.append(fwd)
     if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
-        bwd = _backward_candidates(left, right, keys).filter(F.col("__cand__").isNotNull())
-        bwd = (
-            bwd.join(left.select(*_SID, *keys, nm.START_COL), on=_SID)
-            .join(
-                rcoords.select(*keys, F.col("__re__").alias("__cand__"), *rsid),
-                on=[*keys, "__cand__"],
-            )
-            .select(*_SID, *rsid, (F.col(nm.START_COL) - F.col("__cand__") + 1).alias("__dist__"))
+        wb = Window.partitionBy(*keys).orderBy(
+            F.col("__re__").desc(), F.col("__rs__").desc(), *[F.col(c).asc() for c in rsid]
         )
+        r_bwd = rcoords.withColumn("__rr__", F.row_number().over(wb).cast("long"))
+        l_pts = left.select(
+            *keys, *_SID, F.col(nm.START_COL).alias("__pos__"), F.col(nm.START_COL).alias("__ls__")
+        ).withColumn("__typ__", F.lit(1)).withColumn("__rk__", F.lit(None).cast("long"))
+        r_pts = r_bwd.select(
+            *keys, F.col("__re__").alias("__pos__"), F.col("__rr__").alias("__rk__")
+        ).withColumn("__typ__", F.lit(0)).withColumn("__ls__", F.lit(None).cast("long"))
+        for c in _SID:
+            r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
+        allp = l_pts.unionByName(r_pts.select(*l_pts.columns))
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__pos__").asc(), F.col("__typ__").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        r0 = (
+            allp.withColumn("__r0__", F.min(F.when(F.col("__typ__") == 0, F.col("__rk__"))).over(w))
+            .filter((F.col("__typ__") == 1) & F.col("__r0__").isNotNull())
+            .select(*keys, *_SID, "__ls__", "__r0__")
+        )
+        bwd = _rank_explode(r_bwd, r0, F.col("__ls__") - F.col("__re__") + 1)
         cands.append(bwd)
 
     allc = cands[0]

@@ -141,3 +141,49 @@ def test_max_disjoint(spark):
     )
     res = gr.max_disjoint_overlaps(use_strand=False).df.toPandas().sort_values("Start")
     assert list(map(tuple, res[["Start", "End"]].values)) == [(1, 5), (6, 10)]
+
+
+def brute_knearest_dists(a, b, k, exclude_overlaps=False, direction="any"):
+    out = {}
+    for ia, ra in a.iterrows():
+        ds = []
+        for _, rb in b[b.Chromosome == ra.Chromosome].iterrows():
+            overlap = max(ra.Start, rb.Start) < min(ra.End, rb.End)
+            if overlap:
+                if exclude_overlaps:
+                    continue
+                d = 0
+            else:
+                forward = rb.Start >= ra.End
+                if direction == "forward" and not forward:
+                    continue
+                if direction == "backward" and (forward or rb.End > ra.Start):
+                    continue
+                d = max(ra.Start, rb.Start) - min(ra.End, rb.End) + 1
+            ds.append(d)
+        if ds:
+            out[ia] = sorted(ds)[:k]
+    return out
+
+
+def test_nearest_k3_bruteforce(spark):
+    pa = random_frame(31, 35).assign(idx=range(35))
+    pb = random_frame(32, 20)
+    a, b = GenomicRanges(spark.createDataFrame(pa)), GenomicRanges(spark.createDataFrame(pb))
+    for kwargs in (
+        dict(k=3),
+        dict(k=3, exclude_overlaps=True),
+        dict(k=2, direction="forward"),
+        dict(k=2, direction="backward", exclude_overlaps=True),
+    ):
+        got = a.nearest_ranges(b, **kwargs).df.toPandas()
+        got_d = {
+            idx: sorted(grp.Distance.tolist())
+            for idx, grp in got.groupby("idx")
+        }
+        want = brute_knearest_dists(
+            pa, pb, kwargs["k"],
+            exclude_overlaps=kwargs.get("exclude_overlaps", False),
+            direction=kwargs.get("direction", "any"),
+        )
+        assert got_d == want, f"mismatch for {kwargs}"
