@@ -48,6 +48,8 @@ VALID_JOIN_TYPES = ("inner", "left", "right", "outer")
 NEAREST_ANY = "any"
 NEAREST_FORWARD = "forward"
 NEAREST_BACKWARD = "backward"
+NEAREST_UPSTREAM = "upstream"
+NEAREST_DOWNSTREAM = "downstream"
 
 #: Internal helper column names (never leak into user-visible output).
 ROW_ID_COL = "__row_id__"

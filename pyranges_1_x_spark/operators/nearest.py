@@ -188,6 +188,39 @@ def nearest_ranges(
     faithful."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    if direction in (nm.NEAREST_UPSTREAM, nm.NEAREST_DOWNSTREAM):
+        # 5'/3'-aware resolution (reference wrapper pyranges_main.py:2327-2391
+        # splits self by strand; we additionally flip the genomic direction on
+        # the '-' half, which is the documented upstream/downstream intent —
+        # the reference's literal code passes the same direction to both
+        # halves, which its own doctests never exercise).
+        up = direction == nm.NEAREST_UPSTREAM
+        common = dict(
+            strand_behavior=strand_behavior, match_by=match_by,
+            exclude_overlaps=exclude_overlaps, k=k, suffix=suffix,
+            dist_col=dist_col, bin_size=bin_size,
+        )
+        if not self.has_strand:
+            return nearest_ranges(
+                self, other,
+                direction=nm.NEAREST_BACKWARD if up else nm.NEAREST_FORWARD,
+                **common,
+            )
+        fwd_half = GenomicRanges(self.df.filter(F.col(nm.STRAND_COL) != "-"))
+        rev_half = GenomicRanges(self.df.filter(F.col(nm.STRAND_COL) == "-"))
+        r1 = nearest_ranges(
+            fwd_half, other,
+            direction=nm.NEAREST_BACKWARD if up else nm.NEAREST_FORWARD,
+            **common,
+        )
+        r2 = nearest_ranges(
+            rev_half, other,
+            direction=nm.NEAREST_FORWARD if up else nm.NEAREST_BACKWARD,
+            **common,
+        )
+        d1 = r1.df if isinstance(r1, GenomicRanges) else r1
+        d2 = r2.df if isinstance(r2, GenomicRanges) else r2
+        return GenomicRanges.wrap(d1.unionByName(d2))
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
     left = with_stable_id(self.df)

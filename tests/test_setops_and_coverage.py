@@ -187,3 +187,26 @@ def test_nearest_k3_bruteforce(spark):
             direction=kwargs.get("direction", "any"),
         )
         assert got_d == want, f"mismatch for {kwargs}"
+
+
+def test_nearest_upstream_downstream(spark):
+    # f1/f2 from the reference nearest_ranges doctest (pyranges_main.py:2195+)
+    f1 = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": "chr1", "Start": [3, 5, 8], "End": [6, 7, 9], "Strand": ["+", "-", "+"]})))
+    f2 = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": "chr1", "Start": [1, 6, 20], "End": [2, 7, 22], "Strand": ["+", "-", "+"]})))
+    # downstream doctest golden: (3,6,+)->20..22 d15; (8,9,+)->20..22 d12; (5,7,-)->6,7 d0 (overlap)
+    dn = f1.nearest_ranges(f2, direction="downstream").df.toPandas()
+    got = sorted(zip(dn.Start, dn.Start_b, dn.Distance))
+    assert got == [(3, 20, 15), (5, 6, 0), (8, 20, 12)]
+    # upstream + exclude_overlaps doctest golden: the '-' row drops
+    up = f1.nearest_ranges(f2, direction="upstream", exclude_overlaps=True).df.toPandas()
+    got = sorted(zip(up.Start, up.Start_b, up.Distance))
+    assert got == [(3, 1, 2), (8, 1, 7)]
+    # '-' strand upstream means larger coordinates: give the '-' row a real
+    # upstream partner on its own strand
+    f3 = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": "chr1", "Start": [10], "End": [12], "Strand": ["-"]})))
+    up2 = f1.nearest_ranges(f3, direction="upstream", exclude_overlaps=True).df.toPandas()
+    # only the '-' self row (5,7) can match same-strand; upstream of '-' = forward: 10 >= 7 ok
+    assert sorted(zip(up2.Start, up2.Start_b, up2.Distance)) == [(5, 10, 4)]
