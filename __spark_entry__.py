@@ -210,16 +210,24 @@ def q_sort_rank(spark, sf_dir):
 
 def _load_events(spark, sf_dir):
     """The events parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; load via pyarrow and hand Spark tz-free integer epoch
-    micros, reconstructed with timestamp_micros (UTC, session-tz independent)."""
-    import pyarrow.parquet as pq
+    reader rejects by default. Distributed path: the nanosAsLong legacy flag
+    reads ts as epoch-ns long; integer DIV (not float division — 2024 epoch
+    ns exceeds 2^53) converts to micros for timestamp_micros. Falls back to a
+    driver-side pyarrow load if the flag can't be set on this session."""
     from pyspark.sql import functions as F
 
-    t = pq.read_table(f"{sf_dir}/events.parquet")
-    pdf = t.to_pandas()
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes)["ts"] == "bigint":
+            return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    except Exception:  # noqa: BLE001
+        pass
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
     pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns -> us epoch
-    ev = spark.createDataFrame(pdf)
-    return ev.withColumn("ts", F.timestamp_micros(F.col("ts")))
+    return spark.createDataFrame(pdf).withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 
 def q_events_hourly(spark, sf_dir):
@@ -483,6 +491,80 @@ def q_spearman_rows(spark, sf_dir):
     )
 
 
+def q_three_end(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.three_end(group_by=["Score", "Strand"], tiebreak=["row_id"]).df
+
+
+def q_slice_10_60(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.slice_ranges(10, 60, group_by="Score", tiebreak=["row_id"]).df
+
+
+def q_calc_frame(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.calculate_frame(group_by="Score", tiebreak=["row_id"]).df.select("row_id", "Frame")
+
+
+def q_tile_genome(spark, sf_dir):
+    from pyranges_1_x_spark import tile_genome
+
+    sizes = spark.createDataFrame(CHROMSIZES, "Chromosome string, End long")
+    return tile_genome(sizes, 1000).df
+
+
+def q_upstream_flank(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.upstream(50, gap=10).df
+
+
+def q_join_first(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    out = a.join_overlaps(b, strand_behavior="ignore", multiple="first").df
+    # only coordinate columns of the match: equal-coordinate ties then hash equal
+    return out.select("row_id", "Chromosome", "Start", "End", "Strand", "Score",
+                      "Start_b", "End_b")
+
+
+def q_join_contained(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.join_overlaps(b, strand_behavior="ignore", contained_intervals_only=True).df
+
+
+def q_overlap_slack(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.overlap(b, strand_behavior="ignore", slack=10).df
+
+
+def q_dedup_exact(spark, sf_dir):
+    from pyranges_1_x_spark.ml.dedup import dedup_exact
+
+    _load(spark, sf_dir, ["documents"])
+    return dedup_exact(spark.table("documents")).select("doc_id")
+
+
+def q_extend_group(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.extend_ranges(ext_5=100, ext_3=20, group_by=["Score", "Strand"]).df
+
+
+def q_window_sliding(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.streaming.events import windowed_event_stats
+
+    ev = _load_events(spark, sf_dir).withColumn(
+        "value", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = windowed_event_stats(ev, window_duration="1 hour", slide="30 minutes")
+    return out.select(
+        F.col("window_start").cast("long").alias("epoch_start"),
+        "event_type",
+        "n_events",
+        F.col("sum_value").alias("sum_cents"),
+    )
+
+
 def q_coverage_ratio(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -544,6 +626,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcc": q_mcc,
         "spearman_rows": q_spearman_rows,
         "coverage_ratio": q_coverage_ratio,
+        "three_end": q_three_end,
+        "slice_10_60": q_slice_10_60,
+        "calc_frame": q_calc_frame,
+        "tile_genome": q_tile_genome,
+        "upstream_flank": q_upstream_flank,
+        "join_first": q_join_first,
+        "join_contained": q_join_contained,
+        "overlap_slack": q_overlap_slack,
+        "dedup_exact": q_dedup_exact,
+        "extend_group": q_extend_group,
+        "window_sliding": q_window_sliding,
         "max_disjoint": q_max_disjoint,      # rows-only (greedy scan, not SQL-expressible)
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
@@ -1106,6 +1199,139 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(((n * sxy - sx * sy)
                         / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) * 1e6) AS BIGINT) AS spearman_micro
             FROM s
+        """,
+        "three_end": f"""
+            {_AB},
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY Chromosome, Score, Strand
+                         ORDER BY CASE WHEN Strand = '-' THEN -Start ELSE Start END DESC,
+                                  CASE WHEN Strand = '-' THEN -"End" ELSE "End" END DESC,
+                                  row_id DESC) AS rn
+              FROM a
+            )
+            SELECT row_id, Chromosome,
+                   CASE WHEN Strand = '-' THEN Start ELSE "End" - 1 END AS Start,
+                   CASE WHEN Strand = '-' THEN Start + 1 ELSE "End" END AS "End",
+                   Strand, Score
+            FROM ranked WHERE rn = 1
+        """,
+        "slice_10_60": f"""
+            {_AB},
+            cumq AS (
+              SELECT row_id, Chromosome, Start, "End", Strand, Score,
+                     SUM("End" - Start) OVER w - ("End" - Start) AS cs,
+                     SUM("End" - Start) OVER w AS ce,
+                     SUM("End" - Start) OVER (PARTITION BY Chromosome, Score) AS tot
+              FROM a
+              WINDOW w AS (PARTITION BY Chromosome, Score
+                           ORDER BY CASE WHEN Strand = '-' THEN -Start ELSE Start END,
+                                    CASE WHEN Strand = '-' THEN -"End" ELSE "End" END,
+                                    row_id
+                           ROWS UNBOUNDED PRECEDING)
+            ),
+            clip AS (
+              SELECT *, GREATEST(cs, 10) AS lo, LEAST(ce, LEAST(60, tot)) AS hi FROM cumq
+            )
+            SELECT row_id, Chromosome,
+                   CASE WHEN Strand = '-' THEN "End" - (hi - cs) ELSE Start + (lo - cs) END AS Start,
+                   CASE WHEN Strand = '-' THEN "End" - (lo - cs) ELSE Start + (hi - cs) END AS "End",
+                   Strand, Score
+            FROM clip WHERE lo < hi
+        """,
+        "calc_frame": f"""
+            {_AB}
+            SELECT row_id,
+                   CAST((SUM("End" - Start) OVER w - ("End" - Start)) % 3 AS BIGINT) AS Frame
+            FROM a
+            WINDOW w AS (PARTITION BY Chromosome, Score
+                         ORDER BY CASE WHEN Strand = '-' THEN -Start ELSE Start END,
+                                  CASE WHEN Strand = '-' THEN -"End" ELSE "End" END,
+                                  row_id
+                         ROWS UNBOUNDED PRECEDING)
+        """,
+        "tile_genome": """
+            WITH sizes(Chromosome, sz) AS (
+              VALUES ('chr1', 400000), ('chr2', 300000), ('chr3', 200000),
+                     ('chr10', 100000), ('chrM', 50000)
+            )
+            SELECT Chromosome, t.tile * 1000 AS Start,
+                   LEAST(t.tile * 1000 + 1000, sz) AS "End"
+            FROM sizes, UNNEST(generate_series(0, CAST(CEIL(sz / 1000.0) AS BIGINT) - 1)) AS t(tile)
+        """,
+        "upstream_flank": f"""
+            {_AB},
+            fl AS (
+              SELECT row_id, Chromosome,
+                     GREATEST(CASE WHEN Strand = '-' THEN "End" + 10 ELSE Start - 60 END, 0) AS Start,
+                     GREATEST(CASE WHEN Strand = '-' THEN "End" + 60 ELSE Start - 10 END, 0) AS "End",
+                     Strand, Score
+              FROM a
+            )
+            SELECT * FROM fl WHERE Start < "End"
+        """,
+        "join_first": f"""
+            {_AB},
+            j AS (
+              SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score,
+                     b.Start AS Start_b, b."End" AS End_b,
+                     ROW_NUMBER() OVER (PARTITION BY a.row_id ORDER BY b.Start, b."End") AS rn
+              FROM a JOIN b ON a.Chromosome = b.Chromosome
+                           AND a.Start < b."End" AND b.Start < a."End"
+            )
+            SELECT row_id, Chromosome, Start, "End", Strand, Score, Start_b, End_b
+            FROM j WHERE rn = 1
+        """,
+        "join_contained": f"""
+            {_AB}
+            SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score,
+                   b.row_id AS row_id_b, b.Start AS Start_b, b."End" AS End_b,
+                   b.Strand AS Strand_b, b.Score AS Score_b
+            FROM a JOIN b ON a.Chromosome = b.Chromosome
+                         AND a.Start < b."End" AND b.Start < a."End"
+                         AND a.Start >= b.Start AND a."End" <= b."End"
+        """,
+        "overlap_slack": f"""
+            {_AB}
+            SELECT a.* FROM a
+            WHERE EXISTS (
+              SELECT 1 FROM b
+              WHERE a.Chromosome = b.Chromosome
+                AND a.Start - 10 < b."End" AND b.Start < a."End" + 10
+            )
+        """,
+        "dedup_exact": """
+            SELECT doc_id FROM (
+              SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "extend_group": f"""
+            {_AB}
+            SELECT row_id, Chromosome,
+                   CASE WHEN Start = MIN(Start) OVER g
+                        THEN GREATEST(Start - CASE WHEN Strand = '-' THEN 20 ELSE 100 END, 0)
+                        ELSE Start END AS Start,
+                   CASE WHEN "End" = MAX("End") OVER g
+                        THEN "End" + CASE WHEN Strand = '-' THEN 100 ELSE 20 END
+                        ELSE "End" END AS "End",
+                   Strand, Score
+            FROM a
+            WINDOW g AS (PARTITION BY Chromosome, Score, Strand)
+        """,
+        "window_sliding": """
+            -- FLOOR before the BIGINT cast: DuckDB's double->int cast ROUNDS,
+            -- which would shift sub-second timestamps across window boundaries.
+            WITH w AS (
+              SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 1800 * 1800 AS epoch_start, event_type, value
+              FROM events
+              UNION ALL
+              SELECT CAST(FLOOR(EPOCH(ts)) AS BIGINT) // 1800 * 1800 - 1800, event_type, value
+              FROM events
+            )
+            SELECT epoch_start, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM w GROUP BY 1, 2
         """,
         "coverage_ratio": f"""
             {_AB},

@@ -220,13 +220,13 @@ def downstream(
 
 
 def calculate_frame(
-    self: GenomicRanges, group_by, *, use_strand="auto", frame_col: str = "Frame"
+    self: GenomicRanges, group_by, *, use_strand="auto", frame_col: str = "Frame", tiebreak=None
 ) -> GenomicRanges:
     """Codon frame = cumulative length before each interval, mod 3, walking
     5'->3' per transcript (reference ext/orfs.py:42-129)."""
     keys = _group_keys(self, group_by)
     neg = _neg(self, use_strand)
-    w = _five_prime_window(keys, neg)
+    w = _five_prime_window(keys, neg, tiebreak)
     length = F.col(nm.END_COL) - F.col(nm.START_COL)
     cum_before = (
         F.sum(length).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - length
