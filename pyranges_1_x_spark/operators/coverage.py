@@ -34,6 +34,8 @@ def to_coverage(
     normalizes by 1e6/row-count (reference methods/to_rle.py:59-61);
     ``drop_zero`` removes zero-depth runs between islands.
     """
+    from pyranges_1_x_spark.plans.sweep import prefix_sweep
+
     keys = self.group_keys(use_strand)
     val = F.col(value_col).cast("double") if value_col else F.lit(1).cast("long")
     d = self.df
@@ -42,15 +44,10 @@ def to_coverage(
     deltas = starts.unionByName(ends).groupBy(*keys, "__pos__").agg(
         F.sum("__delta__").alias("__delta__")
     )
-    w = Window.partitionBy(*keys).orderBy(F.col("__pos__").asc())
-    runs = (
-        deltas.withColumn(
-            "__cum__",
-            F.sum("__delta__").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
-        .withColumn("__next__", F.lead("__pos__").over(w))
-        .filter(F.col("__next__").isNotNull())
-    )
+    runs = prefix_sweep(
+        deltas, keys, "__pos__", ["__delta__"], ["__cum__"],
+        bucket_width=self.resolve_bin(None) * 16,
+    ).filter(F.col("__next__").isNotNull())
     value = F.col("__cum__")
     if rpm:
         n = d.count()
@@ -97,14 +94,12 @@ def coverage_ratio(
     deltas = starts.unionByName(ends).groupBy(*keys, "__pos__").agg(
         F.sum("__dv__").alias("__dv__"), F.sum("__dc__").alias("__dc__")
     )
-    w = Window.partitionBy(*keys).orderBy(F.col("__pos__").asc())
-    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    runs = (
-        deltas.withColumn("__cv__", F.sum("__dv__").over(wc))
-        .withColumn("__cc__", F.sum("__dc__").over(wc))
-        .withColumn("__next__", F.lead("__pos__").over(w))
-        .filter(F.col("__next__").isNotNull())
-    )
+    from pyranges_1_x_spark.plans.sweep import prefix_sweep
+
+    runs = prefix_sweep(
+        deltas, keys, "__pos__", ["__dv__", "__dc__"], ["__cv__", "__cc__"],
+        bucket_width=self.resolve_bin(None) * 16,
+    ).filter(F.col("__next__").isNotNull())
     raw = F.col("__cv__") / F.col("__cc__")
     ratio = F.when(F.col("__cc__") > 0, F.log2(raw) if log2 else raw)
     runs = runs.select(

@@ -62,19 +62,17 @@ def count_overlaps_matrix(
                     ],
                 )
             )
+    from pyranges_1_x_spark.plans.sweep import prefix_sweep
+
     ev = evs[0]
     for e in evs[1:]:
         ev = ev.unionByName(e)
     agg = ev.groupBy(*keys, "__pos__").agg(
         *[F.sum(f"__d{j}__").alias(f"__d{j}__") for j in range(n)]
     )
-    worder = Window.partitionBy(*keys).orderBy(F.col("__pos__").asc())
-    wcum = worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = agg.select(
-        *keys,
-        "__pos__",
-        F.lead("__pos__").over(worder).alias("__np__"),
-        *[F.sum(F.col(f"__d{j}__")).over(wcum).alias(items[j][0]) for j in range(n)],
+    cum = prefix_sweep(
+        agg, keys, "__pos__", [f"__d{j}__" for j in range(n)], [name for name, _ in items],
+        bucket_width=(bin_size or nm.DEFAULT_BIN_SIZE) * 16, next_col="__np__",
     )
     out = cum.filter(F.col("__np__").isNotNull()).select(
         *keys,

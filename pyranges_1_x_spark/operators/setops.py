@@ -202,30 +202,28 @@ def split_overlaps(
     keeps the segments in gaps too (reference methods/split.py:12-37: concat
     starts+ends, sort, dedupe, zip adjacent — here: union, distinct, lead)."""
     keys = self.group_keys(use_strand, match_by)
-    bin_size = self.resolve_bin(bin_size)
     base = self.df.select(*keys, nm.START_COL, nm.END_COL)
-    points = (
-        base.select(*keys, F.col(nm.START_COL).alias("__p__"))
-        .unionByName(base.select(*keys, F.col(nm.END_COL).alias("__p__")))
-        .distinct()
+    # Event sweep: at each distinct boundary point, the running (+starts
+    # -ends) depth tells whether the following segment is inside >= 1 input
+    # interval — so "covered" needs no join at all, just the same window that
+    # forms the segments. Zero-length inputs contribute +1-1 at one point
+    # (depth unchanged), correctly splitting without covering.
+    from pyranges_1_x_spark.plans.sweep import prefix_sweep
+
+    starts = base.select(*keys, F.col(nm.START_COL).alias("__p__"), F.lit(1).alias("__d__"))
+    ends = base.select(*keys, F.col(nm.END_COL).alias("__p__"), F.lit(-1).alias("__d__"))
+    deltas = starts.unionByName(ends).groupBy(*keys, "__p__").agg(
+        F.sum("__d__").alias("__d__")
     )
-    w = Window.partitionBy(*keys).orderBy(F.col("__p__").asc())
     segs = (
-        points.withColumn("__np__", F.lead("__p__").over(w))
-        .filter(F.col("__np__").isNotNull())
-        .select(
-            *keys, F.col("__p__").alias(nm.START_COL), F.col("__np__").alias(nm.END_COL)
+        prefix_sweep(
+            deltas, keys, "__p__", ["__d__"], ["__depth__"],
+            bucket_width=self.resolve_bin(bin_size) * 16, next_col="__np__",
         )
+        .filter(F.col("__np__").isNotNull())
     )
-    if between:
-        return GenomicRanges(segs)
-    # keep only segments covered by >= 1 input interval: semi = inner + dedup
-    base_r, bkeys = rename_keys(
-        base.withColumnRenamed(nm.START_COL, "__bs2__").withColumnRenamed(nm.END_COL, "__be2__"),
-        keys,
+    if not between:
+        segs = segs.filter(F.col("__depth__") > 0)
+    return GenomicRanges(
+        segs.select(*keys, F.col("__p__").alias(nm.START_COL), F.col("__np__").alias(nm.END_COL))
     )
-    covered = binned_join(
-        segs, base_r, keys=keys, right_keys=bkeys, how="inner", bin_size=bin_size,
-        rstart="__bs2__", rend="__be2__",
-    ).dropDuplicates([_LID])
-    return GenomicRanges(covered.select(*keys, nm.START_COL, nm.END_COL))

@@ -281,14 +281,24 @@ def interval_join(
     )
 
     if multiple != OVERLAP_ALL:
+        # Reduce to one match per left row with a min_by/max_by hash aggregate
+        # (partial-aggregatable) instead of sorting the pair relation under a
+        # row_number window. Anti rows (null _LID) pass through untouched.
+        matched_rows = out.filter(F.col("__matched__"))
+        payload = F.struct(*[F.col(c) for c in out.columns])
         if multiple == OVERLAP_FIRST:
-            order = [F.col(rstart).asc_nulls_last(), F.col(rend).asc_nulls_last()]
-        else:  # OVERLAP_LAST: biggest End wins
-            order = [F.col(rend).desc_nulls_last(), F.col(rstart).desc_nulls_last()]
-        w = Window.partitionBy(_LID).orderBy(*order)
-        out = out.withColumn("__rn__", F.row_number().over(w)).filter(
-            F.col(_LID).isNull() | (F.col("__rn__") == 1)
-        ).drop("__rn__")
+            red = matched_rows.groupBy(_LID).agg(
+                F.min_by(payload, F.struct(F.col(rstart), F.col(rend))).alias("__p__")
+            )
+        else:  # OVERLAP_LAST: biggest End wins (reference range_frame.py:558-562)
+            red = matched_rows.groupBy(_LID).agg(
+                F.max_by(payload, F.struct(F.col(rend), F.col(rstart))).alias("__p__")
+            )
+        reduced = red.select("__p__.*")
+        if how == "inner":
+            out = reduced
+        else:
+            out = reduced.unionByName(out.filter(~F.col("__matched__")))
 
     if report_overlap_column is not None:
         out = out.withColumn(
