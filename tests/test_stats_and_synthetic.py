@@ -108,3 +108,15 @@ chr2 30 40 -"""
     e = empty(spark, strand=True)
     assert e.df.columns == ["Chromosome", "Start", "End", "Strand"]
     assert e.df.count() == 0
+
+
+def test_example_data(spark):
+    from pyranges_1_x_spark.sources import example_data as ed
+
+    assert ed.f1(spark).df.count() == 3
+    assert ed.f2(spark).df.count() == 2
+    cs = ed.chromsizes(spark).df.toPandas()
+    assert len(cs) == 25 and (cs.Start == 0).all()
+    # random() accepts the dict form directly
+    g = random(spark, n=50, length=10, chromsizes=ed.chromsizes_dict(), seed=7)
+    assert g.df.count() == 50
