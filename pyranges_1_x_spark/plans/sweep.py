@@ -18,6 +18,13 @@ position. Empty buckets are skipped naturally (bucket ids come from the data).
 
 Consumers: coverage, coverage_ratio, split, count_overlaps_matrix — every
 event-point operator in the engine.
+
+Known trade-off (visible in .explain): the pre-aggregated delta subtree is
+evaluated twice — once under the bucket-local windows, once under the bucket
+summary. Deliberate: the subtree is a pruned scan + map-side-combined hash
+agg (the cheap part of the plan), and forcing reuse would need a persist(),
+trading a recompute for a full materialization — the wrong trade at 100 TB.
+Callers that already pay for a cache can pass a cached `deltas`.
 """
 
 from __future__ import annotations
