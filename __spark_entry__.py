@@ -1075,10 +1075,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             loc AS ({_LOCAL_SQL.replace('Score AS Chromosome', 'Score AS tx').replace('AS Start', 'AS ls').replace('AS "End"', 'AS le')})
             SELECT l.row_id, e.gchrom AS Chromosome,
-                   CASE WHEN e.gstrand = '-' THEN e.ge - (LEAST(l.le, e.ce) - e.cs)
-                        ELSE e.gs + (GREATEST(l.ls, e.cs) - e.cs) END AS Start,
-                   CASE WHEN e.gstrand = '-' THEN e.ge - (GREATEST(l.ls, e.cs) - e.cs)
-                        ELSE e.gs + (LEAST(l.le, e.ce) - e.cs) END AS "End",
+                   CAST(CASE WHEN e.gstrand = '-' THEN e.ge - (LEAST(l.le, e.ce) - e.cs)
+                        ELSE e.gs + (GREATEST(l.ls, e.cs) - e.cs) END AS BIGINT) AS Start,
+                   CAST(CASE WHEN e.gstrand = '-' THEN e.ge - (GREATEST(l.ls, e.cs) - e.cs)
+                        ELSE e.gs + (LEAST(l.le, e.ce) - e.cs) END AS BIGINT) AS "End",
                    CASE WHEN l.Strand = e.gstrand THEN '+' ELSE '-' END AS Strand
             FROM loc l JOIN excum e ON l.tx = e.tx
                  AND GREATEST(l.ls, e.cs) < LEAST(l.le, e.ce)
@@ -1096,10 +1096,10 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING)
             )
             SELECT a.row_id, r.tx AS Chromosome,
-                   CASE WHEN r.rstrand = '-' THEN r.re - LEAST(a."End", r.re) + r.cs
-                        ELSE GREATEST(a.Start, r.rs) - r.rs + r.cs END AS Start,
-                   CASE WHEN r.rstrand = '-' THEN r.re - GREATEST(a.Start, r.rs) + r.cs
-                        ELSE LEAST(a."End", r.re) - r.rs + r.cs END AS "End",
+                   CAST(CASE WHEN r.rstrand = '-' THEN r.re - LEAST(a."End", r.re) + r.cs
+                        ELSE GREATEST(a.Start, r.rs) - r.rs + r.cs END AS BIGINT) AS Start,
+                   CAST(CASE WHEN r.rstrand = '-' THEN r.re - GREATEST(a.Start, r.rs) + r.cs
+                        ELSE LEAST(a."End", r.re) - r.rs + r.cs END AS BIGINT) AS "End",
                    CASE WHEN a.Strand = r.rstrand THEN '+' ELSE '-' END AS Strand,
                    a.Score
             FROM a JOIN refcum r ON a.Chromosome = r.Chromosome
@@ -1233,8 +1233,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, GREATEST(cs, 10) AS lo, LEAST(ce, LEAST(60, tot)) AS hi FROM cumq
             )
             SELECT row_id, Chromosome,
-                   CASE WHEN Strand = '-' THEN "End" - (hi - cs) ELSE Start + (lo - cs) END AS Start,
-                   CASE WHEN Strand = '-' THEN "End" - (lo - cs) ELSE Start + (hi - cs) END AS "End",
+                   CAST(CASE WHEN Strand = '-' THEN "End" - (hi - cs) ELSE Start + (lo - cs) END AS BIGINT) AS Start,
+                   CAST(CASE WHEN Strand = '-' THEN "End" - (lo - cs) ELSE Start + (hi - cs) END AS BIGINT) AS "End",
                    Strand, Score
             FROM clip WHERE lo < hi
         """,

@@ -16,11 +16,27 @@ import pandas as pd
 sys.path.insert(0, ".")
 
 
+def _cell_repr(v) -> str:
+    """Canonical per-cell string, dtype-faithful: 123 (int) != 123.0 (float),
+    matching the driver's exact value-hash (CORRECTNESS_r01 proved its hash
+    distinguishes DuckDB DOUBLE from Spark BIGINT even when values are equal)."""
+    if v is None or v != v:  # None or NaN
+        return "\x00null"
+    if isinstance(v, float):
+        return repr(v)  # keeps the ".0" — a float 123.0 must NOT equal int 123
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_cell_repr(x) for x in v) + "]"
+    return str(v)
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sorted-columns, sorted-rows frame of canonical cell strings.
+
+    Exact and dtype-sensitive at the value level — strictly as strong as the
+    driver's value-hash gate (no rtol, no check_dtype=False laxity)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        df[c] = [_cell_repr(v) for v in df[c].tolist()]
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
@@ -78,7 +94,7 @@ def main() -> int:
             continue
         g, e = normalize(got), normalize(exp)
         try:
-            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False, rtol=1e-9)
+            pd.testing.assert_frame_equal(g, e, check_exact=True)
             print(f"PASS {name}: rows={len(got)} [spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]")
         except AssertionError as ex:
             print(f"FAIL {name}: values differ: {str(ex)[:400]}")
