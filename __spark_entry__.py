@@ -122,15 +122,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # ----------------------------------------------------------------------------
 
 def q_overlap_semi(spark, sf_dir):
-    """Semi-join, plain + slack=10 variants union-tagged (one driver slot)."""
-    from pyspark.sql import functions as F
-
     a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
-    plain = a.overlap(b, strand_behavior="ignore").df.withColumn("variant", F.lit("plain"))
-    slack = a.overlap(b, strand_behavior="ignore", slack=10).df.withColumn(
-        "variant", F.lit("slack")
-    )
-    return plain.unionByName(slack)
+    return a.overlap(b, strand_behavior="ignore").df
 
 
 def q_overlap_anti(spark, sf_dir):
@@ -261,13 +254,18 @@ def q_doc_signature_dedup(spark, sf_dir):
     return signature_duplicates(spark.table("documents"))
 
 
-def q_doc_text(spark, sf_dir):
-    """Text quality stats + language-ID on one row per doc (one driver slot)."""
-    from pyranges_1_x_spark.ml.text import language_id, quality_stats
+def q_doc_quality(spark, sf_dir):
+    from pyranges_1_x_spark.ml.text import quality_stats
 
     _load(spark, sf_dir, ["documents"])
-    docs = spark.table("documents")
-    return quality_stats(docs).join(language_id(docs), "doc_id")
+    return quality_stats(spark.table("documents"))
+
+
+def q_doc_langid(spark, sf_dir):
+    from pyranges_1_x_spark.ml.text import language_id
+
+    _load(spark, sf_dir, ["documents"])
+    return language_id(spark.table("documents"))
 
 
 def q_ann_topk(spark, sf_dir):
@@ -307,30 +305,19 @@ def q_split(spark, sf_dir):
     return a.split_overlaps(use_strand=False).df
 
 
-def q_set_ops(spark, sf_dir):
-    """set_union + set_intersect union-tagged (one driver slot)."""
-    from pyspark.sql import functions as F
-
+def q_set_union(spark, sf_dir):
     a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
-    u = a.set_union_overlaps(b, strand_behavior="ignore").df.withColumn("op", F.lit("union"))
-    i = a.set_intersect_overlaps(b, strand_behavior="ignore").df.withColumn(
-        "op", F.lit("intersect")
-    )
-    return u.unionByName(i)
+    return a.set_union_overlaps(b, strand_behavior="ignore").df
+
+
+def q_set_intersect(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.set_intersect_overlaps(b, strand_behavior="ignore").df
 
 
 def q_extend(spark, sf_dir):
-    """extend_ranges, per-interval + group-outermost variants union-tagged."""
-    from pyspark.sql import functions as F
-
     a = _gr_a(spark, sf_dir)
-    simple = a.extend_ranges(ext_5=5, ext_3=10, use_strand=True).df.withColumn(
-        "variant", F.lit("simple")
-    )
-    grouped = a.extend_ranges(ext_5=100, ext_3=20, group_by=["Score", "Strand"]).df.withColumn(
-        "variant", F.lit("grouped")
-    )
-    return simple.unionByName(grouped)
+    return a.extend_ranges(ext_5=5, ext_3=10, use_strand=True).df
 
 
 def q_window_ranges(spark, sf_dir):
@@ -358,18 +345,9 @@ def q_group_cumsum(spark, sf_dir):
     return out.df.select("row_id", "local_start", "local_end")
 
 
-def q_end_points(spark, sf_dir):
-    """five_end + three_end union-tagged (one driver slot)."""
-    from pyspark.sql import functions as F
-
+def q_five_end(spark, sf_dir):
     a = _gr_a(spark, sf_dir)
-    five = a.five_end(group_by=["Score", "Strand"], tiebreak=["row_id"]).df.withColumn(
-        "which", F.lit("five")
-    )
-    three = a.three_end(group_by=["Score", "Strand"], tiebreak=["row_id"]).df.withColumn(
-        "which", F.lit("three")
-    )
-    return five.unionByName(three)
+    return a.five_end(group_by=["Score", "Strand"], tiebreak=["row_id"]).df
 
 
 def q_token_jaccard(spark, sf_dir):
@@ -408,14 +386,8 @@ def q_sessions(spark, sf_dir):
 
 
 def q_max_disjoint(spark, sf_dir):
-    """Greedy maximal disjoint subset on a 1/10 sample (bounds the oracle's
-    recursive-CTE cost); coordinates-only projection makes the result
-    independent of which of two (Start,End)-tied rows the greedy keeps."""
-    from pyranges_1_x_spark.core import GenomicRanges
-
     a = _gr_a(spark, sf_dir)
-    a_s = GenomicRanges(a.df.filter("row_id % 10 = 1"), bin_size=1000)
-    return a_s.max_disjoint_overlaps(use_strand=False).df.select("Chromosome", "Start", "End")
+    return a.max_disjoint_overlaps(use_strand=False).df
 
 
 def q_count_matrix(spark, sf_dir):
@@ -519,6 +491,11 @@ def q_spearman_rows(spark, sf_dir):
     )
 
 
+def q_three_end(spark, sf_dir):
+    a = _gr_a(spark, sf_dir)
+    return a.three_end(group_by=["Score", "Strand"], tiebreak=["row_id"]).df
+
+
 def q_slice_10_60(spark, sf_dir):
     a = _gr_a(spark, sf_dir)
     return a.slice_ranges(10, 60, group_by="Score", tiebreak=["row_id"]).df
@@ -536,38 +513,27 @@ def q_tile_genome(spark, sf_dir):
     return tile_genome(sizes, 1000).df
 
 
-def q_flanks(spark, sf_dir):
-    """upstream + downstream flanks union-tagged. Pins the documented
-    '-'-strand genomic flip (ours flips direction for '-' rows; the reference
-    applies the literal direction to both strand halves — see README
-    compatibility notes and operators/nearest.py:211 discussion)."""
-    from pyspark.sql import functions as F
-
+def q_upstream_flank(spark, sf_dir):
     a = _gr_a(spark, sf_dir)
-    up = a.upstream(50, gap=10).df.withColumn("direction", F.lit("up"))
-    down = a.downstream(50, gap=10).df.withColumn("direction", F.lit("down"))
-    return up.unionByName(down)
+    return a.upstream(50, gap=10).df
 
 
-def q_join_variants(spark, sf_dir):
-    """join_overlaps multiple='first' + contained_intervals_only union-tagged.
-    Coordinate-only projection of the match keeps equal-coordinate first-ties
-    hash-stable."""
-    from pyspark.sql import functions as F
-
+def q_join_first(spark, sf_dir):
     a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
-    cols = ["row_id", "Chromosome", "Start", "End", "Strand", "Score", "Start_b", "End_b"]
-    first = (
-        a.join_overlaps(b, strand_behavior="ignore", multiple="first")
-        .df.select(*cols)
-        .withColumn("variant", F.lit("first"))
-    )
-    contained = (
-        a.join_overlaps(b, strand_behavior="ignore", contained_intervals_only=True)
-        .df.select(*cols)
-        .withColumn("variant", F.lit("contained"))
-    )
-    return first.unionByName(contained)
+    out = a.join_overlaps(b, strand_behavior="ignore", multiple="first").df
+    # only coordinate columns of the match: equal-coordinate ties then hash equal
+    return out.select("row_id", "Chromosome", "Start", "End", "Strand", "Score",
+                      "Start_b", "End_b")
+
+
+def q_join_contained(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.join_overlaps(b, strand_behavior="ignore", contained_intervals_only=True).df
+
+
+def q_overlap_slack(spark, sf_dir):
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return a.overlap(b, strand_behavior="ignore", slack=10).df
 
 
 def q_dedup_exact(spark, sf_dir):

@@ -20,12 +20,12 @@ def _cell_repr(v) -> str:
     """Canonical per-cell string, dtype-faithful: 123 (int) != 123.0 (float),
     matching the driver's exact value-hash (CORRECTNESS_r01 proved its hash
     distinguishes DuckDB DOUBLE from Spark BIGINT even when values are equal)."""
-    if v is None or v != v:  # None or NaN
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(_cell_repr(x) for x in v) + "]"
+    if v is None or v != v:  # None or NaN (scalar-only test; arrays handled above)
         return "\x00null"
     if isinstance(v, float):
         return repr(v)  # keeps the ".0" — a float 123.0 must NOT equal int 123
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return "[" + ",".join(_cell_repr(x) for x in v) + "]"
     return str(v)
 
 
