@@ -57,10 +57,17 @@ def _any_match(
         rend="__re__",
         keep_unmatched_bins=True,
     )
+    # One matched-first row_number window over the raw join, slim-keyed by the
+    # row id: the rank-1 copy of each self row is matched iff ANY copy matched,
+    # so it doubles as the per-row any-flag — no aggregate carrying the
+    # (arbitrary-width) row payload, no whole-row shuffle key.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(_LID).orderBy(F.col("__matched__").desc())
     return (
-        joined.groupBy(*self.df.columns, _LID)
-        .agg(F.max("__matched__").alias("__any__"))
-        .drop(_LID)
+        joined.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(*self.df.columns, F.col("__matched__").alias("__any__"))
     )
 
 
@@ -197,9 +204,16 @@ def count_overlaps(
         rend="__re__",
         keep_unmatched_bins=True,  # the groupBy below collapses them: one shuffle saved
     )
+    payload = F.struct(*[F.col(c) for c in self.df.columns])
     out = (
-        joined.groupBy(*self.df.columns, _LID)
-        .agg(F.sum(F.when(F.col("__matched__"), 1).otherwise(0)).alias(count_col))
-        .drop(_LID)
+        joined.groupBy(_LID)  # slim key; payload rides in any_value(struct)
+        .agg(
+            F.any_value(payload).alias("__p__"),
+            F.sum(F.when(F.col("__matched__"), 1).otherwise(0)).alias(count_col),
+        )
+        .select(
+            *[F.col("__p__").getField(c).alias(c) for c in self.df.columns],
+            F.col(count_col),
+        )
     )
     return GenomicRanges(out)

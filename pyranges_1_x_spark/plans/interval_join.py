@@ -30,10 +30,11 @@ Single-branch discipline (correctness posture)
 ``monotonically_increasing_id`` is nondeterministic across separate evaluations
 of the same subtree, so NOTHING here ever joins an id produced in one plan
 branch against the same id produced in another (the classic self-join id bug).
-Left/outer variants are computed in ONE pass: a (left/full) outer binned join
-plus per-row-id windows over *that same relation* decide which null-padded rows
-survive. Row ids are therefore only ever compared within a single evaluation,
-where they are consistent by construction.
+Left/outer variants are computed from ONE join: a (left/full) outer binned join
+whose matched pairs filter straight out, while per-row-id hash aggregates over
+*that same relation* decide which null-padded rows survive. Row ids are
+therefore only ever grouped within a single evaluation, where they are
+consistent by construction, and never compared across plan branches.
 
 All arithmetic is integer-exact (no float floor-division) so it is safe for
 arbitrary 64-bit coordinates.
@@ -63,9 +64,13 @@ _LID, _RID = "__ij_lid__", "__ij_rid__"
 
 
 def floordiv(c: Column, w: int) -> Column:
-    """Exact integer floor-division of a LongType column (handles negatives)."""
+    """Exact integer floor-division of a LongType column (handles negatives).
+
+    ``c - pmod(c, w)`` is the floored multiple of ``w``; dividing that exact
+    multiple with integral ``div`` stays in 64-bit integer arithmetic the whole
+    way (a float division would silently lose precision above 2**53)."""
     c = c.cast("long")
-    return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
+    return F.call_function("div", c - F.pmod(c, F.lit(w)), F.lit(w).cast("long"))
 
 
 def _explode_bins(df: DataFrame, start: str, end: str, bin_size: int, bin_col: str) -> DataFrame:
@@ -161,9 +166,7 @@ def binned_join(
         cond = cond & (ls >= rs) & (le <= re_)
     # Emit-once: the pair qualifies only in the bin of max(widened-left-start, right-start).
     first_common = F.greatest(ws, rs)
-    cond = cond & (
-        F.col(_LBIN) == ((first_common - F.pmod(first_common, F.lit(bin_size))) / F.lit(bin_size)).cast("long")
-    )
+    cond = cond & (F.col(_LBIN) == floordiv(first_common, bin_size))
 
     if keep_unmatched_bins:
         if how != "left":
@@ -179,54 +182,65 @@ def binned_join(
     right_vals = [f for f in right.schema.fields if f.name not in right_keys]
     out_names = left.columns + [f.name for f in right_vals] + [_LID, _RID, "__matched__"]
 
-    matched = (
-        lb.join(rb, cond, "inner")
-        .withColumn("__matched__", F.lit(True))
-        .select(*out_names)
-    )
     if how == "inner":
-        return matched
-
-    # Outer variants: UNION the inner pairs with separately-computed anti rows
-    # (raw left join -> per-row any-match aggregate -> null-pad). Each branch
-    # evaluates its own monotonically_increasing_id, but the anti branches
-    # null their ids, so ids are never compared across evaluations — and no
-    # window over the (potentially huge) pair relation is ever needed.
-    parts = [matched]
-    null_l = F.lit(None).cast("long")
-    if how in ("left", "outer"):
-        lflags = (
-            lb.join(rb, cond, "left")
-            .groupBy(*left.columns, _LID)
-            .agg(F.max(F.col(_RID).isNotNull()).alias("__any__"))
+        return (
+            lb.join(rb, cond, "inner").withColumn("__matched__", F.lit(True)).select(*out_names)
         )
-        anti_l = lflags.filter(~F.col("__any__")).select(
+
+    # Outer variants, single-join discipline. how='left'/'right' run the binned
+    # join ONCE and decide the null-padded survivors with one row_number window
+    # over that same relation, partitioned by the outer side's row id and
+    # ordered matched-first: if a row has any match, its rank-1 copy IS a
+    # matched copy, so `__matched__ OR rn = 1` keeps exactly the pairs plus one
+    # representative bin-copy per matchless row. No second join execution, no
+    # aggregate carrying the row payload. Ids are only ever window-partitioned
+    # within the single evaluation; anti rows null their ids on the way out.
+    null_id = F.lit(None).cast("long")
+
+    def _one_pass(joined: DataFrame, outer_id: str) -> DataFrame:
+        joined = joined.withColumn(
+            "__matched__", F.col(_LID).isNotNull() & F.col(_RID).isNotNull()
+        )
+        w = Window.partitionBy(outer_id).orderBy(F.col("__matched__").desc())
+        kept = (
+            joined.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__matched__") | (F.col("__rn__") == 1))
+        )
+        # Null-pad the matchless side's columns and ids (left join already
+        # nulled the inner side's columns; only the ids need masking).
+        return kept.select(
             *left.columns,
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in right_vals],
-            null_l.alias(_LID),
-            null_l.alias(_RID),
-            F.lit(False).alias("__matched__"),
-        )
-        parts.append(anti_l)
-    if how in ("right", "outer"):
-        rflags = (
-            rb.join(lb, cond, "left")
-            .groupBy(*[c for c in right.columns], _RID)
-            .agg(F.max(F.col(_LID).isNotNull()).alias("__any__"))
-        )
-        anti_r = rflags.filter(~F.col("__any__")).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
             *[f.name for f in right_vals],
-            null_l.alias(_LID),
-            null_l.alias(_RID),
+            F.when(F.col("__matched__"), F.col(_LID)).alias(_LID),
+            F.when(F.col("__matched__"), F.col(_RID)).alias(_RID),
+            F.col("__matched__"),
+        )
+
+    if how == "left":
+        return _one_pass(lb.join(rb, cond, "left"), _LID)
+    if how == "right":
+        return _one_pass(rb.join(lb, cond, "left"), _RID)
+
+    # how='outer': the left one-pass covers pairs + left-anti; right-anti rows
+    # come from a second, flipped pass (a full-outer window would funnel every
+    # right-only row into one null-id window partition — a skew trap at scale).
+    left_part = _one_pass(lb.join(rb, cond, "left"), _LID)
+    rpay = F.struct(*[F.col(f.name) for f in right_vals])
+    anti_r = (
+        rb.join(lb, cond, "left")
+        .withColumn("__matched__", F.col(_LID).isNotNull())
+        .groupBy(_RID)
+        .agg(F.any_value(rpay).alias("__rp__"), F.max("__matched__").alias("__any__"))
+        .filter(~F.col("__any__"))
+        .select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
+            *[F.col("__rp__").getField(f.name).alias(f.name) for f in right_vals],
+            null_id.alias(_LID),
+            null_id.alias(_RID),
             F.lit(False).alias("__matched__"),
         )
-        parts.append(anti_r)
-
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )
+    return left_part.unionByName(anti_r)
 
 
 def interval_join(

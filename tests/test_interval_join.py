@@ -128,3 +128,17 @@ def test_random_against_bruteforce(spark, bin_size, slack):
     }
     got_pairs = set(zip(got["idx"], got["idx_b"]))
     assert got_pairs == expected_pairs
+
+
+def test_floordiv_exact_beyond_double_precision(spark):
+    """floordiv must stay integer-exact above 2**53 (float division rounds there)."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.plans.interval_join import floordiv
+
+    w = 100_000
+    vals = [2**53 + 1, 2**53 + 3, 2**62 + 12345, -(2**53) - 7, -(2**62) - 1, 0, -1, w - 1, -w]
+    df = spark.createDataFrame([(v,) for v in vals], "c long")
+    got = {r["c"]: r["q"] for r in df.select("c", floordiv(F.col("c"), w).alias("q")).collect()}
+    for v in vals:
+        assert got[v] == v // w, f"floordiv({v}, {w}) = {got[v]} != {v // w}"
