@@ -351,21 +351,15 @@ def q_five_end(spark, sf_dir):
 
 
 def q_token_jaccard(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    from pyranges_1_x_spark.ml.dedup import ngram_jaccard_pairs
+    """All-pairs thresholded token-Jaccard via lossless prefix filtering — the
+    candidate join touches only each doc's rarest prefix tokens (no per-group
+    all-pairs self-join), yet the verified result equals the brute-force
+    thresholded join bit-for-bit, so the simple all-pairs oracle stays exact."""
+    from pyranges_1_x_spark.ml.dedup import jaccard_similarity_join
 
     _load(spark, sf_dir, ["documents"])
     docs = spark.table("documents")
-    pairs = (
-        docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
-        .join(
-            docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")),
-            (F.col("src_a") == F.col("src_b")) & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-    )
-    out = ngram_jaccard_pairs(pairs, docs, k=1, threshold=0.5)
+    out = jaccard_similarity_join(docs, k=1, threshold=0.5)
     return out.select("id_a", "id_b", "inter", "uni")
 
 
@@ -1353,14 +1347,16 @@ def oracle_sql() -> dict[str, str]:
             FROM cum WHERE next_pos IS NOT NULL
         """,
         "token_jaccard": """
+            -- Brute-force thresholded all-pairs: exact equivalent of the
+            -- Spark side's prefix-filtered join (prefix filtering is lossless).
             WITH toks AS (
-              SELECT doc_id, source, list_distinct(string_split(trim(text), ' ')) AS tk
+              SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk
               FROM documents
             )
             SELECT x.doc_id AS id_a, y.doc_id AS id_b,
                    CAST(len(list_intersect(x.tk, y.tk)) AS INTEGER) AS inter,
                    CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS INTEGER) AS uni
-            FROM toks x JOIN toks y ON x.source = y.source AND x.doc_id < y.doc_id
+            FROM toks x JOIN toks y ON x.doc_id < y.doc_id
             WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
                   / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) >= 0.5
         """,

@@ -147,6 +147,55 @@ def ngram_jaccard_pairs(
     return out
 
 
+def jaccard_similarity_join(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard self-join via frequency-ordered prefix filtering
+    (the AllPairs/PPJoin candidate scheme, Bayardo et al. WWW'07).
+
+    Two shingle sets with ``J >= t`` must share a token among the first
+    ``|S| - ceil(t*|S|) + 1`` tokens of each set under any common total order;
+    ordering tokens by ascending global frequency (ties by token) makes those
+    prefix tokens the RAREST ones, so the candidate equi-join on prefix tokens
+    shuffles into small buckets — no per-group all-pairs blowup, no hot
+    stopword keys. The filter is lossless, so the verified output equals the
+    brute-force thresholded join exactly (unlike MinHash-LSH, which trades
+    recall for speed); use ``minhash_lsh_candidates`` when approximate recall
+    at even lower cost is acceptable.
+    """
+    sh = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
+    tok = sh.select("id", F.explode("sh").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f__"))
+    ordered = (
+        tok.join(freq, "token")
+        .withColumn(
+            "__rn__",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("__f__").asc(), F.col("token").asc())
+            ),
+        )
+        .withColumn("__sz__", F.count(F.lit(1)).over(Window.partitionBy("id")))
+    )
+    prefix = ordered.filter(
+        F.col("__rn__") <= F.col("__sz__") - F.ceil(F.lit(threshold) * F.col("__sz__")) + 1
+    ).select("id", "token")
+    cand = (
+        prefix.toDF("id_a", "token")
+        .join(
+            prefix.toDF("id_b", "token_b"),
+            (F.col("token") == F.col("token_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__n_shared_prefix__"))
+        .select("id_a", "id_b")
+    )
+    return ngram_jaccard_pairs(cand, docs, text_col, id_col, k, threshold)
+
+
 def simhash(text: Column, bits: int = 32) -> Column:
     """SimHash over whitespace tokens: per-bit majority vote of token hashes,
     expressed as a sum over bit positions (aggregate expressions; bits <= 62
