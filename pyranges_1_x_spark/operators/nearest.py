@@ -6,12 +6,15 @@ overlapping pairs have Distance 0; non-overlapping (incl. touching) have
 ``gap + 1`` (touching => 1). Rows with no eligible neighbor are dropped.
 
 Physical strategy: for k=1 in each direction we avoid any join at all —
-union the two frames' boundary points into one stream per group, sort once,
-and a running min/max window computes each self row's nearest other-boundary
-(an "as-of join" — SURVEY.md §4.3.2). The matched other row's attributes are
-recovered with one equi-join on (keys, boundary). Overlap candidates (distance
-0) come from the shared binned interval join. This is O(n log n) per group and
-shuffles on the same keys as every other operator.
+union the two frames' boundary points into one stream per group and run the
+bucketed two-phase as-of sweep (plans/sweep.py:asof_extreme): running min/max
+is computed per (keys, position-bucket) and patched across buckets via a
+one-row-per-bucket summary relation, so parallelism scales with #buckets
+rather than #chromosomes (a plain per-chromosome window caps at ~25-way).
+The matched other row's attributes are recovered with one equi-join on
+(keys, boundary). Overlap candidates (distance 0) come from the shared
+binned interval join. The k>1 rank windows use the same bucketing
+(plans/sweep.py:bucketed_row_number).
 
 Because candidates come from SEVERAL plan branches that must be re-joined per
 input row, row identity uses the deterministic content-hash id
@@ -37,64 +40,54 @@ from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
 from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id
 from pyranges_1_x_spark.plans.interval_join import binned_join, rename_keys
+from pyranges_1_x_spark.plans.sweep import asof_extreme, bucketed_row_number
 
 _SID = STABLE_ID_COLS
 
 
-def _forward_candidates(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
-    """Per left row: smallest right Start >= left End (as-of sweep).
+def _forward_candidates(
+    left: DataFrame, right: DataFrame, keys: list[str], bucket_width: int
+) -> DataFrame:
+    """Per left row: smallest right Start >= left End (bucketed as-of sweep —
+    parallelism = #position buckets, not #chromosomes).
 
     Returns stable-id cols + __cand__ (that right Start; null if none).
+    Right points count at position ties (Start == End is touching => eligible).
     """
     l_pts = left.select(*keys, *_SID, F.col(nm.END_COL).alias("__pos__")).withColumn(
-        "__typ__", F.lit(0)
+        "__isd__", F.lit(False)
     )
-    r_pts = (
-        right.select(*keys, F.col(nm.START_COL).alias("__pos__"))
-        .withColumn("__typ__", F.lit(1))
+    r_pts = right.select(*keys, F.col(nm.START_COL).alias("__pos__")).withColumn(
+        "__isd__", F.lit(True)
     )
     for c in _SID:
         r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
-    allp = l_pts.unionByName(r_pts.select(*keys, *_SID, "__pos__", "__typ__"))
-    # Descending sweep: at each left End, the nearest right Start >= it is the
-    # min of right starts seen so far. Right points sort before left at ties
-    # (typ desc) because Start == End means touching => eligible.
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__pos__").desc(), F.col("__typ__").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allp = l_pts.unionByName(r_pts.select(*keys, *_SID, "__pos__", "__isd__"))
+    swept = asof_extreme(
+        allp, keys, "__pos__", F.col("__isd__"), "__pos__",
+        side="ge", agg="min", bucket_width=bucket_width, out_col="__cand__",
     )
-    cand = F.min(F.when(F.col("__typ__") == 1, F.col("__pos__"))).over(w)
-    return (
-        allp.withColumn("__cand__", cand)
-        .filter(F.col("__typ__") == 0)
-        .select(*_SID, "__cand__")
-    )
+    return swept.filter(~F.col("__isd__")).select(*_SID, "__cand__")
 
 
-def _backward_candidates(left: DataFrame, right: DataFrame, keys: list[str]) -> DataFrame:
-    """Per left row: largest right End <= left Start."""
+def _backward_candidates(
+    left: DataFrame, right: DataFrame, keys: list[str], bucket_width: int
+) -> DataFrame:
+    """Per left row: largest right End <= left Start (bucketed as-of sweep)."""
     l_pts = left.select(*keys, *_SID, F.col(nm.START_COL).alias("__pos__")).withColumn(
-        "__typ__", F.lit(1)
+        "__isd__", F.lit(False)
     )
-    r_pts = (
-        right.select(*keys, F.col(nm.END_COL).alias("__pos__"))
-        .withColumn("__typ__", F.lit(0))
+    r_pts = right.select(*keys, F.col(nm.END_COL).alias("__pos__")).withColumn(
+        "__isd__", F.lit(True)
     )
     for c in _SID:
         r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
-    allp = l_pts.unionByName(r_pts.select(*keys, *_SID, "__pos__", "__typ__"))
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(F.col("__pos__").asc(), F.col("__typ__").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    allp = l_pts.unionByName(r_pts.select(*keys, *_SID, "__pos__", "__isd__"))
+    swept = asof_extreme(
+        allp, keys, "__pos__", F.col("__isd__"), "__pos__",
+        side="le", agg="max", bucket_width=bucket_width, out_col="__cand__",
     )
-    cand = F.max(F.when(F.col("__typ__") == 0, F.col("__pos__"))).over(w)
-    return (
-        allp.withColumn("__cand__", cand)
-        .filter(F.col("__typ__") == 1)
-        .select(*_SID, "__cand__")
-    )
+    return swept.filter(~F.col("__isd__")).select(*_SID, "__cand__")
 
 
 def _overlap_ids(left: DataFrame, right: DataFrame, keys, bin_size: int) -> DataFrame:
@@ -139,7 +132,7 @@ def nearest_distance(
     cands = []
     if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
         fwd = (
-            _forward_candidates(left, right, keys)
+            _forward_candidates(left, right, keys, bin_size)
             .filter(F.col("__cand__").isNotNull())
             .join(coords, on=_SID)
             .select(*_SID, (F.col("__cand__") - F.col("__e__") + 1).alias("__dist__"))
@@ -147,7 +140,7 @@ def nearest_distance(
         cands.append(fwd)
     if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
         bwd = (
-            _backward_candidates(left, right, keys)
+            _backward_candidates(left, right, keys, bin_size)
             .filter(F.col("__cand__").isNotNull())
             .join(coords, on=_SID)
             .select(*_SID, (F.col("__s__") - F.col("__cand__") + 1).alias("__dist__"))
@@ -259,55 +252,58 @@ def nearest_ranges(
         )
 
     if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
-        wf = Window.partitionBy(*keys).orderBy(
-            F.col("__rs__").asc(), F.col("__re__").asc(), *[F.col(c).asc() for c in rsid]
+        # Global forward rank (grows with Start) via the bucketed two-phase
+        # row_number — no per-chromosome serial window.
+        r_fwd = bucketed_row_number(
+            rcoords, keys, "__rs__",
+            [F.col("__rs__").asc(), F.col("__re__").asc(), *[F.col(c).asc() for c in rsid]],
+            bucket_width=bin_size, out_col="__rr__",
         )
-        r_fwd = rcoords.withColumn("__rr__", F.row_number().over(wf).cast("long"))
         # sweep: per left End, the min forward rank (rank grows with Start,
         # so min rank among Start >= End is the as-of candidate)
         l_pts = left.select(
             *keys, *_SID, F.col(nm.END_COL).alias("__pos__"), F.col(nm.END_COL).alias("__le__")
-        ).withColumn("__typ__", F.lit(0)).withColumn("__rk__", F.lit(None).cast("long"))
+        ).withColumn("__isd__", F.lit(False)).withColumn("__rk__", F.lit(None).cast("long"))
         r_pts = r_fwd.select(
             *keys, F.col("__rs__").alias("__pos__"), F.col("__rr__").alias("__rk__")
-        ).withColumn("__typ__", F.lit(1)).withColumn("__le__", F.lit(None).cast("long"))
+        ).withColumn("__isd__", F.lit(True)).withColumn("__le__", F.lit(None).cast("long"))
         for c in _SID:
             r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
         allp = l_pts.unionByName(r_pts.select(*l_pts.columns))
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__pos__").desc(), F.col("__typ__").desc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
         r0 = (
-            allp.withColumn("__r0__", F.min(F.when(F.col("__typ__") == 1, F.col("__rk__"))).over(w))
-            .filter((F.col("__typ__") == 0) & F.col("__r0__").isNotNull())
+            asof_extreme(
+                allp, keys, "__pos__", F.col("__isd__"), "__rk__",
+                side="ge", agg="min", bucket_width=bin_size, out_col="__r0__",
+            )
+            .filter(~F.col("__isd__") & F.col("__r0__").isNotNull())
             .select(*keys, *_SID, "__le__", "__r0__")
         )
         fwd = _rank_explode(r_fwd, r0, F.col("__rs__") - F.col("__le__") + 1)
         cands.append(fwd)
     if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
-        wb = Window.partitionBy(*keys).orderBy(
-            F.col("__re__").desc(), F.col("__rs__").desc(), *[F.col(c).asc() for c in rsid]
+        # Global backward rank (grows as End decreases), bucketed likewise.
+        r_bwd = bucketed_row_number(
+            rcoords, keys, "__re__",
+            [F.col("__re__").desc(), F.col("__rs__").desc(), *[F.col(c).asc() for c in rsid]],
+            bucket_width=bin_size, descending=True, out_col="__rr__",
         )
-        r_bwd = rcoords.withColumn("__rr__", F.row_number().over(wb).cast("long"))
         l_pts = left.select(
             *keys, *_SID, F.col(nm.START_COL).alias("__pos__"), F.col(nm.START_COL).alias("__ls__")
-        ).withColumn("__typ__", F.lit(1)).withColumn("__rk__", F.lit(None).cast("long"))
+        ).withColumn("__isd__", F.lit(False)).withColumn("__rk__", F.lit(None).cast("long"))
         r_pts = r_bwd.select(
             *keys, F.col("__re__").alias("__pos__"), F.col("__rr__").alias("__rk__")
-        ).withColumn("__typ__", F.lit(0)).withColumn("__ls__", F.lit(None).cast("long"))
+        ).withColumn("__isd__", F.lit(True)).withColumn("__ls__", F.lit(None).cast("long"))
         for c in _SID:
             r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
         allp = l_pts.unionByName(r_pts.select(*l_pts.columns))
-        w = (
-            Window.partitionBy(*keys)
-            .orderBy(F.col("__pos__").asc(), F.col("__typ__").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
+        # Backward rank grows as End decreases, so the nearest eligible rank
+        # (largest End <= left Start) is the MIN rank among data at-or-before.
         r0 = (
-            allp.withColumn("__r0__", F.min(F.when(F.col("__typ__") == 0, F.col("__rk__"))).over(w))
-            .filter((F.col("__typ__") == 1) & F.col("__r0__").isNotNull())
+            asof_extreme(
+                allp, keys, "__pos__", F.col("__isd__"), "__rk__",
+                side="le", agg="min", bucket_width=bin_size, out_col="__r0__",
+            )
+            .filter(~F.col("__isd__") & F.col("__r0__").isNotNull())
             .select(*keys, *_SID, "__ls__", "__r0__")
         )
         bwd = _rank_explode(r_bwd, r0, F.col("__ls__") - F.col("__re__") + 1)

@@ -29,12 +29,12 @@ Callers that already pay for a cache can pass a cached `deltas`.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from pyranges_1_x_spark.plans.interval_join import floordiv
 
-__all__ = ["prefix_sweep"]
+__all__ = ["prefix_sweep", "asof_extreme", "bucketed_row_number"]
 
 
 def prefix_sweep(
@@ -90,4 +90,112 @@ def prefix_sweep(
             for i in range(len(delta_cols))
         ],
         F.coalesce(F.col("__llead__"), F.col("__nfirst__")).alias(next_col),
+    )
+
+
+def asof_extreme(
+    points: DataFrame,
+    keys: list[str],
+    pos_col: str,
+    data_flag: Column,
+    val_col: str,
+    *,
+    side: str,
+    agg: str,
+    bucket_width: int,
+    out_col: str,
+) -> DataFrame:
+    """Bucketed as-of sweep: running min/max of data-row values, two-phase.
+
+    For every row of ``points``: the ``agg`` ('min'/'max') of ``val_col`` over
+    data rows (``data_flag`` true) whose position is on this row's ``side`` —
+    ``'ge'``: at-or-after it; ``'le'``: at-or-before it. Data rows count at
+    position ties (touching is eligible — reference range_frame.py:451-537
+    distance convention).
+
+    Same scale posture as ``prefix_sweep``: min/max are associative, so the
+    sweep runs per (keys, bucket) — parallelism = #buckets, not #chromosomes —
+    and each bucket is patched with the extreme of the OTHER buckets on its
+    open side, prefix-scanned over the tiny one-row-per-bucket summary
+    relation. Position ties always share a bucket (same floor), so the
+    data-first tie rule stays a purely bucket-local concern.
+    """
+    if side not in ("ge", "le"):
+        raise ValueError(f"side must be 'ge' or 'le', got {side!r}")
+    if agg not in ("min", "max"):
+        raise ValueError(f"agg must be 'min' or 'max', got {agg!r}")
+    dval = F.when(data_flag, F.col(val_col))
+    d = points.withColumn("__bkt__", floordiv(F.col(pos_col), bucket_width)).withColumn(
+        "__dtf__", F.when(data_flag, 0).otherwise(1)
+    )
+    agg_fn = F.min if agg == "min" else F.max
+    combine = F.least if agg == "min" else F.greatest
+    if side == "ge":
+        order = [F.col(pos_col).desc(), F.col("__dtf__").asc()]
+        summary_order = F.col("__bkt__").desc()  # patch = extreme of LATER buckets
+    else:
+        order = [F.col(pos_col).asc(), F.col("__dtf__").asc()]
+        summary_order = F.col("__bkt__").asc()  # patch = extreme of EARLIER buckets
+
+    wl = (
+        Window.partitionBy(*keys, "__bkt__")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__loc__", agg_fn(dval).over(wl))
+
+    summary = d.groupBy(*keys, "__bkt__").agg(agg_fn(dval).alias("__tot__"))
+    ws = (
+        Window.partitionBy(*keys)
+        .orderBy(summary_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summary = summary.select(
+        *keys, "__bkt__", agg_fn("__tot__").over(ws).alias("__patch__")
+    )
+
+    out = local.join(summary, on=[*keys, "__bkt__"])
+    # least/greatest skip nulls, so a bucket with no local data rows (or no
+    # patch on its open side) degrades to the other operand; both-null => null.
+    return out.withColumn(out_col, combine(F.col("__loc__"), F.col("__patch__"))).drop(
+        "__bkt__", "__dtf__", "__loc__", "__patch__"
+    )
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    keys: list[str],
+    pos_col: str,
+    order: list[Column],
+    *,
+    bucket_width: int,
+    descending: bool = False,
+    out_col: str = "__rr__",
+) -> DataFrame:
+    """Global per-keys row_number whose ordering starts with ``pos_col``
+    (ascending, or descending with ``descending=True``), computed without a
+    per-keys serial window: rank = bucket-local row_number + the count of rows
+    in all preceding buckets (prefix-summed over the one-row-per-bucket
+    summary). ``order`` must be the FULL ordering including the position
+    column first — ties on position share a bucket, so the total order is
+    preserved exactly.
+    """
+    d = df.withColumn("__bkt__", floordiv(F.col(pos_col), bucket_width))
+    wl = Window.partitionBy(*keys, "__bkt__").orderBy(*order)
+    local = d.withColumn("__lrn__", F.row_number().over(wl).cast("long"))
+
+    summary = d.groupBy(*keys, "__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    ws = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__bkt__").desc() if descending else F.col("__bkt__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summary = summary.select(
+        *keys,
+        "__bkt__",
+        F.coalesce(F.sum("__cnt__").over(ws), F.lit(0)).alias("__off__"),
+    )
+    out = local.join(summary, on=[*keys, "__bkt__"])
+    return out.withColumn(out_col, F.col("__off__") + F.col("__lrn__")).drop(
+        "__bkt__", "__lrn__", "__off__"
     )
