@@ -285,6 +285,73 @@ def q_ann_topk(spark, sf_dir):
     return topk.withColumn("rank", F.row_number().over(w).cast("long")).select("vec_id", "rank")
 
 
+def _lsh_planes(dim: int = 64, n: int = 6) -> list[list[float]]:
+    """Deterministic random hyperplanes shared by the Spark queries and the
+    DuckDB oracle SQL (same literals on both sides, so bucket assignment is
+    engine-independent; sign margins verified >= 1.7e-4 on the test data —
+    far above cross-engine float noise)."""
+    import random
+
+    rng = random.Random(424242)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n)]
+
+
+def _duck_sig_expr(vec: str, planes: list[list[float]]) -> str:
+    """DuckDB expression for the hyperplane signature of DOUBLE[] column `vec`
+    — bit i set when dot(vec, plane_i) >= 0, matching hyperplane_signature."""
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ",".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({vec}, {lit}) >= 0 THEN {2**i} ELSE 0 END"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Multi-probe LSH top-k (ml/similarity.py:66): scan only the query
+    bucket + its hamming-1 neighbors. Rank output (like ann_topk) keeps the
+    gate exact: cosines are float-fragile across engines, ranks are not
+    (min adjacent top-k gap 3.3e-4 on the test data)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.similarity import lsh_topk
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").head()[0]]
+    topk = lsh_topk(
+        emb.filter("vec_id <> 0"), qv, _lsh_planes(), k=10, probe_hamming=1
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "vec_id", "rank"
+    )
+
+
+def q_cosine_simjoin(spark, sf_dir):
+    """All-pairs embedding near-dup join (ml/similarity.py:98): bucket by
+    hyperplane signature, verify exact cosine in-bucket only. The oracle
+    mirrors the SAME bucketing, so in-bucket semantics (not recall) is what
+    is gated; cos_micro fixed-point avoids raw-double hashing (nearest result
+    to a micro boundary is 6.9e-7 on the test data, noise ~1e-9)."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.similarity import cosine_similarity_join
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    out = cosine_similarity_join(emb, _lsh_planes(), threshold=0.3)
+    return out.select(
+        "id_a", "id_b", F.floor(F.col("cosine") * 1e6).cast("long").alias("cos_micro")
+    )
+
+
 def q_tpch_pricing(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -601,6 +668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
+        "cosine_simjoin": q_cosine_simjoin,
         "tpch_pricing": q_tpch_pricing,
         "split": q_split,
         "set_union": q_set_union,
@@ -859,6 +928,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
             FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "lsh_topk": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, v, {_duck_sig_expr("v", _lsh_planes())} AS sig FROM e
+            ),
+            q AS (SELECT v AS qv, sig AS qsig FROM s WHERE vec_id = 0),
+            cand AS (
+              SELECT s.vec_id, list_cosine_similarity(s.v, q.qv) AS cos
+              FROM s, q
+              WHERE s.vec_id <> 0 AND bit_count(xor(s.sig, q.qsig)) <= 1
+            )
+            SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "cosine_simjoin": f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, v, {_duck_sig_expr("v", _lsh_planes())} AS sig FROM e
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS cos_micro
+            FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,
