@@ -352,6 +352,35 @@ def q_cosine_simjoin(spark, sf_dir):
     )
 
 
+def q_fisher(spark, sf_dir):
+    """Fisher's exact test (functions/stats.py fisher_exact — the scipy-free
+    log-gamma kernel) over per-source 2x2 tables: document length >= 400 vs
+    token-count parity. Micro fixed-point outputs; the odds ratio mirrors the
+    engine's exact operation order so both sides round identically."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.functions.stats import fisher_exact
+
+    _load(spark, sf_dir, ["documents"])
+    d = spark.table("documents")
+    longf = F.length("text") >= 400
+    evenw = F.size(F.split(F.trim(F.col("text")), " ")) % 2 == 0
+    counts = d.groupBy("source").agg(
+        F.sum((longf & evenw).cast("long")).alias("TP"),
+        F.sum((longf & ~evenw).cast("long")).alias("FP"),
+        F.sum((~longf & evenw).cast("long")).alias("FN"),
+        F.sum((~longf & ~evenw).cast("long")).alias("TN"),
+    )
+    out = fisher_exact(counts, "TP", "FP", "FN", "TN", pseudocount=1)
+    return out.select(
+        "source", "TP", "FP", "FN", "TN",
+        F.round(F.least(F.col("P"), F.lit(1.0)) * 1e6).cast("long").alias("p_micro"),
+        F.round(F.least(F.col("PLeft"), F.lit(1.0)) * 1e6).cast("long").alias("pleft_micro"),
+        F.round(F.least(F.col("PRight"), F.lit(1.0)) * 1e6).cast("long").alias("pright_micro"),
+        F.round(F.col("odds_ratio") * 1e6).cast("long").alias("odds_micro"),
+    )
+
+
 def q_tpch_pricing(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -670,6 +699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
         "cosine_simjoin": q_cosine_simjoin,
+        "fisher": q_fisher,
         "tpch_pricing": q_tpch_pricing,
         "split": q_split,
         "set_union": q_set_union,
@@ -956,6 +986,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS cos_micro
             FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """,
+        "fisher": """
+            WITH c AS (
+              SELECT source,
+                CAST(SUM(CASE WHEN len(text) >= 400 AND len(string_split(trim(text),' ')) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS TP,
+                CAST(SUM(CASE WHEN len(text) >= 400 AND len(string_split(trim(text),' ')) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS FP,
+                CAST(SUM(CASE WHEN len(text) < 400 AND len(string_split(trim(text),' ')) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS FN,
+                CAST(SUM(CASE WHEN len(text) < 400 AND len(string_split(trim(text),' ')) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS TN
+              FROM documents GROUP BY source
+            ),
+            ext AS (SELECT *, TP+FP+FN+TN AS m, TP+FP AS r1, TP+FN AS c1 FROM c),
+            pmf AS (
+              SELECT source, TP, FP, FN, TN, m, r1, c1,
+                     unnest(generate_series(GREATEST(0, r1+c1-m), LEAST(r1,c1))) AS k
+              FROM ext
+            ),
+            lp AS (
+              SELECT *, lgamma(r1+1)+lgamma(m-r1+1)+lgamma(c1+1)+lgamma(m-c1+1)-lgamma(m+1)
+                        -lgamma(k+1)-lgamma(r1-k+1)-lgamma(c1-k+1)-lgamma(m-r1-c1+k+1) AS logp
+              FROM pmf
+            ),
+            sh AS (SELECT *, exp(logp - MAX(logp) OVER (PARTITION BY source)) AS e FROM lp),
+            norm AS (SELECT *, e / SUM(e) OVER (PARTITION BY source) AS p FROM sh),
+            obs AS (SELECT source, p AS pobs FROM norm WHERE k = TP),
+            agg AS (
+              SELECT n.source, any_value(n.TP) AS TP, any_value(n.FP) AS FP,
+                     any_value(n.FN) AS FN, any_value(n.TN) AS TN,
+                SUM(CASE WHEN n.k <= n.TP THEN n.p ELSE 0 END) AS pleft,
+                SUM(CASE WHEN n.k >= n.TP THEN n.p ELSE 0 END) AS pright,
+                SUM(CASE WHEN n.p <= o.pobs*(1+1e-7) THEN n.p ELSE 0 END) AS ptwo
+              FROM norm n JOIN obs o USING (source) GROUP BY n.source
+            )
+            SELECT source, TP, FP, FN, TN,
+              CAST(ROUND(LEAST(ptwo,1.0)*1e6) AS BIGINT) AS p_micro,
+              CAST(ROUND(LEAST(pleft,1.0)*1e6) AS BIGINT) AS pleft_micro,
+              CAST(ROUND(LEAST(pright,1.0)*1e6) AS BIGINT) AS pright_micro,
+              CAST(ROUND(((TP+1.0)/(FP+1.0))/((FN+1.0)/(TN+1.0))*1e6) AS BIGINT) AS odds_micro
+            FROM agg
         """,
         "tpch_pricing": """
             SELECT l_returnflag, l_linestatus,

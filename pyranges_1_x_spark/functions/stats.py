@@ -213,9 +213,98 @@ def rowbased_spearman(x, y) -> F.Column:
     return rowbased_pearson(rowbased_rankdata(x), rowbased_rankdata(y))
 
 
-def fisher_exact(*_args, **_kwargs):
-    """Reference ext/stats.py:174-246 uses scipy (not in this container)."""
-    raise NotImplementedError(
-        "fisher_exact requires scipy; plug a pandas UDF over scipy.stats.fisher_exact "
-        "when the dependency is available"
+def _fisher_batch(tp, fp, fn, tn, pseudocount=0):
+    """Vectorized scipy-free Fisher's exact over numpy int arrays.
+
+    Hypergeometric pmf via a shared log-factorial table (one O(max N) cumsum
+    per batch, then pure array arithmetic per row). Two-sided P follows the
+    scipy/fisher-package convention: sum of pmf(k) over all k in the support
+    with pmf(k) <= pmf(observed) * (1 + 1e-7).
+
+    Returns (odds_ratio, P, PLeft, PRight) float64 arrays.
+    """
+    import numpy as np
+
+    tp = np.asarray(tp, dtype=np.int64)
+    fp = np.asarray(fp, dtype=np.int64)
+    fn = np.asarray(fn, dtype=np.int64)
+    tn = np.asarray(tn, dtype=np.int64)
+    m = tp + fp + fn + tn  # grand total
+    row1 = tp + fp
+    col1 = tp + fn
+
+    maxm = int(m.max()) if len(m) else 0
+    lf = np.zeros(maxm + 1)
+    if maxm:
+        lf[1:] = np.cumsum(np.log(np.arange(1, maxm + 1)))
+
+    n_rows = len(tp)
+    p_two = np.empty(n_rows)
+    p_left = np.empty(n_rows)
+    p_right = np.empty(n_rows)
+    for i in range(n_rows):
+        mi, r1, c1, a = int(m[i]), int(row1[i]), int(col1[i]), int(tp[i])
+        lo = max(0, r1 + c1 - mi)
+        hi = min(r1, c1)
+        k = np.arange(lo, hi + 1)
+        logpmf = (
+            lf[r1] + lf[mi - r1] + lf[c1] + lf[mi - c1] - lf[mi]
+            - lf[k] - lf[r1 - k] - lf[c1 - k] - lf[mi - r1 - c1 + k]
+        )
+        pmf = np.exp(logpmf - logpmf.max())
+        pmf /= pmf.sum()
+        obs = pmf[a - lo]
+        p_left[i] = pmf[k <= a].sum()
+        p_right[i] = pmf[k >= a].sum()
+        p_two[i] = pmf[pmf <= obs * (1 + 1e-7)].sum()
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        odds = ((tp + pseudocount) / (fp + pseudocount)) / (
+            (fn + pseudocount) / (tn + pseudocount)
+        )
+    return odds, np.minimum(p_two, 1.0), np.minimum(p_left, 1.0), np.minimum(p_right, 1.0)
+
+
+def fisher_exact(
+    df,
+    tp: str = "TP",
+    fp: str = "FP",
+    fn: str = "FN",
+    tn: str = "TN",
+    *,
+    pseudocount: int = 0,
+):
+    """Fisher's exact test per row of 2x2 contingency counts (reference
+    ext/stats.py:174-246; its scipy/fisher deps are absent here, so the
+    hypergeometric tail sums run in an Arrow-batched pandas UDF instead —
+    the one genuinely iterative kernel, everything else stays columnar).
+
+    Appends ``odds_ratio`` (reference formula ((tp+pc)/(fp+pc)) /
+    ((fn+pc)/(tn+pc))), two-sided ``P``, and one-sided ``PLeft``/``PRight``.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructField, StructType, DoubleType
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("odds_ratio", DoubleType()),
+            StructField("P", DoubleType()),
+            StructField("PLeft", DoubleType()),
+            StructField("PRight", DoubleType()),
+        ]
     )
+
+    def _map(batches):
+        for pdf in batches:
+            odds, p, pl, prr = _fisher_batch(
+                pdf[tp].to_numpy(), pdf[fp].to_numpy(),
+                pdf[fn].to_numpy(), pdf[tn].to_numpy(), pseudocount,
+            )
+            yield pd.concat(
+                [pdf.reset_index(drop=True),
+                 pd.DataFrame({"odds_ratio": odds, "P": p, "PLeft": pl, "PRight": prr})],
+                axis=1,
+            )
+
+    return df.mapInPandas(_map, schema=out_schema)

@@ -120,3 +120,41 @@ def test_example_data(spark):
     # random() accepts the dict form directly
     g = random(spark, n=50, length=10, chromsizes=ed.chromsizes_dict(), seed=7)
     assert g.df.count() == 50
+
+
+def test_fisher_exact_vs_exact_rational_oracle(spark):
+    """fisher_exact (scipy-free log-gamma kernel) vs exact fractions.Fraction
+    hypergeometric sums, plus the reference doctest goldens (ext/stats.py:174-246)."""
+    import random
+    from fractions import Fraction
+    from math import comb
+
+    import pandas as pd
+
+    from pyranges_1_x_spark.functions.stats import fisher_exact
+
+    def exact(tp, fp, fn, tn):
+        m, r1, c1 = tp + fp + fn + tn, tp + fp, tp + fn
+        lo, hi = max(0, r1 + c1 - m), min(r1, c1)
+        tot = comb(m, c1)
+        pmf = {k: Fraction(comb(r1, k) * comb(m - r1, c1 - k), tot) for k in range(lo, hi + 1)}
+        obs = pmf[tp]
+        left = sum(v for k, v in pmf.items() if k <= tp)
+        right = sum(v for k, v in pmf.items() if k >= tp)
+        two = sum(v for v in pmf.values() if v <= obs * Fraction(10000001, 10000000))
+        return float(two), float(left), float(right)
+
+    rng = random.Random(5)
+    rows = [(12, 5, 29, 2), (0, 12, 10, 2), (0, 0, 0, 5), (7, 0, 0, 7)] + [
+        tuple(rng.randrange(0, 40) for _ in range(4)) for _ in range(12)
+    ]
+    pdf = pd.DataFrame(rows, columns=["TP", "FP", "FN", "TN"])
+    out = fisher_exact(spark.createDataFrame(pdf), "TP", "FP", "FN", "TN").toPandas()
+    for _, r in out.iterrows():
+        two, left, right = exact(int(r.TP), int(r.FP), int(r.FN), int(r.TN))
+        assert abs(r.P - two) < 1e-9, (r.to_dict(), two)
+        assert abs(r.PLeft - left) < 1e-9
+        assert abs(r.PRight - right) < 1e-9
+    # reference doctest printed values (positional (tp,fp,fn,tn)=(12,5,29,2))
+    g = out.iloc[0]
+    assert (round(g.P, 6), round(g.PLeft, 6), round(g.PRight, 6)) == (0.080269, 0.044555, 0.994525)
