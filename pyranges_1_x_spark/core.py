@@ -155,17 +155,22 @@ class GenomicRanges:
             )
         )
 
-    def loci(self, chromosome: str, start: int | None = None, end: int | None = None, strand: str | None = None):
-        """Range selection sugar with *overlap* semantics
-        (reference core/loci_getter.py:24-58)."""
-        d = self._df.filter(F.col(nm.CHROM_COL) == chromosome)
-        if strand is not None:
-            d = d.filter(F.col(nm.STRAND_COL) == strand)
-        if start is not None:
-            d = d.filter(F.col(nm.END_COL) > F.lit(start))
-        if end is not None:
-            d = d.filter(F.col(nm.START_COL) < F.lit(end))
-        return GenomicRanges(d)
+    @property
+    def loci(self) -> "_LociAccessor":
+        """Genomic-location accessor (reference core/loci_getter.py).
+
+        Getter forms (overlap semantics for ranges):
+        ``gr.loci["chr1"]``, ``gr.loci["+"]``, ``gr.loci[5:10]``,
+        ``gr.loci["chr1", "+"]``, ``gr.loci["chr1", 5:10]``,
+        ``gr.loci["chr1", "+", 5:10]`` — or call it like the old method:
+        ``gr.loci("chr1", start=5, end=10, strand="+")``.
+
+        Setter: Spark plans are immutable, so the reference's in-place
+        ``gr.loci[key] = value`` (loci_getter.py:56-58) becomes the
+        functional ``gr.loci.assign(key, Column=value, ...)`` — matching
+        rows get the assignments, all other rows pass through unchanged.
+        """
+        return _LociAccessor(self)
 
     def length_sum(self):
         """Total interval length (reference .length, pyranges_main.py:1404)."""
@@ -177,6 +182,12 @@ class GenomicRanges:
         return GenomicRanges(
             self._df.withColumn("Length", F.col(nm.END_COL) - F.col(nm.START_COL))
         )
+
+    def group_by(self, *cols) -> "GenomicRangesGroupBy":
+        """``df.groupBy`` that re-wraps results keeping the location contract
+        (reference core/pyranges_groupby.py:13-62 auto-rewraps aggregates that
+        retain loc columns; otherwise you get the plain DataFrame back)."""
+        return GenomicRangesGroupBy(self._df.groupBy(*cols))
 
     # -- operator delegation (implementations live in operators/) ---------
     def overlap(self, other, **kw):
@@ -370,3 +381,93 @@ class GenomicRanges:
         from pyranges_1_x_spark.functions import seqs as _sq
 
         return _sq.get_transcript_sequence(self, sequences, group_by, **kw)
+
+
+class _LociAccessor:
+    """See ``GenomicRanges.loci``. Key grammar (loci_getter.py:17,24-58):
+    chromosome string, strand string (+/-), position slice, or the 2-/3-tuples
+    thereof. Strings not in {+,-} are chromosome names (the reference
+    disambiguates the same way, loci_getter.py:158-170)."""
+
+    _STRANDS = ("+", "-")
+
+    def __init__(self, gr: GenomicRanges):
+        self._gr = gr
+
+    def __call__(self, chromosome=None, start=None, end=None, strand=None):
+        return GenomicRanges(self._mask_filter(chromosome, strand, start, end))
+
+    def _parse(self, key):
+        chrom = strand = None
+        rng = slice(None)
+        parts = key if isinstance(key, tuple) else (key,)
+        if isinstance(key, tuple) and len(parts) not in (2, 3):
+            raise ValueError(
+                f"Indexing tuple for loci must be of length 2 or 3, but was {len(parts)}."
+            )
+        if isinstance(key, list):
+            raise TypeError(
+                "The loci accessor does not accept a list. If you meant to retrieve "
+                "columns, use get_with_loc_columns instead."
+            )
+        for i, p in enumerate(parts):
+            if isinstance(p, slice):
+                rng = p
+            elif isinstance(p, str) and p in self._STRANDS and (i > 0 or len(parts) > 1):
+                strand = p
+            elif isinstance(p, str) and p in self._STRANDS and chrom is None:
+                # lone '+'/'-' key: strand selection (loci_getter.py:158-170)
+                strand = p
+            else:
+                chrom = p
+        return chrom, strand, rng
+
+    def _mask(self, chrom, strand, start, end):
+        m = F.lit(True)
+        if chrom is not None:
+            m = m & (F.col(nm.CHROM_COL) == chrom)
+        if strand is not None:
+            m = m & (F.col(nm.STRAND_COL) == strand)
+        if start is not None:
+            m = m & (F.col(nm.END_COL) > F.lit(start))
+        if end is not None:
+            m = m & (F.col(nm.START_COL) < F.lit(end))
+        return m
+
+    def _mask_filter(self, chrom, strand, start, end):
+        return self._gr.df.filter(self._mask(chrom, strand, start, end))
+
+    def __getitem__(self, key) -> GenomicRanges:
+        chrom, strand, rng = self._parse(key)
+        return GenomicRanges(self._mask_filter(chrom, strand, rng.start, rng.stop))
+
+    def assign(self, key, **assignments) -> GenomicRanges:
+        """Functional form of the reference's loci setter
+        (loci_getter.py:56-58): rows matching ``key`` get the column
+        ``assignments`` (values or Columns); other rows are unchanged."""
+        chrom, strand, rng = self._parse(key)
+        m = self._mask(chrom, strand, rng.start, rng.stop)
+        d = self._gr.df
+        for col, val in assignments.items():
+            val = val if isinstance(val, F.Column) else F.lit(val)
+            existing = F.col(col) if col in d.columns else F.lit(None)
+            d = d.withColumn(col, F.when(m, val).otherwise(existing))
+        return GenomicRanges(d)
+
+
+class GenomicRangesGroupBy:
+    """Auto-rewrapping groupBy facade (see ``GenomicRanges.group_by``)."""
+
+    def __init__(self, gdf):
+        self._g = gdf
+
+    def __getattr__(self, item):
+        attr = getattr(self._g, item)
+        if not callable(attr):
+            return attr
+
+        def wrapper(*args, **kwargs):
+            res = attr(*args, **kwargs)
+            return GenomicRanges.wrap(res) if isinstance(res, DataFrame) else res
+
+        return wrapper

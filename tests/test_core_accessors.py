@@ -1,0 +1,72 @@
+"""loci accessor + auto-rewrapping group_by (reference core/loci_getter.py
+and core/pyranges_groupby.py doctest behaviors)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pyranges_1_x_spark.core import GenomicRanges
+
+
+@pytest.fixture(scope="module")
+def gr(spark):
+    rows = [
+        ("chr1", 1, 5, "+", 10),
+        ("chr1", 4, 9, "-", 20),
+        ("chr1", 20, 30, "+", 30),
+        ("chr2", 2, 6, "-", 40),
+    ]
+    return GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["Chromosome", "Start", "End", "Strand", "Score"])
+        )
+    )
+
+
+def _starts(g):
+    return sorted(r["Start"] for r in g.df.collect())
+
+
+def test_loci_getitem_forms(gr):
+    assert _starts(gr.loci["chr1"]) == [1, 4, 20]
+    assert _starts(gr.loci["+"]) == [1, 20]
+    assert _starts(gr.loci[3:8]) == [1, 2, 4]  # overlap semantics, all chroms
+    assert _starts(gr.loci["chr1", "-"]) == [4]
+    assert _starts(gr.loci["chr1", 3:8]) == [1, 4]
+    assert _starts(gr.loci["chr1", "+", 0:10]) == [1]
+    # old callable form still works
+    assert _starts(gr.loci("chr1", start=3, end=8)) == [1, 4]
+
+
+def test_loci_getitem_rejects_bad_keys(gr):
+    with pytest.raises(TypeError, match="does not accept a list"):
+        gr.loci[["chr1"]]
+    with pytest.raises(ValueError, match="length 2 or 3"):
+        gr.loci["chr1", "+", slice(0, 5), "x"]
+
+
+def test_loci_assign_updates_only_matching_rows(gr):
+    out = gr.loci.assign(("chr1", slice(0, 10)), Score=99, Flag="hit")
+    rows = {r["Start"]: (r["Score"], r["Flag"]) for r in out.df.collect()}
+    assert rows[1] == (99, "hit") and rows[4] == (99, "hit")
+    assert rows[20] == (30, None) and rows[2] == (40, None)
+
+
+def test_loci_assign_accepts_columns(gr):
+    out = gr.loci.assign("chr2", Score=F.col("Score") * 10)
+    rows = {r["Start"]: r["Score"] for r in out.df.collect()}
+    assert rows[2] == 400 and rows[1] == 10
+
+
+def test_group_by_rewraps_when_loc_columns_survive(gr):
+    res = gr.group_by("Chromosome", "Start", "End").agg(F.sum("Score").alias("Score"))
+    assert isinstance(res, GenomicRanges)
+    assert sorted(r["Score"] for r in res.df.collect()) == [10, 20, 30, 40]
+
+
+def test_group_by_returns_plain_df_otherwise(gr):
+    res = gr.group_by("Chromosome").agg(F.count(F.lit(1)).alias("n"))
+    assert not isinstance(res, GenomicRanges)
+    assert {r["Chromosome"]: r["n"] for r in res.collect()} == {"chr1": 3, "chr2": 1}
