@@ -372,6 +372,11 @@ class GenomicRanges:
 
         return GenomicRanges.wrap(_mx.combine_interval_columns(self._df, how))
 
+    def extend_orfs(self, sequences, group_by=None, **kw):
+        from pyranges_1_x_spark.operators import orfs as _orf
+
+        return _orf.extend_orfs(self, sequences, group_by, **kw)
+
     def get_sequence(self, sequences, **kw):
         from pyranges_1_x_spark.functions import seqs as _sq
 
