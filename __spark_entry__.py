@@ -608,6 +608,16 @@ def q_upstream_flank(spark, sf_dir):
     return a.upstream(50, gap=10).df
 
 
+def q_downstream_flank(spark, sf_dir):
+    """Pins the documented '-'-strand semantics of downstream()
+    (operators/local_coords.py:191): on '-' the flank extends genomically
+    LEFT of Start — the strand-aware 3' intent, which the reference wrapper's
+    literal code (pyranges_main.py:2327-2391) never exercises in its own
+    doctests. The oracle reproduces exactly this divergent-by-design rule."""
+    a = _gr_a(spark, sf_dir)
+    return a.downstream(50, gap=10).df
+
+
 def q_join_first(spark, sf_dir):
     a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
     out = a.join_overlaps(b, strand_behavior="ignore", multiple="first").df
@@ -724,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calc_frame": q_calc_frame,
         "tile_genome": q_tile_genome,
         "upstream_flank": q_upstream_flank,
+        "downstream_flank": q_downstream_flank,
         "join_first": q_join_first,
         "join_contained": q_join_contained,
         "overlap_slack": q_overlap_slack,
@@ -1423,6 +1434,17 @@ def oracle_sql() -> dict[str, str]:
               SELECT row_id, Chromosome,
                      GREATEST(CASE WHEN Strand = '-' THEN "End" + 10 ELSE Start - 60 END, 0) AS Start,
                      GREATEST(CASE WHEN Strand = '-' THEN "End" + 60 ELSE Start - 10 END, 0) AS "End",
+                     Strand, Score
+              FROM a
+            )
+            SELECT * FROM fl WHERE Start < "End"
+        """,
+        "downstream_flank": f"""
+            {_AB},
+            fl AS (
+              SELECT row_id, Chromosome,
+                     GREATEST(CASE WHEN Strand = '-' THEN Start - 60 ELSE "End" + 10 END, 0) AS Start,
+                     GREATEST(CASE WHEN Strand = '-' THEN Start - 10 ELSE "End" + 60 END, 0) AS "End",
                      Strand, Score
               FROM a
             )
