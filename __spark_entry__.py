@@ -352,6 +352,91 @@ def q_cosine_simjoin(spark, sf_dir):
     )
 
 
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (ml/dedup.py simhash) with the engine-portable
+    md5-prefix hash so DuckDB can reproduce the per-bit majority votes
+    exactly (the xxhash64 fast path stays default for production use)."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import md5_hash64, simhash
+
+    _load(spark, sf_dir, ["documents"])
+    d = spark.table("documents")
+    return d.select("doc_id", simhash(F.col("text"), bits=32, hash_fn=md5_hash64).alias("sim"))
+
+
+def q_minhash_lsh_md5(spark, sf_dir):
+    """Banded MinHash-LSH candidates (ml/dedup.py:minhash_lsh_candidates)
+    under the md5-prefix hash — the exact-oracle twin of the rows-only
+    xxhash64 query: same shingling, same banding equi-join, every band hash
+    reproduced in DuckDB SQL."""
+    from pyranges_1_x_spark.ml.dedup import md5_hash64, minhash_lsh_candidates
+
+    _load(spark, sf_dir, ["documents"])
+    return minhash_lsh_candidates(
+        spark.table("documents"), num_hashes=16, bands=8, k=3, hash_fn=md5_hash64
+    )
+
+
+def _duck_md5(expr: str, seed: int | None = None) -> str:
+    """DuckDB twin of ml/dedup.py:md5_hash64."""
+    s = f"({expr}) || '#{seed}'" if seed is not None else expr
+    return f"('0x' || substring(md5({s}), 1, 15))::BIGINT"
+
+
+def _simhash_oracle_sql(bits: int = 32) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    sim = " + ".join(f"(CASE WHEN v{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(bits))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+          FROM documents
+        ),
+        h AS (SELECT doc_id, {_duck_md5("tok")} AS hv FROM toks),
+        votes AS (SELECT doc_id, {votes} FROM h GROUP BY doc_id)
+        SELECT doc_id, CAST({sim} AS BIGINT) AS sim FROM votes
+    """
+
+
+def _minhash_oracle_sql(num_hashes: int = 32, bands: int = 16, k: int = 3) -> str:
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN({_duck_md5('s', i)}) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"h{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, {_duck_md5(parts)} AS band_hash FROM hs"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id, CASE WHEN len(t) >= {k}
+            THEN list_transform(generate_series(0, len(t)-{k}),
+                                i -> array_to_string(t[i+1:i+{k}], ' '))
+            ELSE [array_to_string(t, ' ')] END AS shl
+          FROM toks
+        ),
+        ex AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+        hs AS (SELECT doc_id, {mins} FROM ex GROUP BY doc_id),
+        banded AS ({banded})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_bands_agree
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    """
+
+
 def q_fisher(spark, sf_dir):
     """Fisher's exact test (functions/stats.py fisher_exact — the scipy-free
     log-gamma kernel) over per-source 2x2 tables: document length >= 400 vs
@@ -447,15 +532,19 @@ def q_five_end(spark, sf_dir):
 
 
 def q_token_jaccard(spark, sf_dir):
-    """All-pairs thresholded token-Jaccard via lossless prefix filtering — the
-    candidate join touches only each doc's rarest prefix tokens (no per-group
-    all-pairs self-join), yet the verified result equals the brute-force
-    thresholded join bit-for-bit, so the simple all-pairs oracle stays exact."""
+    """All-pairs near-duplicate search via lossless prefix+length filtering
+    (ml/dedup.py:jaccard_similarity_join): the candidate join touches only
+    each doc's rarest prefix shingles, yet the verified result equals the
+    brute-force thresholded join bit-for-bit, so the all-pairs oracle stays
+    exact. 3-gram shingles at t=0.8 — the dedup setting; the synthetic docs
+    have a 31-token vocabulary, so 1-gram similarity is degenerate (70% of
+    ALL pairs exceed J=0.5) while 3-gram space (27k shingles) isolates the
+    few hundred genuine near-dups."""
     from pyranges_1_x_spark.ml.dedup import jaccard_similarity_join
 
     _load(spark, sf_dir, ["documents"])
     docs = spark.table("documents")
-    out = jaccard_similarity_join(docs, k=1, threshold=0.5)
+    out = jaccard_similarity_join(docs, k=3, threshold=0.8)
     return out.select("id_a", "id_b", "inter", "uni")
 
 
@@ -710,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "cosine_simjoin": q_cosine_simjoin,
         "fisher": q_fisher,
+        "simhash": q_simhash,
+        "minhash_lsh_md5": q_minhash_lsh_md5,
         "tpch_pricing": q_tpch_pricing,
         "split": q_split,
         "set_union": q_set_union,
@@ -998,6 +1089,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         """,
+        "simhash": _simhash_oracle_sql(32),
+        "minhash_lsh_md5": _minhash_oracle_sql(16, 8, 3),
         "fisher": """
             WITH c AS (
               SELECT source,
@@ -1535,17 +1628,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_jaccard": """
             -- Brute-force thresholded all-pairs: exact equivalent of the
-            -- Spark side's prefix-filtered join (prefix filtering is lossless).
+            -- Spark side's prefix+length-filtered join (both filters are
+            -- lossless). 3-gram word shingles, J >= 0.8.
             WITH toks AS (
-              SELECT doc_id, list_distinct(string_split(trim(text), ' ')) AS tk
-              FROM documents
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(0, len(t)-3),
+                                    i -> array_to_string(t[i+1:i+3], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS tk
+              FROM toks
             )
             SELECT x.doc_id AS id_a, y.doc_id AS id_b,
                    CAST(len(list_intersect(x.tk, y.tk)) AS INTEGER) AS inter,
                    CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS INTEGER) AS uni
-            FROM toks x JOIN toks y ON x.doc_id < y.doc_id
+            FROM sh x JOIN sh y ON x.doc_id < y.doc_id
             WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
-                  / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) >= 0.5
+                  / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) >= 0.8
         """,
         "sessions": """
             WITH ord AS (

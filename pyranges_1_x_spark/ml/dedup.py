@@ -42,6 +42,22 @@ def signature_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def xxhash64_fn(c: Column, seed: int | None = None) -> Column:
+    """Default 64-bit hash: Spark's codegen'd xxhash64 (the fast path)."""
+    return F.xxhash64(c, F.lit(seed)) if seed is not None else F.xxhash64(c)
+
+
+def md5_hash64(c: Column, seed: int | None = None) -> Column:
+    """Engine-portable 60-bit hash: integer value of the first 15 hex chars of
+    md5(value [|| '#seed']). Slower than xxhash64 but reproducible in DuckDB
+    as ``('0x' || substring(md5(x), 1, 15))::BIGINT`` — used by the driver
+    oracles to gate MinHash-LSH / SimHash exactly instead of rows-only."""
+    s = c.cast("string")
+    if seed is not None:
+        s = F.concat(s, F.lit(f"#{seed}"))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def shingles(text: Column, k: int = 3) -> Column:
     """Word k-shingles as a distinct array (JVM-side: split + transform + slice)."""
     toks = F.split(F.trim(text), r"\s+")
@@ -51,12 +67,12 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
-def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3) -> Column:
-    """MinHash signature: for each of ``num_hashes`` seeded xxhash64 functions,
+def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3, hash_fn=xxhash64_fn) -> Column:
+    """MinHash signature: for each of ``num_hashes`` seeded hash functions,
     the min over the document's shingles. Pure SQL expressions (codegen'd)."""
     sh = shingles(text, k)
     mins = [
-        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform(sh, lambda s: hash_fn(s, i)))
         for i in range(num_hashes)
     ]
     return F.array(*mins)
@@ -68,6 +84,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     k: int = 3,
+    hash_fn=xxhash64_fn,
 ) -> DataFrame:
     """(id, signature array) via explode + hash-min aggregation.
 
@@ -80,7 +97,7 @@ def minhash_signatures(
     16-band LSH consumed a 32-hash signature: 223s -> ~4s at 5k docs)."""
     sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__shingle__"))
     aggs = [
-        F.min(F.xxhash64("__shingle__", F.lit(i))).alias(f"__h{i}__")
+        F.min(hash_fn(F.col("__shingle__"), i)).alias(f"__h{i}__")
         for i in range(num_hashes)
     ]
     sigs = sh.groupBy(id_col).agg(*aggs)
@@ -96,6 +113,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 3,
+    hash_fn=xxhash64_fn,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash-LSH.
 
@@ -105,13 +123,13 @@ def minhash_lsh_candidates(
     with id_a < id_b.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, k, hash_fn)
     banded = sig.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: hash_fn(
                     F.concat_ws(",", F.transform(F.slice("__sig__", b * rows + 1, rows), lambda x: x.cast("string")))
                 ),
             )
@@ -182,12 +200,17 @@ def jaccard_similarity_join(
     )
     prefix = ordered.filter(
         F.col("__rn__") <= F.col("__sz__") - F.ceil(F.lit(threshold) * F.col("__sz__")) + 1
-    ).select("id", "token")
+    ).select("id", "token", "__sz__")
+    # Length filter (also from AllPairs): J >= t forces t*|a| <= |b| <= |a|/t,
+    # pruning size-mismatched pairs before the candidate aggregation.
     cand = (
-        prefix.toDF("id_a", "token")
+        prefix.toDF("id_a", "token", "sz_a")
         .join(
-            prefix.toDF("id_b", "token_b"),
-            (F.col("token") == F.col("token_b")) & (F.col("id_a") < F.col("id_b")),
+            prefix.toDF("id_b", "token_b", "sz_b"),
+            (F.col("token") == F.col("token_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+            & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b")),
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("__n_shared_prefix__"))
@@ -196,14 +219,14 @@ def jaccard_similarity_join(
     return ngram_jaccard_pairs(cand, docs, text_col, id_col, k, threshold)
 
 
-def simhash(text: Column, bits: int = 32) -> Column:
+def simhash(text: Column, bits: int = 32, hash_fn=xxhash64_fn) -> Column:
     """SimHash over whitespace tokens: per-bit majority vote of token hashes,
     expressed as a sum over bit positions (aggregate expressions; bits <= 62
     to stay inside a signed long)."""
     if not 1 <= bits <= 62:
         raise ValueError("bits must be in [1, 62]")
     toks = F.split(F.trim(text), r"\s+")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    hashes = F.transform(toks, lambda t: hash_fn(t))
     bit_cols = []
     for i in range(bits):
         vote = F.aggregate(
