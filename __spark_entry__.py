@@ -352,6 +352,92 @@ def q_cosine_simjoin(spark, sf_dir):
     )
 
 
+_ORF_MOTIF = "ATGGCAATTCCGTAAGGC"  # 18 nt: starts+stops land in varied frames
+_ORF_REPS = 27790  # covers the fixture's 500200-coordinate span
+_ORF_SCAN = 120  # max_scan_nt: 40 codons per direction
+
+
+def q_extend_orfs(spark, sf_dir):
+    """extend_orfs (operators/orfs.py) over the interval fixture against a
+    deterministic periodic chromosome sequence both engines generate with
+    repeat(); the scan cap makes the per-row work bounded and the DuckDB
+    oracle reproduces the same capped codon-scan rules exactly."""
+    from pyspark.sql import functions as F
+
+    a = _gr_a(spark, sf_dir)
+    chroms = a.df.select("Chromosome").distinct()
+    seqs = chroms.withColumn("Sequence", F.expr(f"repeat('{_ORF_MOTIF}', {_ORF_REPS})"))
+    out = a.extend_orfs(seqs, record_extensions=True, max_scan_nt=_ORF_SCAN)
+    return out.df.select(
+        "row_id", "Chromosome", "Start", "End", "Strand",
+        "extension_up", "extension_down",
+    )
+
+
+def _orf_oracle_sql(motif: str = _ORF_MOTIF, reps: int = _ORF_REPS, scan: int = _ORF_SCAN) -> str:
+    cap = scan // 3
+    stops = "('TAG','TGA','TAA')"
+    return f"""
+        {_AB},
+        seqs AS (
+          SELECT Chromosome, repeat('{motif}', {reps}) AS seq,
+                 CAST({len(motif) * reps} AS BIGINT) AS slen
+          FROM (SELECT DISTINCT Chromosome FROM a)
+        ),
+        sp AS (
+          SELECT a.row_id, a.Chromosome, a.Start, a."End", a.Strand, s.seq, s.slen,
+            LEAST(CASE WHEN a.Strand='-' THEN (s.slen - a."End")//3 ELSE a.Start//3 END, {cap}) AS m_up,
+            LEAST(CASE WHEN a.Strand='-' THEN a.Start//3 ELSE (s.slen - a."End")//3 END, {cap}) AS m_dn
+          FROM a JOIN seqs s USING (Chromosome)
+        ),
+        upc AS (
+          SELECT row_id, m_up, unnest(generate_series(CAST(1 AS BIGINT), m_up)) AS k,
+                 Strand, Start, "End", seq FROM sp
+        ),
+        upcod AS (
+          SELECT row_id, m_up, k,
+            CASE WHEN Strand='-'
+              THEN reverse(translate(substring(seq, CAST("End" + 3*(k-1) + 1 AS INT), 3), 'ACGTacgt', 'TGCAtgca'))
+              ELSE substring(seq, CAST(Start - 3*k + 1 AS INT), 3) END AS codon
+          FROM upc
+        ),
+        upstop AS (
+          SELECT row_id, any_value(m_up) AS m_up,
+                 MIN(CASE WHEN codon IN {stops} THEN k END) AS stop_k
+          FROM upcod GROUP BY row_id
+        ),
+        upext AS (
+          SELECT g.row_id, COALESCE(3 * MAX(CASE WHEN c.codon = 'ATG'
+                   AND c.k <= COALESCE(g.stop_k - 1, g.m_up) THEN c.k END), 0) AS eu
+          FROM upstop g LEFT JOIN upcod c USING (row_id) GROUP BY g.row_id
+        ),
+        dnc AS (
+          SELECT row_id, unnest(generate_series(CAST(1 AS BIGINT), m_dn)) AS k,
+                 Strand, Start, "End", seq FROM sp
+        ),
+        dncod AS (
+          SELECT row_id, k,
+            CASE WHEN Strand='-'
+              THEN reverse(translate(substring(seq, CAST(Start - 3*k + 1 AS INT), 3), 'ACGTacgt', 'TGCAtgca'))
+              ELSE substring(seq, CAST("End" + 3*(k-1) + 1 AS INT), 3) END AS codon
+          FROM dnc
+        ),
+        dnext AS (
+          SELECT row_id, COALESCE(3 * MIN(CASE WHEN codon IN {stops} THEN k END), 0) AS ed
+          FROM dncod GROUP BY row_id
+        )
+        SELECT sp.row_id, sp.Chromosome,
+               sp.Start - CASE WHEN sp.Strand='-' THEN COALESCE(d.ed,0) ELSE COALESCE(u.eu,0) END AS Start,
+               sp."End" + CASE WHEN sp.Strand='-' THEN COALESCE(u.eu,0) ELSE COALESCE(d.ed,0) END AS "End",
+               sp.Strand,
+               CAST(COALESCE(u.eu, 0) AS BIGINT) AS extension_up,
+               CAST(COALESCE(d.ed, 0) AS BIGINT) AS extension_down
+        FROM sp
+        LEFT JOIN upext u USING (row_id)
+        LEFT JOIN dnext d USING (row_id)
+    """
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (ml/dedup.py simhash) with the engine-portable
     md5-prefix hash so DuckDB can reproduce the per-bit majority votes
@@ -799,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "cosine_simjoin": q_cosine_simjoin,
         "fisher": q_fisher,
+        "extend_orfs": q_extend_orfs,
         "simhash": q_simhash,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "tpch_pricing": q_tpch_pricing,
@@ -1089,6 +1176,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         """,
+        "extend_orfs": _orf_oracle_sql(),
         "simhash": _simhash_oracle_sql(32),
         "minhash_lsh_md5": _minhash_oracle_sql(16, 8, 3),
         "fisher": """

@@ -98,9 +98,18 @@ def extend_orfs(
     keep_off_bounds: bool = False,
     record_extensions: bool = False,
     seq_col: str = "Sequence",
+    max_scan_nt: int | None = None,
 ) -> GenomicRanges:
     """See module docstring. ``sequences`` is a (Chromosome, ``seq_col``)
-    DataFrame; intervals must carry a valid Strand column."""
+    DataFrame; intervals must carry a valid Strand column.
+
+    ``max_scan_nt`` bounds each direction's codon scan (rounded down to a
+    codon multiple) — the declarative analog of the reference's
+    ``chunk_size`` loop (ext/orfs.py:142): the expression scan has no early
+    exit, so an unbounded scan evaluates O(chromosome length) codons per
+    transcript even when the answer is 2 codons away. A stop beyond the cap
+    is treated as not found (off-bounds). None = scan to the chromosome
+    edge, reference-exact."""
     if not stops:
         raise AssertionError("At least one stop codon must be provided.")
     if not all(len(p) == 3 for p in tuple(starts) + tuple(stops)):
@@ -140,6 +149,10 @@ def extend_orfs(
     # orientation; each case maps i to a 1-based genomic substring position.
     m_right = F.floor((slen - ge) / 3).cast("long")  # codons after End
     m_left = F.floor(gs / 3).cast("long")  # codons before Start
+    if max_scan_nt is not None:
+        cap = F.lit(max_scan_nt // 3).cast("long")
+        m_right = F.least(m_right, cap)
+        m_left = F.least(m_left, cap)
     pos_right = lambda i: ge + 3 * (i - 1) + 1  # noqa: E731
     pos_left = lambda i: gs - 3 * i + 1  # noqa: E731
 
