@@ -2,8 +2,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is forced with a count() action (full pipeline execution, no
-driver-side collection of payload rows).
+Each query is forced with a noop-sink write: every output column is fully
+materialized on the executors with nothing collected to the driver. (A
+count() action — r1-r3 — let Catalyst prune unreferenced projection columns,
+so projection-heavy queries reported fantasy numbers: extend_orfs "0.7s"
+when its real materialization was 177s — VERDICT r3 #2.)
 """
 
 from __future__ import annotations
@@ -42,7 +45,7 @@ def main() -> int:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).count()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)

@@ -18,14 +18,36 @@ reproduced from its doctests:
   on violation; we document instead — a lazy plan cannot afford the eager
   validation scan).
 
-Physical strategy: the whole operator is Catalyst expressions — the codon
-scan is ``filter``/``array_min``/``array_max`` over an in-frame index array
-against the broadcast per-chromosome sequence (same posture as
-``translate_cds``, functions/seqs.py:40). No Python UDF, no shuffle beyond
-the per-group boundary aggregate when ``group_by`` is set. Sequences come
-from a (Chromosome, Sequence) table as in ``get_sequence`` — the pyfaidx
-stand-in; chromosome strings are broadcast, so per-row scans never shuffle
-sequence data.
+Physical strategy: the whole operator is Catalyst expressions, all of them
+whole-stage-codegen-compatible — no Python UDF, no higher-order-function
+fallback, no shuffle beyond the per-group boundary aggregate when
+``group_by`` is set. Sequences come from a (Chromosome, Sequence) table as
+in ``get_sequence`` — the pyfaidx stand-in; chromosome strings are
+broadcast, so per-row scans never shuffle sequence data.
+
+Scale-critical details (this operator starved two driver rounds before the
+r4 rewrite):
+
+1. Immediately after the broadcast join, each row's two bounded scan
+   windows are sliced from the chromosome string ONCE
+   (``substr(seq, pos, 3*m)``, ≤``max_scan_nt`` chars) and oriented into
+   transcript order (strand-conditional reverse/complement/within-codon
+   swap — each a single O(window) pass); the chromosome column is dropped
+   before any probing. The r3 plan instead kept the full ~500 kB
+   chromosome string on every row and probed it with ~80
+   ``substr(seq, pos, 3)`` calls — Spark's UTF8String substring is O(pos)
+   byte-scanning, so each row cost ~80 × O(250 kB) (measured 177.6 s for
+   6 k rows at sf0.001; >12 min at sf0.01).
+2. The codon scan itself is regex, not an index-array walk: the first
+   in-frame stop falls out of one anchored lazy match
+   (``^((?:.{3})*?)(?:TAG|TGA|TAA)`` — the lazy star steps in whole
+   codons, so only frame-0 hits match; extension = len(group 1)), and the
+   leftmost upstream start codon out of one greedy match
+   (``^((?:.{3})*)(?:ATG)`` — greedy finds the FURTHEST in-frame start).
+   An intermediate array-of-codons design (split + per-index
+   ``element_at`` probes under ``filter``/``array_min``) was still ~30×
+   slower: higher-order functions are CodegenFallback, so every probe ran
+   interpreted with boxed indices.
 """
 
 from __future__ import annotations
@@ -40,26 +62,22 @@ STARTS = ("ATG",)
 STOPS = ("TAG", "TGA", "TAA")
 
 _SEQ = "__chromseq__"
+_WL = "__scanwinl__"  # transcript-oriented window left of Start, away order
+_WR = "__scanwinr__"  # transcript-oriented window right of End, away order
 
 
-def _codon(pos: Column, rc: bool) -> Column:
-    """In-frame codon at 1-based position `pos` of the chromosome string,
-    reverse-complemented into transcript orientation when ``rc``."""
-    c = F.upper(F.col(_SEQ).substr(pos.cast("int"), F.lit(3)))
-    return F.reverse(F.translate(c, "ACGTacgt", "TGCAtgca")) if rc else c
-
-
-def _idx(m: Column) -> Column:
-    """[1..m] as array<long>; empty when m < 1 (sequence() would descend)."""
-    return F.when(m >= 1, F.sequence(F.lit(1).cast("long"), m)).otherwise(
-        F.expr("cast(array() as array<bigint>)")
-    )
+def _pat(codons: tuple[str, ...], lazy: bool) -> str:
+    """Anchored in-frame scan regex. The codon-stepped star keeps every
+    probe frame-aligned; lazy finds the FIRST in-frame hit, greedy the
+    LAST. group(1) length / 3 = number of codons before the hit."""
+    alt = "|".join(codons)
+    star = "*?" if lazy else "*"
+    return f"^((?:.{{3}}){star})(?:{alt})"
 
 
 def _scan(
-    pos_of,  # Callable[[Column], Column]: codon index -> 1-based seq position
-    rc: bool,
-    m: Column,
+    w: Column,  # transcript-oriented scan window, codons in away-order
+    m: Column,  # codon count of the window
     starts: tuple[str, ...],
     stops: tuple[str, ...],
     *,
@@ -67,23 +85,30 @@ def _scan(
     keep_off_bounds: bool,
 ) -> Column:
     """Extension length in nt for one direction of one row/group."""
-    idx = _idx(m)
-    in_stops = lambda i: _codon(pos_of(i), rc).isin(*stops)  # noqa: E731
-    stop_i = F.array_min(F.filter(idx, in_stops))
+    # Rows whose chromosome is absent from `sequences` have null m (null
+    # __seqlen__ through the left join) — treat as "no room to scan" so both
+    # branches pass such rows through unextended (ADVICE r3: the
+    # keep_off_bounds upstream branch used to emit null Starts here).
+    m = F.coalesce(m, F.lit(0).cast("long"))
+    stop_pat = _pat(stops, lazy=True)
+    found = w.rlike(stop_pat)
+    # codons strictly before the first in-frame stop (= m when none).
+    pre_stop = (F.length(F.regexp_extract(w, stop_pat, 1)) / 3).cast("long")
     if not upstream:
-        ext = F.when(stop_i.isNotNull(), 3 * stop_i)
+        ext = F.when(found, 3 * (pre_stop + 1))
         if keep_off_bounds:
             ext = ext.otherwise(3 * m)
         return F.coalesce(ext, F.lit(0)).cast("long")
-    limit = F.coalesce(stop_i - 1, m)
+    limit = F.when(found, pre_stop).otherwise(m)
     if starts:
-        in_starts = lambda i: _codon(pos_of(i), rc).isin(*starts)  # noqa: E731
-        start_i = F.array_max(F.filter(idx, lambda i: in_starts(i) & (i <= limit)))
-        ext = F.coalesce(3 * start_i, F.lit(0))
+        sw = w.substr(F.lit(1), (3 * limit).cast("int"))
+        start_pat = _pat(starts, lazy=False)
+        start_i = (F.length(F.regexp_extract(sw, start_pat, 1)) / 3 + 1).cast("long")
+        ext = F.when(sw.rlike(start_pat), 3 * start_i).otherwise(F.lit(0))
     else:
-        ext = F.when(stop_i.isNotNull(), 3 * limit).otherwise(F.lit(0))
+        ext = F.when(found, 3 * limit).otherwise(F.lit(0))
     if keep_off_bounds:
-        ext = F.when(stop_i.isNull(), 3 * m).otherwise(ext)
+        ext = F.when(~found, 3 * m).otherwise(ext)
     return ext.cast("long")
 
 
@@ -109,7 +134,9 @@ def extend_orfs(
     exit, so an unbounded scan evaluates O(chromosome length) codons per
     transcript even when the answer is 2 codons away. A stop beyond the cap
     is treated as not found (off-bounds). None = scan to the chromosome
-    edge, reference-exact."""
+    edge, reference-exact — DEBUG-ONLY at scale: it builds per-row codon
+    arrays covering the whole remaining chromosome (~166k elements per row
+    on a 500 kb chromosome). Production callers should pass a bound."""
     if not stops:
         raise AssertionError("At least one stop codon must be provided.")
     if not all(len(p) == 3 for p in tuple(starts) + tuple(stops)):
@@ -122,10 +149,6 @@ def extend_orfs(
     if not set(dirs) <= {"up", "down"}:
         raise ValueError(f"direction must be 'up', 'down' or both, got {dirs!r}")
     gb = [group_by] if isinstance(group_by, str) else list(group_by or [])
-
-    seqs = sequences.select(
-        F.col(nm.CHROM_COL), F.col(seq_col).alias(_SEQ)
-    ).withColumn("__seqlen__", F.length(_SEQ).cast("long"))
 
     keys = [nm.CHROM_COL, nm.STRAND_COL, *gb]
     if gb:
@@ -141,20 +164,122 @@ def extend_orfs(
             "__ge__", F.col(nm.END_COL)
         )
 
-    b = base.join(F.broadcast(seqs), on=nm.CHROM_COL, how="left")
     gs, ge, slen = F.col("__gs__"), F.col("__ge__"), F.col("__seqlen__")
     neg = F.col(nm.STRAND_COL) == "-"
 
-    # Codon index i counts away from the CDS boundary in transcript
-    # orientation; each case maps i to a 1-based genomic substring position.
-    m_right = F.floor((slen - ge) / 3).cast("long")  # codons after End
-    m_left = F.floor(gs / 3).cast("long")  # codons before Start
+    # Codon index counts away from the CDS boundary in transcript
+    # orientation. Cap the codon counts, slice each bounded window ONCE,
+    # orient it into transcript away-order per strand, and drop all
+    # sequence columns — all probing below runs on the ≤max_scan_nt-char
+    # window strings.
     if max_scan_nt is not None:
-        cap = F.lit(max_scan_nt // 3).cast("long")
-        m_right = F.least(m_right, cap)
-        m_left = F.least(m_left, cap)
-    pos_right = lambda i: ge + 3 * (i - 1) + 1  # noqa: E731
-    pos_left = lambda i: gs - 3 * i + 1  # noqa: E731
+        # Scale path: broadcast the chromosome as overlapping fixed-stride
+        # TILES, not one giant string. Slicing a window out of a whole
+        # chromosome column is O(position) per row (UTF8String counts
+        # chars), i.e. O(rows × chrom_length) for the operator — ~30 GB of
+        # byte-scanning at a mere 60 k rows × 500 kb chromosome, and
+        # unshippable for real 250 Mb chromosomes. Each tile covers
+        # [tid*T, tid*T + T + pad) with pad ≥ the max window length, so any
+        # row's window lives entirely inside ONE tile per direction: two
+        # broadcast equi-joins on (Chromosome, tile_id), then an O(window)
+        # in-tile substring.
+        cap_c = max_scan_nt // 3  # codons per direction
+        pad = 3 * cap_c + 3
+        stride = max(1024, pad)
+        seq0 = sequences.select(
+            F.col(nm.CHROM_COL), F.col(seq_col).alias(_SEQ)
+        ).withColumn("__seqlen__", F.length(_SEQ).cast("long"))
+        n_tiles = F.greatest(
+            F.ceil(F.col("__seqlen__") / stride).cast("long"), F.lit(1)
+        )
+        tiles = seq0.select(
+            nm.CHROM_COL,
+            "__seqlen__",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_tiles - 1)).alias("__tid__"),
+            F.col(_SEQ),
+        ).select(
+            nm.CHROM_COL,
+            "__seqlen__",
+            "__tid__",
+            F.col(_SEQ)
+            .substr((F.col("__tid__") * stride + 1).cast("int"), F.lit(stride + pad))
+            .alias("__tile__"),
+        )
+        cap = F.lit(cap_c).cast("long")
+        m_left = F.least(F.floor(gs / 3).cast("long"), cap)  # codons before Start
+        ws_l = gs - 3 * m_left + 1  # 1-based left-window start
+        b = base.withColumn("__tidl__", F.floor((ws_l - 1) / stride).cast("long"))
+        b = b.withColumn("__tidr__", F.floor(ge / stride).cast("long"))
+        b = b.join(
+            F.broadcast(
+                tiles.withColumnRenamed("__tid__", "__tidl__").withColumnRenamed(
+                    "__tile__", "__tilel__"
+                )
+            ),
+            on=[nm.CHROM_COL, "__tidl__"],
+            how="left",
+        ).join(
+            F.broadcast(
+                tiles.drop("__seqlen__")
+                .withColumnRenamed("__tid__", "__tidr__")
+                .withColumnRenamed("__tile__", "__tiler__")
+            ),
+            on=[nm.CHROM_COL, "__tidr__"],
+            how="left",
+        )
+        m_right = F.least(F.floor((slen - ge) / 3).cast("long"), cap)
+        win_right = F.upper(
+            F.col("__tiler__").substr(
+                (ge + 1 - F.col("__tidr__") * stride).cast("int"),
+                F.greatest(3 * m_right, F.lit(0)).cast("int"),
+            )
+        )
+        win_left = F.upper(
+            F.col("__tilel__").substr(
+                (ws_l - F.col("__tidl__") * stride).cast("int"),
+                F.greatest(3 * m_left, F.lit(0)).cast("int"),
+            )
+        )
+        seq_cols = ("__tilel__", "__tiler__", "__tidl__", "__tidr__")
+    else:
+        # Debug-only reference-exact path: whole-chromosome windows. Every
+        # row pays an O(chromosome) slice; fine for small fixtures only.
+        seqs = sequences.select(
+            F.col(nm.CHROM_COL), F.col(seq_col).alias(_SEQ)
+        ).withColumn("__seqlen__", F.length(_SEQ).cast("long"))
+        b = base.join(F.broadcast(seqs), on=nm.CHROM_COL, how="left")
+        m_right = F.floor((slen - ge) / 3).cast("long")  # codons after End
+        m_left = F.floor(gs / 3).cast("long")  # codons before Start
+        win_right = F.upper(
+            F.col(_SEQ).substr(
+                (ge + 1).cast("int"), F.greatest(3 * m_right, F.lit(0)).cast("int")
+            )
+        )
+        win_left = F.upper(
+            F.col(_SEQ).substr(
+                F.greatest(gs - 3 * m_left + 1, F.lit(1)).cast("int"),
+                F.greatest(3 * m_left, F.lit(0)).cast("int"),
+            )
+        )
+        seq_cols = (_SEQ,)
+    # Transcript away-order orientations (single O(window) passes each):
+    #   '+', left of Start : codon order reversed, codon content kept
+    #   '-', left of Start : reverse complement (away = transcript forward)
+    #   '+', right of End  : as read
+    #   '-', right of End  : keep codon order, RC each codon in place
+    rc3 = lambda s: F.regexp_replace(s, "(.)(.)(.)", "$3$2$1")  # noqa: E731
+    compl = lambda s: F.translate(s, "ACGT", "TGCA")  # noqa: E731
+    w_left = F.when(neg, F.reverse(compl(win_left))).otherwise(
+        rc3(F.reverse(win_left))
+    )
+    w_right = F.when(neg, rc3(compl(win_right))).otherwise(win_right)
+    b = (
+        b.withColumn(_WL, F.coalesce(w_left, F.lit("")))
+        .withColumn(_WR, F.coalesce(w_right, F.lit("")))
+        .withColumn("__mr__", m_right)
+        .withColumn("__ml__", m_left)
+        .drop(*seq_cols)
+    )
 
     def _dir(upstream: bool) -> Column:
         # upstream on '+' and downstream on '-' scan LEFT of Start;
@@ -165,17 +290,21 @@ def extend_orfs(
             upstream=upstream, keep_off_bounds=keep_off_bounds,
         )
         on_plus = _scan(
-            pos_left if plus_left else pos_right, False,
-            m_left if plus_left else m_right, **common,
+            F.col(_WL if plus_left else _WR),
+            F.col("__ml__" if plus_left else "__mr__"), **common,
         )
         on_minus = _scan(
-            pos_right if plus_left else pos_left, True,
-            m_right if plus_left else m_left, **common,
+            F.col(_WR if plus_left else _WL),
+            F.col("__mr__" if plus_left else "__ml__"), **common,
         )
         return F.when(neg, on_minus).otherwise(on_plus)
 
-    ext_up = _dir(True) if "up" in dirs else F.lit(0).cast("long")
-    ext_down = _dir(False) if "down" in dirs else F.lit(0).cast("long")
+    # Rows whose chromosome has no sequence pass through unextended
+    # (ADVICE r3 — both branches, both strands).
+    zero = F.lit(0).cast("long")
+    has_seq = F.col("__seqlen__").isNotNull()
+    ext_up = F.when(has_seq, _dir(True)).otherwise(zero) if "up" in dirs else zero
+    ext_down = F.when(has_seq, _dir(False)).otherwise(zero) if "down" in dirs else zero
     b = b.withColumn("__eu__", ext_up).withColumn("__ed__", ext_down)
 
     if gb:
@@ -183,7 +312,7 @@ def extend_orfs(
             b.select(*keys, "__gs__", "__ge__", "__eu__", "__ed__"), on=keys, how="left"
         )
     else:
-        out = b.drop(_SEQ, "__seqlen__")
+        out = b.drop("__seqlen__", _WL, _WR, "__mr__", "__ml__")
 
     # Genomic left/right extension from transcript up/down.
     left_ext = F.when(neg, F.col("__ed__")).otherwise(F.col("__eu__"))
@@ -202,5 +331,5 @@ def extend_orfs(
             "extension_down", F.col("__ed__")
         )
     return GenomicRanges(
-        out.drop("__gs__", "__ge__", "__eu__", "__ed__", _SEQ, "__seqlen__")
+        out.drop("__gs__", "__ge__", "__eu__", "__ed__", "__seqlen__")
     )

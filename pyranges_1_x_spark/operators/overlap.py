@@ -57,17 +57,23 @@ def _any_match(
         rend="__re__",
         keep_unmatched_bins=True,
     )
-    # One matched-first row_number window over the raw join, slim-keyed by the
-    # row id: the rank-1 copy of each self row is matched iff ANY copy matched,
-    # so it doubles as the per-row any-flag — no aggregate carrying the
-    # (arbitrary-width) row payload, no whole-row shuffle key.
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(_LID).orderBy(F.col("__matched__").desc())
+    # Slim-key hash aggregate, exactly the count_overlaps plan shape: the
+    # payload rides in any_value(struct) and the any-flag is max(__matched__).
+    # Partial (map-side) aggregation collapses duplicate bin rows BEFORE the
+    # shuffle. r3 used a row_number() window here instead — every pair row
+    # shuffled unreduced and each partition sorted, regressing overlap_semi
+    # 10.6->15.5s and overlap_anti 2.4->8.3s at sf0.1 (VERDICT r3 #3).
+    payload = F.struct(*[F.col(c) for c in self.df.columns])
     return (
-        joined.withColumn("__rn__", F.row_number().over(w))
-        .filter(F.col("__rn__") == 1)
-        .select(*self.df.columns, F.col("__matched__").alias("__any__"))
+        joined.groupBy(_LID)
+        .agg(
+            F.any_value(payload).alias("__p__"),
+            F.max(F.col("__matched__")).alias("__any__"),
+        )
+        .select(
+            *[F.col("__p__").getField(c).alias(c) for c in self.df.columns],
+            F.col("__any__"),
+        )
     )
 
 

@@ -25,16 +25,15 @@ qualifies only in the bin containing ``max(start_l, start_r)``. This:
 * costs an explode factor of ``len/bin + 1`` per row (~1 for genomic intervals
   with the default 100kb bin).
 
-Single-branch discipline (correctness posture)
-----------------------------------------------
+Generated-id discipline (correctness posture)
+---------------------------------------------
 ``monotonically_increasing_id`` is nondeterministic across separate evaluations
-of the same subtree, so NOTHING here ever joins an id produced in one plan
-branch against the same id produced in another (the classic self-join id bug).
-Left/outer variants are computed from ONE join: a (left/full) outer binned join
-whose matched pairs filter straight out, while per-row-id hash aggregates over
-*that same relation* decide which null-padded rows survive. Row ids are
-therefore only ever grouped within a single evaluation, where they are
-consistent by construction, and never compared across plan branches.
+of the same subtree, so NOTHING here ever joins or compares an id produced in
+one plan branch against an id produced in another (the classic self-join id
+bug). Outer variants union an inner-join pairs branch with an anti branch
+whose per-row-id hash aggregate groups ids strictly WITHIN its own evaluation
+(where they are consistent by construction); the union itself is content-based
+and anti rows null their ids on the way out.
 
 All arithmetic is integer-exact (no float floor-division) so it is safe for
 arbitrary 64-bit coordinates.
@@ -187,60 +186,55 @@ def binned_join(
             lb.join(rb, cond, "inner").withColumn("__matched__", F.lit(True)).select(*out_names)
         )
 
-    # Outer variants, single-join discipline. how='left'/'right' run the binned
-    # join ONCE and decide the null-padded survivors with one row_number window
-    # over that same relation, partitioned by the outer side's row id and
-    # ordered matched-first: if a row has any match, its rank-1 copy IS a
-    # matched copy, so `__matched__ OR rn = 1` keeps exactly the pairs plus one
-    # representative bin-copy per matchless row. No second join execution, no
-    # aggregate carrying the row payload. Ids are only ever window-partitioned
-    # within the single evaluation; anti rows null their ids on the way out.
+    # Outer variants, two passes over the same binned-join shape: an INNER
+    # join emits the pairs, and a slim per-row-id hash aggregate over a left
+    # join of the same condition finds the matchless outer rows (any-flag =
+    # max(partner-id IS NOT NULL); payload rides in any_value(struct), so the
+    # map-side combine collapses bin copies BEFORE the shuffle). The union is
+    # content-based: generated row ids are only ever grouped within a single
+    # plan-branch evaluation and never compared across branches. r3 derived
+    # the anti rows from ONE join with a per-id row_number window instead —
+    # the whole pair relation shuffled unreduced and sorted, measured slower
+    # at every scale where pairs dwarf inputs (join_left 11.2s vs 7.98s two-
+    # pass at sf0.1, VERDICT r3 #4); re-scanning the inputs is the cheaper
+    # side of that trade.
     null_id = F.lit(None).cast("long")
 
-    def _one_pass(joined: DataFrame, outer_id: str) -> DataFrame:
-        joined = joined.withColumn(
-            "__matched__", F.col(_LID).isNotNull() & F.col(_RID).isNotNull()
+    def _pairs() -> DataFrame:
+        return (
+            lb.join(rb, cond, "inner").withColumn("__matched__", F.lit(True)).select(*out_names)
         )
-        w = Window.partitionBy(outer_id).orderBy(F.col("__matched__").desc())
-        kept = (
-            joined.withColumn("__rn__", F.row_number().over(w))
-            .filter(F.col("__matched__") | (F.col("__rn__") == 1))
-        )
-        # Null-pad the matchless side's columns and ids (left join already
-        # nulled the inner side's columns; only the ids need masking).
-        return kept.select(
-            *left.columns,
-            *[f.name for f in right_vals],
-            F.when(F.col("__matched__"), F.col(_LID)).alias(_LID),
-            F.when(F.col("__matched__"), F.col(_RID)).alias(_RID),
-            F.col("__matched__"),
+
+    def _anti(gid: str) -> DataFrame:
+        flipped = gid == _RID
+        pay_fields = right_vals if flipped else list(left.schema.fields)
+        pad_fields = list(left.schema.fields) if flipped else right_vals
+        partner = _LID if flipped else _RID
+        joined = (rb.join(lb, cond, "left") if flipped else lb.join(rb, cond, "left"))
+        pay = F.struct(*[F.col(f.name) for f in pay_fields])
+        padded = [F.lit(None).cast(f.dataType).alias(f.name) for f in pad_fields]
+        kept = [F.col("__p__").getField(f.name).alias(f.name) for f in pay_fields]
+        return (
+            joined.groupBy(gid)
+            .agg(
+                F.any_value(pay).alias("__p__"),
+                F.max(F.col(partner).isNotNull()).alias("__any__"),
+            )
+            .filter(~F.col("__any__"))
+            .select(
+                *(padded + kept if flipped else kept + padded),
+                null_id.alias(_LID),
+                null_id.alias(_RID),
+                F.lit(False).alias("__matched__"),
+            )
+            .select(*out_names)
         )
 
     if how == "left":
-        return _one_pass(lb.join(rb, cond, "left"), _LID)
+        return _pairs().unionByName(_anti(_LID))
     if how == "right":
-        return _one_pass(rb.join(lb, cond, "left"), _RID)
-
-    # how='outer': the left one-pass covers pairs + left-anti; right-anti rows
-    # come from a second, flipped pass (a full-outer window would funnel every
-    # right-only row into one null-id window partition — a skew trap at scale).
-    left_part = _one_pass(lb.join(rb, cond, "left"), _LID)
-    rpay = F.struct(*[F.col(f.name) for f in right_vals])
-    anti_r = (
-        rb.join(lb, cond, "left")
-        .withColumn("__matched__", F.col(_LID).isNotNull())
-        .groupBy(_RID)
-        .agg(F.any_value(rpay).alias("__rp__"), F.max("__matched__").alias("__any__"))
-        .filter(~F.col("__any__"))
-        .select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in left.schema.fields],
-            *[F.col("__rp__").getField(f.name).alias(f.name) for f in right_vals],
-            null_id.alias(_LID),
-            null_id.alias(_RID),
-            F.lit(False).alias("__matched__"),
-        )
-    )
-    return left_part.unionByName(anti_r)
+        return _pairs().unionByName(_anti(_RID))
+    return _pairs().unionByName(_anti(_LID)).unionByName(_anti(_RID))
 
 
 def interval_join(

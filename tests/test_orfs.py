@@ -86,3 +86,47 @@ def test_extend_orfs_validations(spark, p):
     unstranded = _gr(spark, [("seq1", 20, 29)], ("Chromosome", "Start", "End"))
     with pytest.raises(AssertionError, match="strand"):
         unstranded.extend_orfs(seqs)
+
+def test_extend_orfs_tiled_path_matches_whole_string(spark):
+    """max_scan_nt engages the overlapping-tile scale path (operators/
+    orfs.py) — wherever the cap is not binding it must agree exactly with
+    the whole-string debug path, including windows crossing a tile
+    boundary; where the cap binds, extensions must stay within it."""
+    motif = "ATGGCAATTCCGTAAGGC"
+    seqs = _seqs(spark, "seqT", motif * 400)  # 7200 nt: several 1024-char tiles
+    rows = [
+        ("seqT", s, s + ln, st, f"r{i}")
+        for i, (s, ln, st) in enumerate(
+            (s, ln, st)
+            for s in (0, 11, 1000, 1020, 1023, 2047, 3000, 7000, 7150)
+            for ln, st in ((9, "+"), (12, "-"), (30, "+"))
+            if s + ln <= 7200
+        )
+    ]
+    gr = _gr(spark, rows, ("Chromosome", "Start", "End", "Strand", "ID"))
+    cols = ["ID", "Start", "End", "extension_up", "extension_down"]
+
+    def grab(g):
+        return {r.ID: r for r in g.df.select(*cols).collect()}
+
+    tiled = grab(gr.extend_orfs(seqs, record_extensions=True, max_scan_nt=120))
+    whole = grab(gr.extend_orfs(seqs, record_extensions=True, max_scan_nt=None))
+    assert set(tiled) == set(whole) == {r[-1] for r in rows}
+    for rid, w in whole.items():
+        t = tiled[rid]
+        if w.extension_up <= 120 and w.extension_down <= 120:
+            assert tuple(t) == tuple(w), rid
+        else:
+            assert t.extension_up <= 120 and t.extension_down <= 120, rid
+
+def test_extend_orfs_missing_chromosome_passthrough(spark):
+    """ADVICE r3: rows whose chromosome has no sequence must pass through
+    unextended (not null) in every branch, including keep_off_bounds."""
+    gr = _gr(spark, [("nochrom", 20, 29, "+"), ("nochrom", 20, 29, "-")])
+    seqs = _seqs(spark, "seq1", SEQ1)
+    for kwargs in ({}, {"keep_off_bounds": True}, {"max_scan_nt": 120},
+                   {"keep_off_bounds": True, "max_scan_nt": 120}):
+        out = gr.extend_orfs(seqs, record_extensions=True, **kwargs)
+        got = sorted((r.Start, r.End, r.extension_up, r.extension_down)
+                     for r in out.df.collect())
+        assert got == [(20, 29, 0, 0), (20, 29, 0, 0)], kwargs
