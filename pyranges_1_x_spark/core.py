@@ -403,28 +403,45 @@ class _LociAccessor:
         return GenomicRanges(self._mask_filter(chromosome, strand, start, end))
 
     def _parse(self, key):
-        chrom = strand = None
-        rng = slice(None)
-        parts = key if isinstance(key, tuple) else (key,)
-        if isinstance(key, tuple) and len(parts) not in (2, 3):
-            raise ValueError(
-                f"Indexing tuple for loci must be of length 2 or 3, but was {len(parts)}."
-            )
+        """Positional key grammar, mirroring the reference exactly
+        (loci_getter.py:34-54,105-152):
+
+        - scalar: strand if in {+,-} (with a Strand column), else chromosome;
+        - slice: coordinate range only;
+        - 2-tuple ``(x, str)``: ``(chromosome, strand)`` unconditionally —
+          even for strands outside {+,-} such as '.' (is_chrom_and_strand
+          checks only that key[1] is a str);
+        - 2-tuple ``(x, slice)``: x disambiguated like the scalar case;
+        - 3-tuple: ``(chromosome, strand, slice)`` positionally.
+        """
         if isinstance(key, list):
             raise TypeError(
                 "The loci accessor does not accept a list. If you meant to retrieve "
                 "columns, use get_with_loc_columns instead."
             )
-        for i, p in enumerate(parts):
-            if isinstance(p, slice):
-                rng = p
-            elif isinstance(p, str) and p in self._STRANDS and (i > 0 or len(parts) > 1):
-                strand = p
-            elif isinstance(p, str) and p in self._STRANDS and chrom is None:
-                # lone '+'/'-' key: strand selection (loci_getter.py:158-170)
-                strand = p
+        chrom = strand = None
+        rng = slice(None)
+        has_strand = nm.STRAND_COL in self._gr.df.columns
+
+        def _scalar(p):
+            # strand only if + or -, chromosome otherwise (loci_getter.py:144-152)
+            return (None, p) if (p in self._STRANDS and has_strand) else (p, None)
+
+        if isinstance(key, tuple):
+            if len(key) == 2 and isinstance(key[1], str):
+                chrom, strand = key
+            elif len(key) == 2 and isinstance(key[1], slice):
+                (chrom, strand), rng = _scalar(key[0]), key[1]
+            elif len(key) == 3:
+                chrom, strand, rng = key
             else:
-                chrom = p
+                raise ValueError(
+                    f"Indexing tuple for loci must be of length 2 or 3, but was {len(key)}."
+                )
+        elif isinstance(key, slice):
+            rng = key
+        else:
+            chrom, strand = _scalar(key)
         return chrom, strand, rng
 
     def _mask(self, chrom, strand, start, end):

@@ -2,11 +2,19 @@
 on Spark and its oracle_sql() on DuckDB, compare row-count + schema + order-
 insensitive values (sorted columns, sorted rows).
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [--max-seconds-per-query N] [sf_dir] [query ...]
+
+``--max-seconds-per-query`` makes a slow query a loud local FAILURE instead of
+a silent driver starvation (VERDICT r3: one >12-min query turned the whole
+CORRECTNESS file into ``{}``). The Spark materialization runs on a worker
+thread with a wall-clock budget; on timeout the job group is cancelled and the
+query is reported FAIL with its elapsed time.
 """
 
 from __future__ import annotations
 
+import argparse
+import concurrent.futures
 import sys
 import time
 
@@ -42,8 +50,12 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-seconds-per-query", type=float, default=None)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    ap.add_argument("only", nargs="*")
+    args = ap.parse_args()
+    sf_dir, only, budget = args.sf_dir, set(args.only), args.max_seconds_per_query
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -61,13 +73,26 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
         try:
-            got = fn(spark, sf_dir).toPandas()
+            if budget:
+                spark.sparkContext.setJobGroup(name, name, interruptOnCancel=True)
+                fut = pool.submit(lambda: fn(spark, sf_dir).toPandas())
+                try:
+                    got = fut.result(timeout=budget)
+                except concurrent.futures.TimeoutError:
+                    spark.sparkContext.cancelJobGroup(name)
+                    print(f"FAIL {name}: exceeded {budget:.0f}s budget (driver-starver)")
+                    failures.append(name)
+                    fut.cancel()
+                    continue
+            else:
+                got = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)

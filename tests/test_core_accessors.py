@@ -40,6 +40,20 @@ def test_loci_getitem_forms(gr):
     assert _starts(gr.loci("chr1", start=3, end=8)) == [1, 4]
 
 
+def test_loci_2tuple_second_string_is_always_strand(gr):
+    # (str, str) is (chromosome, strand) even for strands outside {+,-}:
+    # reference is_chrom_and_strand only checks key[1] is a str
+    # (loci_getter.py:110-117), so ('chr1', '.') filters Strand == '.'
+    # (empty here), never Chromosome == '.'.
+    assert _starts(gr.loci["chr1", "."]) == []
+    assert _starts(gr.loci["chr1", "+"]) == [1, 20]
+    # ('+', slice) disambiguates the first element as strand
+    assert _starts(gr.loci["+", 0:10]) == [1]
+    # without a Strand column a lone '+' is a chromosome name, not a strand
+    unstranded = GenomicRanges(gr.df.drop("Strand"))
+    assert _starts(unstranded.loci["+"]) == []
+
+
 def test_loci_getitem_rejects_bad_keys(gr):
     with pytest.raises(TypeError, match="does not accept a list"):
         gr.loci[["chr1"]]
