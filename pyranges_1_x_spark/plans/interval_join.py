@@ -56,7 +56,7 @@ from pyranges_1_x_spark.names import (
     VALID_OVERLAP_MODES,
 )
 
-__all__ = ["interval_join", "binned_join", "rename_keys", "floordiv"]
+__all__ = ["interval_join", "binned_join", "binned_exists", "rename_keys", "floordiv"]
 
 _LBIN, _RBIN = "__lbin__", "__rbin__"
 _LID, _RID = "__ij_lid__", "__ij_rid__"
@@ -92,6 +92,101 @@ def rename_keys(right: DataFrame, keys: list[str], prefix: str = "__rk") -> tupl
         out = out.withColumnRenamed(k, rk)
         rkeys.append(rk)
     return out, rkeys
+
+
+def binned_exists(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    right_keys: list[str],
+    anti: bool = False,
+    slack: int = 0,
+    contained: bool = False,
+    bin_size: int = DEFAULT_BIN_SIZE,
+    lstart: str = START_COL,
+    lend: str = END_COL,
+    rstart: str = START_COL,
+    rend: str = END_COL,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """EXISTS / NOT-EXISTS overlap test that never materializes the pair
+    relation — the scale path for ``overlap`` (semi) and
+    ``complement_overlaps`` (anti).
+
+    A left join + any-flag aggregate (the r1-r3 plan) builds ``|pairs|``
+    intermediate rows before reducing; at 100 TB the pair relation can dwarf
+    the inputs by orders of magnitude. Here the probe stops at proof:
+
+    * semi: ``LEFT SEMI`` join on the binned condition — each exploded left
+      bin-row survives at most once regardless of partner count — then a
+      slim-key aggregate collapses multi-bin duplicates. Intermediate is
+      bounded by ``|exploded left|``, never ``|pairs|``.
+    * anti: ``LEFT ANTI`` keeps the bin-copies with no partner in their bin;
+      a row overlaps nothing iff ALL its bin-copies survive, checked by
+      comparing the surviving count against the row's bin count. Intermediate
+      is again bounded by ``|exploded left|``.
+
+    The emit-once predicate is deliberately absent: it exists to count each
+    PAIR once, while here a pair must count in EVERY shared bin (anti
+    correctness) and semi deduplicates by row id anyway.
+
+    Returns the left columns plus a boolean ``__any__`` column that is
+    True (semi) / False (anti) on every row — kept so callers can filter
+    uniformly with the aggregate form.
+    """
+    lb = left.withColumn(_LID, F.monotonically_increasing_id())
+    if slack:
+        lb = (
+            lb.withColumn("__ws__", F.col(lstart) - F.lit(slack))
+            .withColumn("__we__", F.col(lend) + F.lit(slack))
+        )
+    else:
+        lb = lb.withColumn("__ws__", F.col(lstart)).withColumn("__we__", F.col(lend))
+    lo = floordiv(F.col("__ws__"), bin_size)
+    hi = F.greatest(lo, floordiv(F.col("__we__") - 1, bin_size))
+    lb = lb.withColumn("__nbins__", hi - lo + 1).withColumn(
+        _LBIN, F.explode(F.sequence(lo, hi))
+    )
+    rb = right.withColumn(_RBIN, F.explode(F.sequence(
+        floordiv(F.col(rstart), bin_size),
+        F.greatest(floordiv(F.col(rstart), bin_size), floordiv(F.col(rend) - 1, bin_size)),
+    )))
+    if broadcast_right:
+        rb = F.broadcast(rb)
+
+    cond = F.col(_LBIN) == F.col(_RBIN)
+    for k, rk in zip(keys, right_keys):
+        cond = cond & (F.col(k) == F.col(rk))
+    cond = cond & (F.col("__ws__") < F.col(rend)) & (F.col(rstart) < F.col("__we__"))
+    if contained:
+        cond = cond & (F.col(lstart) >= F.col(rstart)) & (F.col(lend) <= F.col(rend))
+
+    payload = F.struct(*[F.col(c) for c in left.columns])
+    if not anti:
+        return (
+            lb.join(rb, cond, "left_semi")
+            .groupBy(_LID)
+            .agg(F.any_value(payload).alias("__p__"))
+            .select(
+                *[F.col("__p__").getField(c).alias(c) for c in left.columns],
+                F.lit(True).alias("__any__"),
+            )
+        )
+    return (
+        lb.join(rb, cond, "left_anti")
+        .groupBy(_LID)
+        .agg(
+            F.any_value(payload).alias("__p__"),
+            F.count(F.lit(1)).alias("__c__"),
+            F.any_value(F.col("__nbins__")).alias("__nb__"),
+        )
+        .filter(F.col("__c__") == F.col("__nb__"))
+        .select(
+            *[F.col("__p__").getField(c).alias(c) for c in left.columns],
+            F.lit(False).alias("__any__"),
+        )
+    )
 
 
 def binned_join(
