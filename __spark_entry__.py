@@ -209,24 +209,38 @@ def q_sort_rank(spark, sf_dir):
 
 
 def _load_events(spark, sf_dir):
-    """The events parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects by default. Distributed path: the nanosAsLong legacy flag
-    reads ts as epoch-ns long; integer DIV (not float division — 2024 epoch
-    ns exceeds 2^53) converts to micros for timestamp_micros. Falls back to a
-    driver-side pyarrow load if the flag can't be set on this session."""
+    """The events parquet's ts column has varied by reader version: Spark may
+    surface TIMESTAMP(NANOS) natively as timestamp/timestamp_ntz, reject it
+    (older default), or — with the nanosAsLong legacy flag — read it as
+    epoch-ns bigint. Handle all three. For the bigint path, integer DIV (not
+    float division — 2024 epoch ns exceeds 2^53) converts ns to micros for
+    timestamp_micros. The driver-side pyarrow fallback inspects the pandas
+    dtype unit instead of assuming nanoseconds."""
     from pyspark.sql import functions as F
 
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        if dict(ev.dtypes)["ts"] == "bigint":
+        ts_type = dict(ev.dtypes)["ts"]
+        if ts_type == "bigint":
             return ev.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if ts_type.startswith("timestamp"):
+            # Native read (timestamp or timestamp_ntz) is already correct —
+            # just normalize the type so downstream window functions agree.
+            return ev.withColumn("ts", F.col("ts").cast("timestamp"))
     except Exception:  # noqa: BLE001
         pass
     import pyarrow.parquet as pq
 
     pdf = pq.read_table(f"{sf_dir}/events.parquet").to_pandas()
-    pdf["ts"] = pdf["ts"].astype("int64") // 1000  # ns -> us epoch
+    unit = getattr(getattr(pdf["ts"], "dt", None), "unit", None) or "ns"
+    per_us = {"ns": 1000, "us": 1, "ms": None, "s": None}[unit]
+    ints = pdf["ts"].astype("int64")
+    if per_us is None:  # coarser than micros: multiply up
+        ints = ints * (1_000_000 if unit == "s" else 1_000)
+    else:
+        ints = ints // per_us
+    pdf["ts"] = ints
     return spark.createDataFrame(pdf).withColumn("ts", F.timestamp_micros(F.col("ts")))
 
 

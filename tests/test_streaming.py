@@ -91,3 +91,32 @@ def test_batch_parity(spark, stream_dir):
     out = windowed_interval_coverage(batch, window_duration="1 hour", bin_size=1000)
     got = out.toPandas()
     assert got.n_intervals.sum() == 4
+
+
+def test_load_events_timestamp_contract(spark):
+    """Guard against reader-behavior drift in the entry-point events loader
+    (VERDICT r4 #1): whatever path _load_events takes (native timestamp read,
+    nanosAsLong bigint, or the pyarrow fallback), the min/max of ts must equal
+    what DuckDB reads from the same parquet. A unit mismatch (ns vs us) shifts
+    the whole time axis into 1970 and is caught here."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("testdata not present")
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("entry_mod", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    ev = entry._load_events(spark, sf_dir)
+    got = ev.selectExpr("min(ts) as lo", "max(ts) as hi").collect()[0]
+    want = duckdb.sql(
+        f"select min(ts) as lo, max(ts) as hi from read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()
+    assert pd.Timestamp(got.lo) == pd.Timestamp(want[0])
+    assert pd.Timestamp(got.hi) == pd.Timestamp(want[1])
