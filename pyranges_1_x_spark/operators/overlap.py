@@ -5,9 +5,10 @@ Reference surface: ``overlap`` (semi), ``join_overlaps``, ``intersect_overlaps``
 ``/root/reference/pyranges1/range_frame/range_frame.py:315-607``,
 ``methods/overlap.py:50-101``, wrappers ``core/pyranges_main.py:769-876,1147,2393,5309``.
 
-All variants are SINGLE-BRANCH plans over ``binned_join`` (see
-plans/interval_join.py): semi = inner join + per-id dedup, anti = left join +
-not-matched filter, count = left join + hash agg. No self-join id comparisons.
+All variants are SINGLE-BRANCH plans over the binned planners (see
+plans/interval_join.py): semi/anti = LEFT SEMI / LEFT ANTI via ``binned_exists``
+(never materializes the pair relation), count = left join + hash agg. No
+self-join id comparisons.
 """
 
 from __future__ import annotations
@@ -16,7 +17,12 @@ from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
-from pyranges_1_x_spark.plans.interval_join import binned_join, interval_join, rename_keys
+from pyranges_1_x_spark.plans.interval_join import (
+    binned_exists,
+    binned_join,
+    interval_join,
+    rename_keys,
+)
 
 _LID = "__ij_lid__"
 
@@ -29,7 +35,7 @@ def _right_coords(odf, keys):
     return right, rkeys
 
 
-def _any_match(
+def _exists(
     self: GenomicRanges,
     other: GenomicRanges,
     strand_behavior: str,
@@ -37,44 +43,27 @@ def _any_match(
     slack: int,
     contained: bool,
     bin_size: int | None,
+    anti: bool,
 ):
-    """Per self row: did any other interval overlap it? One raw left binned
-    join (no dedup windows) + one aggregate — the same cheap plan shape as
-    count_overlaps; duplicate bin rows collapse in the groupBy."""
+    """Semi/anti probe via ``binned_exists``: LEFT SEMI / LEFT ANTI on the
+    binned condition, so the intermediate is bounded by |exploded self| and the
+    pair relation is never materialized (VERDICT r4 #2 — the prior left-join +
+    any-flag aggregate built |pairs| rows before reducing)."""
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
     right, rkeys = _right_coords(odf, keys)
-    joined = binned_join(
+    return binned_exists(
         self.df,
         right,
         keys=keys,
         right_keys=rkeys,
-        how="left",
+        anti=anti,
         slack=slack,
         contained=contained,
         bin_size=bin_size,
         rstart="__rs__",
         rend="__re__",
-        keep_unmatched_bins=True,
-    )
-    # Slim-key hash aggregate, exactly the count_overlaps plan shape: the
-    # payload rides in any_value(struct) and the any-flag is max(__matched__).
-    # Partial (map-side) aggregation collapses duplicate bin rows BEFORE the
-    # shuffle. r3 used a row_number() window here instead — every pair row
-    # shuffled unreduced and each partition sorted, regressing overlap_semi
-    # 10.6->15.5s and overlap_anti 2.4->8.3s at sf0.1 (VERDICT r3 #3).
-    payload = F.struct(*[F.col(c) for c in self.df.columns])
-    return (
-        joined.groupBy(_LID)
-        .agg(
-            F.any_value(payload).alias("__p__"),
-            F.max(F.col("__matched__")).alias("__any__"),
-        )
-        .select(
-            *[F.col("__p__").getField(c).alias(c) for c in self.df.columns],
-            F.col("__any__"),
-        )
-    )
+    ).drop("__any__")
 
 
 def overlap(
@@ -89,10 +78,12 @@ def overlap(
 ) -> GenomicRanges:
     """Semi-join: rows of self overlapping at least one interval of other
     (reference range_frame.py:539-607); each self row reported once."""
-    flags = _any_match(
-        self, other, strand_behavior, match_by, slack, contained_intervals_only, bin_size
+    return GenomicRanges(
+        _exists(
+            self, other, strand_behavior, match_by, slack, contained_intervals_only, bin_size,
+            anti=False,
+        )
     )
-    return GenomicRanges(flags.filter(F.col("__any__")).drop("__any__"))
 
 
 def complement_overlaps(
@@ -106,8 +97,9 @@ def complement_overlaps(
 ) -> GenomicRanges:
     """Anti-join: rows of self overlapping NOTHING in other
     (reference methods/complement_overlaps.py:26-34)."""
-    flags = _any_match(self, other, strand_behavior, match_by, slack, False, bin_size)
-    return GenomicRanges(flags.filter(~F.col("__any__")).drop("__any__"))
+    return GenomicRanges(
+        _exists(self, other, strand_behavior, match_by, slack, False, bin_size, anti=True)
+    )
 
 
 def join_overlaps(
