@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.plans.interval_join import floordiv
 
 
 def natkey(col: Column) -> Column:
@@ -45,17 +46,44 @@ def sort_ranges(
     the local-coordinate family.
     """
     chrom_key = natkey(F.col(nm.CHROM_COL)) if natsorting else F.col(nm.CHROM_COL)
-    keys = [chrom_key, F.col(nm.START_COL), F.col(nm.END_COL)]
-    if self.has_strand:
-        keys.insert(1, F.col(nm.STRAND_COL))
-    for c in [by] if isinstance(by, str) else (by or []):
-        keys.append(F.col(c))
+    part_cols = [nm.CHROM_COL] + ([nm.STRAND_COL] if self.has_strand else [])
+    tail_keys = [F.col(nm.START_COL), F.col(nm.END_COL)] + [
+        F.col(c) for c in ([by] if isinstance(by, str) else (by or []))
+    ]
+    keys = [chrom_key] + [F.col(c) for c in part_cols[1:]] + tail_keys
     if reverse:
         keys = [k.desc() for k in keys]
-    out = self.df.orderBy(*keys)
+    out = self.df
     if rank_col is not None:
-        # A single global window: only for modest results or final presentation —
-        # it serializes into one task by design (a total order is inherently serial).
-        w = Window.orderBy(*keys)
-        out = out.withColumn(rank_col, F.row_number().over(w))
-    return GenomicRanges(out)
+        # Two-phase global rank (VERDICT r4 #3): Window.orderBy(all keys) with
+        # no partition serializes the whole relation into one task. Instead,
+        # bucket the Start axis, row_number per (Chromosome[, Strand], bucket)
+        # — full cluster parallelism, ties always share a bucket — and offset
+        # each bucket by the prefix-summed counts of every bucket before it in
+        # the global (natkey, strand, bucket) order. The prefix window runs
+        # over the one-row-per-bucket summary relation, not the data.
+        width = nm.DEFAULT_BIN_SIZE
+        local_order = [k.desc() for k in tail_keys] if reverse else tail_keys
+        d = out.withColumn("__bkt__", floordiv(F.col(nm.START_COL), width))
+        wl = Window.partitionBy(*part_cols, "__bkt__").orderBy(*local_order)
+        local = d.withColumn("__lrn__", F.row_number().over(wl).cast("long"))
+
+        summary = d.groupBy(*part_cols, "__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+        sum_order = [chrom_key] + [F.col(c) for c in part_cols[1:]] + [F.col("__bkt__")]
+        if reverse:
+            sum_order = [k.desc() for k in sum_order]
+        ws = Window.orderBy(*sum_order).rowsBetween(Window.unboundedPreceding, -1)
+        summary = summary.select(
+            *part_cols,
+            "__bkt__",
+            F.coalesce(F.sum("__cnt__").over(ws), F.lit(0)).alias("__off__"),
+        )
+        out = (
+            local.join(F.broadcast(summary), on=[*part_cols, "__bkt__"])
+            .withColumn(rank_col, F.col("__off__") + F.col("__lrn__"))
+            .drop("__bkt__", "__lrn__", "__off__")
+        )
+        # The materialized rank IS the total order — sorting by the single
+        # long is equivalent to (and cheaper than) re-evaluating the key chain.
+        return GenomicRanges(out.orderBy(F.col(rank_col)))
+    return GenomicRanges(out.orderBy(*keys))
