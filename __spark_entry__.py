@@ -453,16 +453,15 @@ def _orf_oracle_sql(motif: str = _ORF_MOTIF, reps: int = _ORF_REPS, scan: int = 
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (ml/dedup.py simhash) with the engine-portable
+    """SimHash fingerprints (ml/dedup.py simhash_signatures: explode + per-bit
+    vote hash aggregates, whole-stage codegen) with the engine-portable
     md5-prefix hash so DuckDB can reproduce the per-bit majority votes
     exactly (the xxhash64 fast path stays default for production use)."""
-    from pyspark.sql import functions as F
-
-    from pyranges_1_x_spark.ml.dedup import md5_hash64, simhash
+    from pyranges_1_x_spark.ml.dedup import md5_hash64, simhash_signatures
 
     _load(spark, sf_dir, ["documents"])
     d = spark.table("documents")
-    return d.select("doc_id", simhash(F.col("text"), bits=32, hash_fn=md5_hash64).alias("sim"))
+    return simhash_signatures(d, bits=32, hash_fn=md5_hash64, out_col="sim")
 
 
 def q_minhash_lsh_md5(spark, sf_dir):

@@ -219,10 +219,50 @@ def jaccard_similarity_join(
     return ngram_jaccard_pairs(cand, docs, text_col, id_col, k, threshold)
 
 
+def simhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hash_fn=xxhash64_fn,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """(id, simhash) via explode + per-bit vote aggregation — the scale form.
+
+    Same values as the ``simhash`` Column expression below, but each token is
+    hashed exactly ONCE as a row, and the ``bits`` majority votes are plain
+    ``sum(when(...))`` hash aggregates: map-side combinable, fully inside
+    whole-stage codegen. The inline form builds one ``F.aggregate``
+    higher-order function per bit — HOFs are CodegenFallback (interpreted,
+    boxed), the same failure mode documented on ``minhash_signatures``
+    (VERDICT r4 #4: 8.9s -> sub-second at sf0.1)."""
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62]")
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok__"),
+    ).withColumn("__h__", hash_fn(F.col("__tok__")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h__"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{i}__")
+        for i in range(bits)
+    ]
+    votes = toks.groupBy(id_col).agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig + F.when(F.col(f"__v{i}__") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select(F.col(id_col), sig.alias(out_col))
+
+
 def simhash(text: Column, bits: int = 32, hash_fn=xxhash64_fn) -> Column:
     """SimHash over whitespace tokens: per-bit majority vote of token hashes,
     expressed as a sum over bit positions (aggregate expressions; bits <= 62
-    to stay inside a signed long)."""
+    to stay inside a signed long). Column-expression convenience form — for
+    whole-table fingerprinting use ``simhash_signatures`` (codegen'd
+    aggregates instead of interpreted higher-order functions)."""
     if not 1 <= bits <= 62:
         raise ValueError("bits must be in [1, 62]")
     toks = F.split(F.trim(text), r"\s+")
