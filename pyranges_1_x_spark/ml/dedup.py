@@ -67,6 +67,41 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """Distinct word k-shingles, one ``(id, token)`` row per shingle — the
+    codegen form of ``explode(shingles(...))``.
+
+    The array form builds every shingle inside ``transform``/``slice``
+    higher-order functions, which are CodegenFallback (interpreted, boxed) —
+    measured ~5x slower than this plan at sf0.1. Here tokens posexplode to
+    rows and each shingle is a ``concat_ws`` over window leads: whole-stage
+    codegen end to end, and the per-doc window is bounded by document length
+    (scale-safe — no global or per-corpus partition). Documents shorter than
+    ``k`` tokens contribute their whole text as the single shingle, matching
+    ``shingles``."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos__", "__tok__"),
+    )
+    w = Window.partitionBy("id").orderBy("__pos__")
+    leads = [F.lead("__tok__", i).over(w) for i in range(1, k)]
+    full = F.lead("__tok__", k - 1).over(w).isNotNull() if k > 1 else F.lit(True)
+    rows = toks.select(
+        "id",
+        F.concat_ws(" ", F.col("__tok__"), *leads).alias("token"),
+        full.alias("__full__"),
+        F.col("__pos__"),
+        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("__n__"),
+    )
+    return (
+        rows.filter(F.col("__full__") | ((F.col("__n__") < k) & (F.col("__pos__") == 0)))
+        .select("id", "token")
+        .distinct()
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3, hash_fn=xxhash64_fn) -> Column:
     """MinHash signature: for each of ``num_hashes`` seeded hash functions,
     the min over the document's shingles. Pure SQL expressions (codegen'd)."""
@@ -95,14 +130,15 @@ def minhash_signatures(
     Catalyst's CollapseProject, which re-inlines the whole string pipeline
     into every downstream reference (observed 512x expression blowup when a
     16-band LSH consumed a 32-hash signature: 223s -> ~4s at 5k docs)."""
-    sh = df.select(F.col(id_col), F.explode(shingles(F.col(text_col), k)).alias("__shingle__"))
+    sh = shingle_rows(df, text_col, id_col, k).withColumnRenamed("token", "__shingle__")
     aggs = [
         F.min(hash_fn(F.col("__shingle__"), i)).alias(f"__h{i}__")
         for i in range(num_hashes)
     ]
-    sigs = sh.groupBy(id_col).agg(*aggs)
+    sigs = sh.groupBy("id").agg(*aggs)
     return sigs.select(
-        F.col(id_col), F.array(*[f"__h{i}__" for i in range(num_hashes)]).alias("__sig__")
+        F.col("id").alias(id_col),
+        F.array(*[f"__h{i}__" for i in range(num_hashes)]).alias("__sig__"),
     )
 
 
@@ -150,14 +186,28 @@ def ngram_jaccard_pairs(
     candidates: DataFrame, docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 3, threshold: float = 0.8,
 ) -> DataFrame:
-    """Verify candidate pairs with exact shingle-set Jaccard (joins the shingle
-    arrays back in; intersection/union via array functions, still no UDF)."""
-    sh = docs.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
+    """Verify candidate pairs with exact shingle-set Jaccard, row-wise.
+
+    No shingle arrays are ever materialized: the intersection is a count over
+    a (candidate x shared-token) equi-join of the distinct shingle-row
+    relation, and ``union = sz_a + sz_b - inter``. The fan-out is bounded by
+    ``|candidates| * doc shingle count`` — the verification work any exact
+    set-similarity join must do — and every operator is a codegen'd
+    join/aggregate (the array form paid interpreted array_intersect/union on
+    wide arrays per pair)."""
+    sh = shingle_rows(docs, text_col, id_col, k)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        candidates.select("id_a", "id_b")
+        .join(sh.toDF("id_a", "token"), on="id_a")
+        .join(sh.toDF("id_b", "token"), on=["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
     out = (
-        candidates.join(sh.toDF("id_a", "sh_a"), on="id_a")
-        .join(sh.toDF("id_b", "sh_b"), on="id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        inter.join(sizes.toDF("id_a", "sz_a"), on="id_a")
+        .join(sizes.toDF("id_b", "sz_b"), on="id_b")
+        .withColumn("uni", F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         .withColumn("jaccard", F.col("inter") / F.col("uni"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "inter", "uni", "jaccard")
@@ -185,8 +235,7 @@ def jaccard_similarity_join(
     recall for speed); use ``minhash_lsh_candidates`` when approximate recall
     at even lower cost is acceptable.
     """
-    sh = docs.select(F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh"))
-    tok = sh.select("id", F.explode("sh").alias("token"))
+    tok = shingle_rows(docs, text_col, id_col, k)
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f__"))
     ordered = (
         tok.join(freq, "token")
