@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
 from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id
-from pyranges_1_x_spark.plans.interval_join import binned_join, rename_keys
+from pyranges_1_x_spark.plans.interval_join import binned_exists, binned_join, rename_keys
 from pyranges_1_x_spark.plans.sweep import asof_extreme, bucketed_row_number
 
 _SID = STABLE_ID_COLS
@@ -51,62 +51,65 @@ def _forward_candidates(
     """Per left row: smallest right Start >= left End (bucketed as-of sweep —
     parallelism = #position buckets, not #chromosomes).
 
-    Returns stable-id cols + __cand__ (that right Start; null if none).
+    Returns stable-id cols + the left End (``__e__``) + __cand__ (that right
+    Start; null if none). The End rides through the sweep as payload so the
+    caller needs no join back to the left coordinates.
     Right points count at position ties (Start == End is touching => eligible).
     """
-    l_pts = left.select(*keys, *_SID, F.col(nm.END_COL).alias("__pos__")).withColumn(
-        "__isd__", F.lit(False)
-    )
+    l_pts = left.select(
+        *keys, *_SID, F.col(nm.END_COL).alias("__pos__"), F.col(nm.END_COL).alias("__e__")
+    ).withColumn("__isd__", F.lit(False))
     r_pts = right.select(*keys, F.col(nm.START_COL).alias("__pos__")).withColumn(
         "__isd__", F.lit(True)
-    )
+    ).withColumn("__e__", F.lit(None).cast("long"))
     for c in _SID:
         r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
-    allp = l_pts.unionByName(r_pts.select(*keys, *_SID, "__pos__", "__isd__"))
+    allp = l_pts.unionByName(r_pts.select(*l_pts.columns))
     swept = asof_extreme(
         allp, keys, "__pos__", F.col("__isd__"), "__pos__",
         side="ge", agg="min", bucket_width=bucket_width, out_col="__cand__",
     )
-    return swept.filter(~F.col("__isd__")).select(*_SID, "__cand__")
+    return swept.filter(~F.col("__isd__")).select(*_SID, "__e__", "__cand__")
 
 
 def _backward_candidates(
     left: DataFrame, right: DataFrame, keys: list[str], bucket_width: int
 ) -> DataFrame:
-    """Per left row: largest right End <= left Start (bucketed as-of sweep)."""
-    l_pts = left.select(*keys, *_SID, F.col(nm.START_COL).alias("__pos__")).withColumn(
-        "__isd__", F.lit(False)
-    )
+    """Per left row: largest right End <= left Start (bucketed as-of sweep).
+    The left Start rides through as ``__s__`` payload (no join back needed)."""
+    l_pts = left.select(
+        *keys, *_SID, F.col(nm.START_COL).alias("__pos__"), F.col(nm.START_COL).alias("__s__")
+    ).withColumn("__isd__", F.lit(False))
     r_pts = right.select(*keys, F.col(nm.END_COL).alias("__pos__")).withColumn(
         "__isd__", F.lit(True)
-    )
+    ).withColumn("__s__", F.lit(None).cast("long"))
     for c in _SID:
         r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
-    allp = l_pts.unionByName(r_pts.select(*keys, *_SID, "__pos__", "__isd__"))
+    allp = l_pts.unionByName(r_pts.select(*l_pts.columns))
     swept = asof_extreme(
         allp, keys, "__pos__", F.col("__isd__"), "__pos__",
         side="le", agg="max", bucket_width=bucket_width, out_col="__cand__",
     )
-    return swept.filter(~F.col("__isd__")).select(*_SID, "__cand__")
+    return swept.filter(~F.col("__isd__")).select(*_SID, "__s__", "__cand__")
 
 
 def _overlap_ids(left: DataFrame, right: DataFrame, keys, bin_size: int) -> DataFrame:
-    """Distinct stable ids of left rows overlapping any right interval."""
+    """Distinct stable ids of left rows overlapping any right interval —
+    LEFT SEMI via binned_exists, so the pair relation never materializes."""
     rb, rkeys = rename_keys(
         right.select(*keys, F.col(nm.START_COL).alias("__rs__"), F.col(nm.END_COL).alias("__re__")),
         keys,
     )
-    pairs = binned_join(
+    return binned_exists(
         left.select(*_SID, *keys, nm.START_COL, nm.END_COL),
         rb,
         keys=keys,
         right_keys=rkeys,
-        how="inner",
+        anti=False,
         bin_size=bin_size,
         rstart="__rs__",
         rend="__re__",
-    )
-    return pairs.select(*_SID).distinct()
+    ).select(*_SID)
 
 
 def nearest_distance(
@@ -128,13 +131,11 @@ def nearest_distance(
     left = with_stable_id(self.df)
     right = odf.select(*keys, nm.START_COL, nm.END_COL)
 
-    coords = left.select(*_SID, F.col(nm.START_COL).alias("__s__"), F.col(nm.END_COL).alias("__e__"))
     cands = []
     if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
         fwd = (
             _forward_candidates(left, right, keys, bin_size)
             .filter(F.col("__cand__").isNotNull())
-            .join(coords, on=_SID)
             .select(*_SID, (F.col("__cand__") - F.col("__e__") + 1).alias("__dist__"))
         )
         cands.append(fwd)
@@ -142,7 +143,6 @@ def nearest_distance(
         bwd = (
             _backward_candidates(left, right, keys, bin_size)
             .filter(F.col("__cand__").isNotNull())
-            .join(coords, on=_SID)
             .select(*_SID, (F.col("__s__") - F.col("__cand__") + 1).alias("__dist__"))
         )
         cands.append(bwd)

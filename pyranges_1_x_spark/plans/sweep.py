@@ -81,7 +81,7 @@ def prefix_sweep(
         F.lead("__first__").over(ws).alias("__nfirst__"),
     )
 
-    out = local.join(summary, on=[*keys, "__bkt__"])
+    out = local.join(F.broadcast(summary), on=[*keys, "__bkt__"])
     return out.select(
         *keys,
         pos_col,
@@ -154,7 +154,7 @@ def asof_extreme(
         *keys, "__bkt__", agg_fn("__tot__").over(ws).alias("__patch__")
     )
 
-    out = local.join(summary, on=[*keys, "__bkt__"])
+    out = local.join(F.broadcast(summary), on=[*keys, "__bkt__"])
     # least/greatest skip nulls, so a bucket with no local data rows (or no
     # patch on its open side) degrades to the other operand; both-null => null.
     return out.withColumn(out_col, combine(F.col("__loc__"), F.col("__patch__"))).drop(
@@ -195,7 +195,7 @@ def bucketed_row_number(
         "__bkt__",
         F.coalesce(F.sum("__cnt__").over(ws), F.lit(0)).alias("__off__"),
     )
-    out = local.join(summary, on=[*keys, "__bkt__"])
+    out = local.join(F.broadcast(summary), on=[*keys, "__bkt__"])
     return out.withColumn(out_col, F.col("__off__") + F.col("__lrn__")).drop(
         "__bkt__", "__lrn__", "__off__"
     )
