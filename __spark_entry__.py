@@ -932,7 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "extend_group": q_extend_group,
         "window_sliding": q_window_sliding,
-        "max_disjoint": q_max_disjoint,      # rows-only (greedy scan, not SQL-expressible)
+        "max_disjoint": q_max_disjoint,
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
 
@@ -1742,8 +1742,8 @@ def oracle_sql() -> dict[str, str]:
               FROM toks
             )
             SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-                   CAST(len(list_intersect(x.tk, y.tk)) AS INTEGER) AS inter,
-                   CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS INTEGER) AS uni
+                   CAST(len(list_intersect(x.tk, y.tk)) AS BIGINT) AS inter,
+                   CAST(len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk)) AS BIGINT) AS uni
             FROM sh x JOIN sh y ON x.doc_id < y.doc_id
             WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
                   / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) >= 0.8
@@ -1769,5 +1769,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
                    CAST(MAX(cnt) AS BIGINT) AS max_session_events
             FROM per_session GROUP BY user_id
+        """,
+        "max_disjoint": _AB.replace("WITH ", "WITH RECURSIVE ", 1) + "," + _ISLANDS_A + """,
+            -- Greedy interval scheduling (accept if Start >= last accepted
+            -- End), reproduced exactly. The greedy decomposes per overlap
+            -- island: an island's first Start >= every earlier interval's
+            -- End (islands are built on the running max End), so the scan
+            -- state resets at each island boundary and the recursion can be
+            -- partitioned by (Chromosome, island) — 35x faster than the flat
+            -- per-chromosome recursion (3.8s vs 135s at sf0.01), verified
+            -- row-identical. Rows are ranked in the operator's greedy order
+            -- (End, Start, row_id); each recursive step jumps to the first
+            -- eligible rank after the last accepted row — identical to the
+            -- sequential scan because every skipped row has Start < last_end.
+            ordered AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY Chromosome, island ORDER BY "End", Start, row_id) AS rn
+              FROM isl
+            ),
+            g AS (
+              SELECT Chromosome, island, rn, "End" AS last_end FROM ordered WHERE rn = 1
+              UNION ALL
+              SELECT nxt.Chromosome, nxt.island, nxt.rn, nxt."End"
+              FROM g JOIN LATERAL (
+                SELECT o.Chromosome, o.island, o.rn, o."End" FROM ordered o
+                WHERE o.Chromosome = g.Chromosome AND o.island = g.island
+                  AND o.rn > g.rn AND o.Start >= g.last_end
+                ORDER BY o.rn LIMIT 1
+              ) nxt ON true
+            )
+            SELECT o.row_id, o.Chromosome, o.Start, o."End", o.Strand, o.Score
+            FROM ordered o JOIN g USING (Chromosome, island, rn)
         """,
     }

@@ -37,10 +37,18 @@ def reverse_complement(seq: Column) -> Column:
     return F.reverse(F.translate(seq, "ACGTacgt", "TGCAtgca"))
 
 
-def translate_cds(seq: Column, code: dict[str, str] | None = None, unknown: str = "X") -> Column:
+def translate_cds(
+    seq: Column, code: dict[str, str] | str | int | None = None, unknown: str = "X"
+) -> Column:
     """Translate a nucleotide string to amino acids via a map literal over
-    codon windows (transform over sequence indices — no Python UDF)."""
-    code = code or STANDARD_CODE
+    codon windows (transform over sequence indices — no Python UDF).
+
+    ``code`` accepts any NCBI table id the reference accepts (int or str,
+    incl. '+U' selenocysteine variants) or a custom {codon: aa} dict —
+    see functions/genetic_codes.py."""
+    from pyranges_1_x_spark.functions.genetic_codes import get_genetic_code
+
+    code = get_genetic_code(code) if code is not None else STANDARD_CODE
     pairs = []
     for k, v in code.items():
         pairs += [F.lit(k), F.lit(v)]

@@ -26,7 +26,13 @@ def max_disjoint_overlaps(
     schema = self.df.schema
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([nm.END_COL, nm.START_COL], kind="mergesort")
+        # Tiebreak past (End, Start) with every remaining column so the
+        # accepted SET is deterministic when intervals tie exactly — the
+        # partition-arrival order (which varies run to run) must never decide
+        # which of two tied rows survives. This also makes the operator
+        # value-level oracle-able (the DuckDB twin orders the same way).
+        tie = [c for c in pdf.columns if c not in (nm.END_COL, nm.START_COL)]
+        pdf = pdf.sort_values([nm.END_COL, nm.START_COL, *tie], kind="mergesort")
         keep = []
         last_end = None
         for row_end, row_start in zip(pdf[nm.END_COL].to_numpy(), pdf[nm.START_COL].to_numpy()):

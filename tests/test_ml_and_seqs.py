@@ -5,6 +5,7 @@ from __future__ import annotations
 import math
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -142,3 +143,48 @@ def test_get_sequence(spark):
     out = gr.get_sequence(seqs).df.toPandas().sort_values("Strand")
     assert out[out.Strand == "+"].Seq.iloc[0] == "ACG"
     assert out[out.Strand == "-"].Seq.iloc[0] == "CGT"
+
+
+def test_genetic_code_tables():
+    from pyranges_1_x_spark.functions.genetic_codes import (
+        GENETIC_CODES,
+        get_genetic_code,
+        stop_codons,
+    )
+    from pyranges_1_x_spark.functions.seqs import STANDARD_CODE
+
+    # 25 NCBI tables, each with a +U selenocysteine variant
+    assert len(GENETIC_CODES) == 50
+    t1 = get_genetic_code(1)
+    assert all(t1[c] == aa for c, aa in STANDARD_CODE.items())
+    assert t1["---"] == "-"
+    # canonical table differences (NCBI): vertebrate mito recodes ATA->M,
+    # TGA->W, AGA/AGG->stop; yeast mito (3) recodes CTN->T; ciliate (6)
+    # recodes TAA/TAG->Q
+    t2 = get_genetic_code("2")
+    assert (t2["ATA"], t2["TGA"], t2["AGA"], t2["AGG"]) == ("M", "W", "*", "*")
+    assert get_genetic_code(3)["CTG"] == "T"
+    assert get_genetic_code(6)["TAA"] == "Q"
+    assert set(stop_codons(1)) == {"TAA", "TAG", "TGA"}
+    assert set(stop_codons(2)) == {"TAA", "TAG", "AGA", "AGG"}
+    assert stop_codons("6") == ("TGA",)
+    assert set(stop_codons("1+U")) == {"TAA", "TAG"}  # TGA -> U
+    assert get_genetic_code({"AAA": "X"}) == {"AAA": "X"}
+    with pytest.raises(ValueError):
+        get_genetic_code(7)
+
+
+def test_translate_cds_alternate_tables(spark):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.functions.seqs import translate_cds
+
+    df = spark.createDataFrame([("ATATGAAGA",)], "seq string")
+    got = df.select(
+        translate_cds(F.col("seq")).alias("t1"),
+        translate_cds(F.col("seq"), code=2).alias("t2"),
+        translate_cds(F.col("seq"), code="2+U").alias("t2u"),
+    ).collect()[0]
+    assert got.t1 == "I*R"   # standard: ATA=I, TGA=*, AGA=R
+    assert got.t2 == "MW*"   # vertebrate mito: ATA=M, TGA=W, AGA=*
+    assert got.t2u == "MU*"  # +U: TGA=selenocysteine
