@@ -668,6 +668,23 @@ def q_max_disjoint(spark, sf_dir):
     return a.max_disjoint_overlaps(use_strand=False).df
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over the deterministic
+    synthetic media table (ml/multimodal.py). The fake decode kernel's 8
+    byte-moments are pure arithmetic on (media_id, byte offset), so DuckDB
+    reproduces them exactly; features surface as scalar doubles round-tripped
+    through float32 on both sides so the value-hash compares bit-equal."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.multimodal import extract_features, synthetic_media
+
+    feats = extract_features(synthetic_media(spark, 100))
+    cols = [
+        F.element_at("feature", i + 1).cast("double").alias(f"f{i}") for i in range(8)
+    ]
+    return feats.select("media_id", "kind", *cols)
+
+
 def q_count_matrix(spark, sf_dir):
     from pyranges_1_x_spark import count_overlaps_matrix
 
@@ -933,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extend_group": q_extend_group,
         "window_sliding": q_window_sliding,
         "max_disjoint": q_max_disjoint,
+        "multimodal_features": q_multimodal_features,
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
 
@@ -1800,5 +1818,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT o.row_id, o.Chromosome, o.Start, o."End", o.Strand, o.Score
             FROM ordered o JOIN g USING (Chromosome, island, rn)
+        """,
+        "multimodal_features": """
+            -- Twin of ml/multimodal.py synthetic_media + _decode_payload:
+            -- payload byte j of record i is (i*7 + j) % 256, length
+            -- 64 + (i % 5) * 32 (< 4096, so the decode window is the whole
+            -- payload). Every feature is exact integer arithmetic except
+            -- f2 = sum/len, which both sides round through FLOAT.
+            WITH base AS (
+              SELECT CAST(i AS BIGINT) AS i, CAST(64 + (i % 5) * 32 AS BIGINT) AS L
+              FROM unnest(range(100)) t(i)
+            ),
+            bytes AS (
+              SELECT i, L, unnest(range(L)) AS jj FROM base
+            ),
+            agg AS (
+              SELECT i, ANY_VALUE(L) AS L,
+                     SUM((i * 7 + jj) % 256) AS s,
+                     MIN((i * 7 + jj) % 256) AS mn,
+                     MAX((i * 7 + jj) % 256) AS mx
+              FROM bytes GROUP BY i
+            )
+            SELECT i AS media_id,
+                   CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(CAST(L AS FLOAT) AS DOUBLE) AS f0,
+                   CAST(CAST(s % 997 AS FLOAT) AS DOUBLE) AS f1,
+                   CAST(CAST(CAST(s AS DOUBLE) / L AS FLOAT) AS DOUBLE) AS f2,
+                   CAST(CAST(mn AS FLOAT) AS DOUBLE) AS f3,
+                   CAST(CAST(mx AS FLOAT) AS DOUBLE) AS f4,
+                   CAST(CAST((i * 7) % 256 AS FLOAT) AS DOUBLE) AS f5,
+                   CAST(CAST((i * 7 + L - 1) % 256 AS FLOAT) AS DOUBLE) AS f6,
+                   CAST(CAST(L AS FLOAT) AS DOUBLE) AS f7
+            FROM agg
         """,
     }
