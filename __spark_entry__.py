@@ -772,17 +772,19 @@ def q_mcc(spark, sf_dir):
 
 
 def q_spearman_rows(spark, sf_dir):
+    """Per-row Spearman via the explode+window scale form
+    (functions/stats.py:spearman_rows) — codegen'd ranks and one hash
+    aggregate instead of O(d^2) interpreted higher-order functions."""
     from pyspark.sql import functions as F
 
-    from pyranges_1_x_spark.functions.stats import rowbased_spearman
+    from pyranges_1_x_spark.functions.stats import spearman_rows
 
     _load(spark, sf_dir, ["embeddings"])
     e = spark.table("embeddings").withColumn("x", F.col("embedding").cast("array<double>"))
-    return e.select(
+    out = spearman_rows(e, "vec_id", F.col("x"), F.reverse(F.col("x")))
+    return out.select(
         "vec_id",
-        F.floor(rowbased_spearman(F.col("x"), F.reverse(F.col("x"))) * 1e6)
-        .cast("long")
-        .alias("spearman_micro"),
+        F.floor(F.col("spearman") * 1e6).cast("long").alias("spearman_micro"),
     )
 
 

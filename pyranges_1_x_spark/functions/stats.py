@@ -213,6 +213,53 @@ def rowbased_spearman(x, y) -> F.Column:
     return rowbased_pearson(rowbased_rankdata(x), rowbased_rankdata(y))
 
 
+def spearman_rows(
+    df: DataFrame, id_col: str, x, y, out_col: str = "spearman"
+) -> DataFrame:
+    """(id, spearman) over two array columns — the scale form of
+    ``rowbased_spearman``.
+
+    The Column expression ranks each element with O(d^2) ``filter``/
+    ``transform`` higher-order functions (CodegenFallback, interpreted).
+    Here element pairs posexplode to rows; the fractional average rank is
+    ``min_rank + (ties - 1)/2`` from a per-(row, value) window (identical to
+    ``(#lt + 1 + #le)/2``), and Pearson over the ranks is one hash aggregate.
+    Every step is whole-stage codegen; windows partition per input row, so no
+    serial stage at any scale."""
+    x = x if isinstance(x, F.Column) else F.col(x)
+    y = y if isinstance(y, F.Column) else F.col(y)
+    ex = df.select(
+        F.col(id_col), F.posexplode(F.arrays_zip(x.alias("x"), y.alias("y")))
+    ).select(
+        id_col,
+        F.col("col").getField("x").cast("double").alias("__xv__"),
+        F.col("col").getField("y").cast("double").alias("__yv__"),
+    )
+    wx = Window.partitionBy(id_col).orderBy("__xv__")
+    wy = Window.partitionBy(id_col).orderBy("__yv__")
+    tx = Window.partitionBy(id_col, "__xv__")
+    ty = Window.partitionBy(id_col, "__yv__")
+    ranked = ex.select(
+        id_col,
+        (F.rank().over(wx) + (F.count(F.lit(1)).over(tx) - 1) / F.lit(2.0)).alias("__rx__"),
+        (F.rank().over(wy) + (F.count(F.lit(1)).over(ty) - 1) / F.lit(2.0)).alias("__ry__"),
+    )
+    agg = ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__n__"),
+        F.sum("__rx__").alias("__sx__"),
+        F.sum("__ry__").alias("__sy__"),
+        F.sum(F.col("__rx__") * F.col("__rx__")).alias("__sxx__"),
+        F.sum(F.col("__ry__") * F.col("__ry__")).alias("__syy__"),
+        F.sum(F.col("__rx__") * F.col("__ry__")).alias("__sxy__"),
+    )
+    num = F.col("__n__") * F.col("__sxy__") - F.col("__sx__") * F.col("__sy__")
+    den = F.sqrt(
+        (F.col("__n__") * F.col("__sxx__") - F.col("__sx__") * F.col("__sx__"))
+        * (F.col("__n__") * F.col("__syy__") - F.col("__sy__") * F.col("__sy__"))
+    )
+    return agg.select(F.col(id_col), F.when(den != 0, num / den).alias(out_col))
+
+
 def _fisher_batch(tp, fp, fn, tn, pseudocount=0):
     """Vectorized scipy-free Fisher's exact over numpy int arrays.
 

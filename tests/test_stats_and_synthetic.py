@@ -158,3 +158,27 @@ def test_fisher_exact_vs_exact_rational_oracle(spark):
     # reference doctest printed values (positional (tp,fp,fn,tn)=(12,5,29,2))
     g = out.iloc[0]
     assert (round(g.P, 6), round(g.PLeft, 6), round(g.PRight, 6)) == (0.080269, 0.044555, 0.994525)
+
+
+def test_spearman_rows_matches_column_form(spark):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.functions.stats import rowbased_spearman, spearman_rows
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 5.0, 3.0, 3.0]), (2, [2.0, 2.0, 2.0, 9.0]), (3, [0.5, -1.0, 4.0, 2.0])],
+        "vec_id long, x array<double>",
+    )
+    col_form = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id", rowbased_spearman(F.col("x"), F.reverse(F.col("x"))).alias("s")
+        ).collect()
+    }
+    row_form = {
+        r.vec_id: r.spearman
+        for r in spearman_rows(df, "vec_id", F.col("x"), F.reverse(F.col("x"))).collect()
+    }
+    assert set(col_form) == set(row_form)
+    for k in col_form:
+        assert abs(col_form[k] - row_form[k]) < 1e-12
