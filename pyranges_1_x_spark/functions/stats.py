@@ -134,37 +134,90 @@ def mcc(
     grs: dict[str, GenomicRanges],
     *,
     genome_length: int,
-    strand_behavior: str = "ignore",
+    strand_behavior: str = "ignore",  # kept for API parity; inputs are merged
+    # unstranded first (reference semantics), so the pair intersection is
+    # strand-blind either way.
 ):
     """Matthews correlation coefficient for every ordered pair of interval sets
     (reference ext/stats.py:249-409). Interval sets are merged first; TP is the
     merged length of the pairwise intersection; TN is inferred from
-    ``genome_length``. Returns a small pandas DataFrame (driver-side result —
-    one distributed job per unordered pair; O(N^2) pairs of N named inputs)."""
+    ``genome_length``. Returns a small pandas DataFrame.
+
+    Scale posture: TWO distributed jobs total regardless of the number of
+    inputs — all merged sets union into one tagged relation, per-set lengths
+    are one hash aggregate, and EVERY pairwise intersection length comes from
+    one binned self-join (merged intervals within a set are disjoint, so the
+    pair intersection length is the plain sum of pairwise overlap lengths).
+    The r1-r4 form ran one job per input plus one per pair — O(N^2) full
+    re-scans of the inputs."""
     import math
 
     import pandas as pd
 
+    from pyranges_1_x_spark.plans.interval_join import binned_join, rename_keys
+
     items = [(k, g.merge_overlaps(use_strand=False)) for k, g in grs.items()]
-    lengths = {k: g.length_sum().head()[0] for k, g in items}
+    tagged = None
+    bin_size = min(g.resolve_bin(None) for _, g in items)
+    for k, g in items:
+        part = g.df.select(
+            F.col(nm.CHROM_COL), F.col(nm.START_COL), F.col(nm.END_COL),
+            F.lit(k).alias("__tag__"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+
+    lengths = {
+        r["__tag__"]: r["len"]
+        for r in tagged.groupBy("__tag__")
+        .agg(F.sum(F.col(nm.END_COL) - F.col(nm.START_COL)).alias("len"))
+        .collect()
+    }
+
+    right, rkeys = rename_keys(
+        tagged.select(
+            nm.CHROM_COL,
+            F.col(nm.START_COL).alias("__rs__"),
+            F.col(nm.END_COL).alias("__re__"),
+            F.col("__tag__").alias("__rtag__"),
+        ),
+        [nm.CHROM_COL],
+    )
+    pairs = binned_join(
+        tagged,
+        right,
+        keys=[nm.CHROM_COL],
+        right_keys=rkeys,
+        how="inner",
+        bin_size=bin_size,
+        rstart="__rs__",
+        rend="__re__",
+    ).filter(F.col("__tag__") < F.col("__rtag__"))
+    inter = {
+        (r["__tag__"], r["__rtag__"]): r["tp"]
+        for r in pairs.groupBy("__tag__", "__rtag__")
+        .agg(
+            F.sum(
+                F.least(F.col(nm.END_COL), F.col("__re__"))
+                - F.greatest(F.col(nm.START_COL), F.col("__rs__"))
+            ).alias("tp")
+        )
+        .collect()
+    }
 
     def _mcc_val(tp, fp, tn, fn):
         denom = math.sqrt(float(tp + fp) * float(tp + fn) * float(tn + fp) * float(tn + fn))
         return (float(tp) * tn - float(fp) * fn) / denom if denom else 0.0
 
     rows = []
-    for i, (lt, t) in enumerate(items):
-        for lf, f in items[i:]:
+    names = [k for k, _ in items]
+    for i, lt in enumerate(names):
+        for lf in names[i:]:
             if lt == lf:
                 tp = lengths[lt]
                 rows.append({"T": lt, "F": lf, "TP": tp, "FP": 0,
                              "TN": genome_length - tp, "FN": 0, "MCC": 1.0})
                 continue
-            tp = (
-                t.set_intersect_overlaps(f, strand_behavior=strand_behavior)
-                .length_sum()
-                .head()[0]
-            )
+            tp = inter.get((min(lt, lf), max(lt, lf)), 0)
             fp = lengths[lf] - tp
             fn = lengths[lt] - tp
             tn = genome_length - (tp + fp + fn)

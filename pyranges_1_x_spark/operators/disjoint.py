@@ -1,9 +1,16 @@
 """max_disjoint — maximal non-overlapping subset (greedy by End per group).
 
 Reference: range_frame.py:397-449 (``max_disjoint`` kernel). Greedy interval
-scheduling is inherently sequential per group, so this is one of the few places
-we drop to ``applyInPandas`` (SURVEY.md §4.3.3): state is a single scalar per
-group, groups are (Chromosome[,Strand][,match_by]) — bounded and shuffled once.
+scheduling is inherently sequential, so this is one of the few places we drop
+to ``applyInPandas`` (SURVEY.md §4.3.3) — but the sequential unit is NOT the
+chromosome: for slack >= 0 the greedy state resets at every overlap-island
+boundary (an island's first Start >= every earlier End + slack, so every
+island row is eligible regardless of earlier accepts, and End-order is
+island-contiguous). Grouping by (keys..., island) makes the pandas groups
+bounded by island size and the parallelism bounded by #islands — the
+per-chromosome form capped at ~25-way and held whole chromosomes in one
+pandas frame (8.6s at sf0.1; the island form is the same decomposition that
+took the DuckDB oracle from 135s to 3.8s).
 """
 
 from __future__ import annotations
@@ -13,6 +20,7 @@ from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.plans.islands import assign_islands
 
 
 def max_disjoint_overlaps(
@@ -24,6 +32,7 @@ def max_disjoint_overlaps(
 ) -> GenomicRanges:
     keys = self.group_keys(use_strand, match_by)
     schema = self.df.schema
+    out_cols = [f.name for f in schema.fields]
 
     def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
         # Tiebreak past (End, Start) with every remaining column so the
@@ -31,7 +40,7 @@ def max_disjoint_overlaps(
         # partition-arrival order (which varies run to run) must never decide
         # which of two tied rows survives. This also makes the operator
         # value-level oracle-able (the DuckDB twin orders the same way).
-        tie = [c for c in pdf.columns if c not in (nm.END_COL, nm.START_COL)]
+        tie = [c for c in out_cols if c not in (nm.END_COL, nm.START_COL)]
         pdf = pdf.sort_values([nm.END_COL, nm.START_COL, *tie], kind="mergesort")
         keep = []
         last_end = None
@@ -40,7 +49,14 @@ def max_disjoint_overlaps(
             keep.append(ok)
             if ok:
                 last_end = row_end
-        return pdf[pd.Series(keep, index=pdf.index)]
+        return pdf[pd.Series(keep, index=pdf.index)][out_cols]
 
-    out = self.df.groupBy(*keys).applyInPandas(greedy, schema=schema)
+    if slack >= 0:
+        d = assign_islands(self.df, keys, slack=slack, island_col="__mdj_isl__")
+        group_cols = [*keys, "__mdj_isl__"]
+    else:
+        # Negative slack lets a later island's End undercut an earlier one,
+        # breaking the island-contiguity argument — keep whole key groups.
+        d, group_cols = self.df, list(keys)
+    out = d.groupBy(*group_cols).applyInPandas(greedy, schema=schema)
     return GenomicRanges(out)
