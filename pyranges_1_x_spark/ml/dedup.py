@@ -129,13 +129,21 @@ def minhash_signatures(
     map-side partial aggregation. The inline-expression form is subject to
     Catalyst's CollapseProject, which re-inlines the whole string pipeline
     into every downstream reference (observed 512x expression blowup when a
-    16-band LSH consumed a 32-hash signature: 223s -> ~4s at 5k docs)."""
+    16-band LSH consumed a 32-hash signature: 223s -> ~4s at 5k docs).
+
+    The K seeded hashes are computed once per DISTINCT shingle and joined
+    back to the (id, shingle) rows — shingles repeat ~10x across documents,
+    so this divides the hashing work (md5 in the oracle-portable path) by
+    the duplication factor. The join is a plain equi-join on the shingle
+    string (AQE broadcasts the hash table when it is small; at corpus scale
+    the vocabulary is unbounded, so no unconditional broadcast hint)."""
     sh = shingle_rows(df, text_col, id_col, k).withColumnRenamed("token", "__shingle__")
-    aggs = [
-        F.min(hash_fn(F.col("__shingle__"), i)).alias(f"__h{i}__")
-        for i in range(num_hashes)
-    ]
-    sigs = sh.groupBy("id").agg(*aggs)
+    tok_hashes = sh.select("__shingle__").distinct().select(
+        "__shingle__",
+        *[hash_fn(F.col("__shingle__"), i).alias(f"__th{i}__") for i in range(num_hashes)],
+    )
+    aggs = [F.min(F.col(f"__th{i}__")).alias(f"__h{i}__") for i in range(num_hashes)]
+    sigs = sh.join(tok_hashes, "__shingle__").groupBy("id").agg(*aggs)
     return sigs.select(
         F.col("id").alias(id_col),
         F.array(*[f"__h{i}__" for i in range(num_hashes)]).alias("__sig__"),
