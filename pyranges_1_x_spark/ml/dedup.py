@@ -298,14 +298,18 @@ def simhash_signatures(
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok__"),
-    ).withColumn("__h__", hash_fn(F.col("__tok__")))
+    )
+    # One hash per DISTINCT token, joined back (same rationale as
+    # minhash_signatures: tokens repeat heavily, and the oracle-portable md5
+    # path is the expensive part; AQE broadcasts the vocabulary when small).
+    tok_hashes = toks.select("__tok__").distinct().withColumn("__h__", hash_fn(F.col("__tok__")))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("__h__"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"__v{i}__")
         for i in range(bits)
     ]
-    votes = toks.groupBy(id_col).agg(*aggs)
+    votes = toks.join(tok_hashes, "__tok__").groupBy(id_col).agg(*aggs)
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig + F.when(F.col(f"__v{i}__") > 0, F.lit(2**i).cast("long")).otherwise(
