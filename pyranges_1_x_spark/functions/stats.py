@@ -18,15 +18,42 @@ from pyranges_1_x_spark.core import GenomicRanges
 
 def fdr(df: DataFrame, p_col: str = "PValue", out_col: str = "FDR") -> DataFrame:
     """Benjamini-Hochberg adjusted p-values: p * n / rank, then a running min
-    from the largest p downward (the monotonicity enforcement step)."""
-    n = F.count(F.lit(1)).over(Window.partitionBy())
-    rank = F.row_number().over(Window.orderBy(F.col(p_col).asc(), F.monotonically_increasing_id()))
-    raw = F.col(p_col) * n / rank
-    d = df.withColumn("__raw__", raw).withColumn("__rk__", rank)
-    runmin = F.min("__raw__").over(
-        Window.orderBy(F.col("__rk__").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    from the largest p downward (the monotonicity enforcement step).
+
+    Fully two-phase — no global serial window at any step: n is a broadcast
+    scalar, the global p-rank comes from ``bucketed_row_number`` over the
+    scaled-p bucket axis, and the BH suffix min is ``asof_extreme`` on the
+    rank axis (bucket-local running min patched with later buckets' minima
+    via the one-row-per-bucket summary)."""
+    from pyranges_1_x_spark.plans.sweep import asof_extreme, bucketed_row_number
+
+    n_row = df.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
+    d = df.crossJoin(F.broadcast(n_row))
+    # p in [0, 1] -> integer bucket axis; equal p always shares a bucket.
+    d = d.withColumn("__pp__", F.floor(F.col(p_col) * F.lit(1e9)).cast("long"))
+    d = bucketed_row_number(
+        d,
+        [],
+        "__pp__",
+        [F.col(p_col).asc(), F.monotonically_increasing_id()],
+        bucket_width=4_000_000,
+        out_col="__rk__",
     )
-    return d.withColumn(out_col, F.least(runmin, F.lit(1.0))).drop("__raw__", "__rk__")
+    d = d.withColumn("__raw__", F.col(p_col) * F.col("__n__") / F.col("__rk__"))
+    d = asof_extreme(
+        d,
+        [],
+        "__rk__",
+        F.lit(True),
+        "__raw__",
+        side="ge",
+        agg="min",
+        bucket_width=4096,
+        out_col="__runmin__",
+    )
+    return d.withColumn(out_col, F.least(F.col("__runmin__"), F.lit(1.0))).drop(
+        "__raw__", "__rk__", "__pp__", "__n__", "__runmin__"
+    )
 
 
 def jaccard_statistic(

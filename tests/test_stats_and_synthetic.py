@@ -182,3 +182,22 @@ def test_spearman_rows_matches_column_form(spark):
     assert set(col_form) == set(row_form)
     for k in col_form:
         assert abs(col_form[k] - row_form[k]) < 1e-12
+
+
+def test_fdr_benjamini_hochberg(spark):
+    from pyranges_1_x_spark.functions.stats import fdr
+
+    ps = [0.01, 0.02, 0.03, 0.5, 0.04, 0.9, 0.001, 0.04]
+    df = spark.createDataFrame([(i, p) for i, p in enumerate(ps)], "i long, PValue double")
+    got = {r.i: r.FDR for r in fdr(df).collect()}
+
+    # reference BH computed by hand: sort p asc, raw = p*n/rank, suffix min
+    n = len(ps)
+    order = sorted(range(n), key=lambda i: ps[i])
+    raw = [ps[i] * n / (k + 1) for k, i in enumerate(order)]
+    run = raw[:]
+    for k in range(n - 2, -1, -1):
+        run[k] = min(run[k], run[k + 1])
+    expect = {i: min(run[k], 1.0) for k, i in enumerate(order)}
+    for i in range(n):
+        assert abs(got[i] - expect[i]) < 1e-12, (i, got[i], expect[i])
