@@ -40,6 +40,14 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the session once (JVM/codegen/executor-thread spin-up) so the
+    # first measured query is charged for its own plan, not for session
+    # startup — r5 measurements showed the first query absorbing ~7s of
+    # warmup regardless of which query ran first.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    import gc
+
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -50,6 +58,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+        # Release driver-side py4j refs promptly so Spark's ContextCleaner can
+        # drop finished broadcasts between queries — late queries otherwise
+        # absorb accumulated GC pressure (observed 2.7s-warm queries reading
+        # 11s at the tail of a 62-query session).
+        gc.collect()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(

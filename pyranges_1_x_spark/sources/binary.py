@@ -1,16 +1,15 @@
-"""Binary genomics formats — gated stubs (documented out of scope for v1).
+"""Binary genomics formats.
 
-The reference reads BAM via the optional ``bamread`` dependency
-(readers.py:149-240, import-gated at readers.py:212-219) and bigwig via
-optional ``pyBigWig`` (readers.py:452-533, gated at readers.py:487-493).
-Neither library is available in this environment, and both formats are
-single-file binary containers that do not split for distributed scans anyway.
+BAM decodes NATIVELY (sources/bam_native.py — pure stdlib gzip+struct per
+the published SAM/BAM spec; reference uses the optional ``bamread``
+extension, readers.py:149-240). Parallel unit is the file; single giant
+BAMs should still be converted to parquet once so the columnar scan path
+(partition pruning, predicate pushdown, column pruning) applies — this
+reader also accepts such parquet conversions.
 
-The scale-correct Spark pattern for both is ahead-of-time conversion to
-parquet (one-time, streamed), after which the engine's normal scan path
-applies — partition pruning, predicate pushdown, column pruning. These
-readers accept such parquet-converted fixtures and validate the expected
-schema; pointing them at a real .bam/.bw raises with the conversion hint.
+BigWig remains parquet-converted only (reference gates it on optional
+``pyBigWig``, readers.py:452-533): the format needs R-tree/B-tree index
+traversal that a one-time streamed conversion sidesteps.
 """
 
 from __future__ import annotations
@@ -33,13 +32,16 @@ def read_bam(
     required_flag: int = 0,
     filter_flag: int = 1540,
 ) -> GenomicRanges:
-    """Read a parquet-converted BAM (alignment intervals). Flag/mapq filters
-    mirror the reference's semantics (readers.py:149-240)."""
+    """Read a BAM: native stdlib decoding for .bam paths/globs (one task per
+    file), or a parquet conversion. Flag/mapq filters mirror the reference's
+    semantics (readers.py:149-240)."""
     if not path.endswith((".parquet", "/")):
-        raise NotImplementedError(
-            "native .bam decoding needs the optional bamread dependency (absent); "
-            "convert to parquet with columns "
-            f"{BAM_COLS + ['MapQ']} and pass that path"
+        from pyranges_1_x_spark.sources.bam_native import read_bam_native
+
+        return GenomicRanges(
+            read_bam_native(
+                spark, path, mapq=mapq, required_flag=required_flag, filter_flag=filter_flag
+            )
         )
     df = spark.read.parquet(path)
     missing = [c for c in nm.GENOME_LOC_COLS if c not in df.columns]

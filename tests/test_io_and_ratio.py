@@ -73,8 +73,8 @@ def test_gff3_round_trip(spark, tmp_path):
 
 
 def test_binary_stubs(spark, tmp_path):
-    with pytest.raises(NotImplementedError):
-        read_bam(spark, "/some/file.bam")
+    # BAM decodes natively now (see test_native_bam_roundtrip); bigwig
+    # remains parquet-converted only.
     with pytest.raises(NotImplementedError):
         read_bigwig(spark, "/some/file.bw")
     # parquet-converted fixture path works, with flag filtering
@@ -93,3 +93,41 @@ def test_binary_stubs(spark, tmp_path):
     ).write.mode("overwrite").parquet(p)
     got = read_bam(spark, p, mapq=30).df.toPandas()
     assert sorted(got.Start.tolist()) == [0]
+
+def test_native_bam_roundtrip(spark, tmp_path):
+    """write_bam produces a spec-valid BGZF file; read_bam decodes it natively
+    (gzip members + struct records), applying the reference's default
+    1540 filter (unmapped | QC-fail | duplicate) and CIGAR reference-length
+    End arithmetic."""
+    from pyranges_1_x_spark.sources.bam_native import decode_bam_bytes, write_bam
+    from pyranges_1_x_spark.sources.binary import read_bam
+
+    path = str(tmp_path / "t.bam")
+    # (name, flag, chrom, pos, mapq, cigar, seq, qual)
+    write_bam(
+        path,
+        [
+            ("r1", 0, "chr1", 100, 60, "25M", "A" * 25, "I" * 25),
+            ("r2", 16, "chr1", 200, 60, "10M5D10M", "C" * 20, "I" * 20),      # End=200+25
+            ("r3", 0, "chr2", 50, 60, "5S20M", "G" * 25, "I" * 25),           # soft clip: End=50+20
+            ("r4", 4, "chr2", 0, 0, "25M", "T" * 25, "I" * 25),               # unmapped -> filtered
+            ("r5", 1024, "chr2", 10, 60, "25M", "T" * 25, "I" * 25),          # duplicate -> filtered
+            ("r6", 0, "chr2", 99, 5, "10M100N10M", "A" * 20, "I" * 20),       # spliced: End=99+120
+        ],
+        {"chr1": 100000, "chr2": 100000},
+    )
+    got = read_bam(spark, path).df.toPandas().sort_values(["Chromosome", "Start"])
+    assert list(got.Chromosome) == ["chr1", "chr1", "chr2", "chr2"]
+    assert list(got.Start) == [100, 200, 50, 99]
+    assert list(got.End) == [125, 225, 70, 219]
+    assert list(got.Strand) == ["+", "-", "+", "+"]
+    # mapq filter drops r6
+    got_q = read_bam(spark, path, mapq=30).df.toPandas()
+    assert len(got_q) == 3
+    # full decode recovers name/cigar/seq/qual
+    import gzip
+
+    full = decode_bam_bytes(gzip.open(path, "rb").read(), full=True)
+    r2 = full[full.Name == "r2"].iloc[0]
+    assert r2.Cigar == "10M5D10M" and r2.QuerySequence == "C" * 20 and r2.MapQ == 60
+    assert r2.Quality == "I" * 20
