@@ -58,15 +58,39 @@ def read_bam(
 
 
 def read_bigwig(spark: SparkSession, path: str) -> GenomicRanges:
-    """Read a parquet-converted bigwig as (Chromosome, Start, End, Value)
-    value runs (reference readers.py:452-533)."""
+    """Read a bigwig as (Chromosome, Start, End, Value) value runs
+    (reference readers.py:452-533): native stdlib decoding for .bw/.bigwig
+    (driver walks the R-tree index, executors decompress blocks — see
+    sources/bigwig_native.py), or a parquet conversion."""
+    if path.endswith((".bw", ".bigwig", ".bigWig")):
+        from pyranges_1_x_spark.sources.bigwig_native import read_bigwig_native
+
+        return GenomicRanges(read_bigwig_native(spark, path))
     if not path.endswith((".parquet", "/")):
         raise NotImplementedError(
-            "native .bw decoding needs the optional pyBigWig dependency (absent); "
-            "convert to parquet with columns [Chromosome, Start, End, Value]"
+            "unrecognized bigwig path: pass a .bw/.bigwig file (native decode) "
+            "or a parquet conversion with columns [Chromosome, Start, End, Value]"
         )
     df = spark.read.parquet(path)
     missing = [c for c in [*nm.GENOME_LOC_COLS, "Value"] if c not in df.columns]
     if missing:
         raise ValueError(f"parquet-converted bigwig missing columns {missing}")
     return GenomicRanges(df)
+
+
+def to_bigwig_file(df, path: str, chrom_sizes: dict[str, int]) -> None:
+    """Binary bigwig sink for a (Chromosome, Start, End, Value) frame
+    (completes the reference's ``to_bigwig`` surface, core/out.py:164-224).
+
+    BigWig is a single indexed file, so the write is inherently single-node —
+    the reference's pyBigWig path is too. Rows are collected sorted; for
+    genome-scale outputs write parquet instead and convert offline."""
+    from pyranges_1_x_spark.sources.bigwig_native import write_bigwig
+
+    ids = {c: i for i, c in enumerate(chrom_sizes)}
+    rows = [
+        (r[0], int(r[1]), int(r[2]), float(r[3]))
+        for r in df.select(nm.CHROM_COL, nm.START_COL, nm.END_COL, "Value").collect()
+    ]
+    rows.sort(key=lambda r: (ids[r[0]], r[1]))
+    write_bigwig(path, rows, chrom_sizes)

@@ -73,10 +73,10 @@ def test_gff3_round_trip(spark, tmp_path):
 
 
 def test_binary_stubs(spark, tmp_path):
-    # BAM decodes natively now (see test_native_bam_roundtrip); bigwig
-    # remains parquet-converted only.
+    # BAM and bigwig both decode natively now (see the round-trip tests);
+    # only an unrecognized extension still raises the conversion hint.
     with pytest.raises(NotImplementedError):
-        read_bigwig(spark, "/some/file.bw")
+        read_bigwig(spark, "/some/file.wig.txt")
     # parquet-converted fixture path works, with flag filtering
     p = str(tmp_path / "bam.parquet")
     spark.createDataFrame(
@@ -131,3 +131,45 @@ def test_native_bam_roundtrip(spark, tmp_path):
     r2 = full[full.Name == "r2"].iloc[0]
     assert r2.Cigar == "10M5D10M" and r2.QuerySequence == "C" * 20 and r2.MapQ == 60
     assert r2.Quality == "I" * 20
+
+
+def test_native_bigwig_roundtrip(spark, tmp_path):
+    """write_bigwig emits a spec-valid bbi file (bedGraph sections, zlib
+    blocks, R-tree); read_bigwig walks the index on the driver and decodes
+    blocks distributed. Also round-trips through the to_bigwig_file sink."""
+    from pyranges_1_x_spark.sources.bigwig_native import decode_block, write_bigwig
+    from pyranges_1_x_spark.sources.binary import read_bigwig, to_bigwig_file
+
+    path = str(tmp_path / "t.bw")
+    rows = [
+        ("chr1", 0, 100, 1.5),
+        ("chr1", 100, 250, 2.0),
+        ("chr1", 300, 400, 0.25),
+        ("chr2", 0, 50, 7.0),
+    ] + [("chr2", 100 + 10 * i, 110 + 10 * i, float(i)) for i in range(2000)]
+    write_bigwig(path, rows, {"chr1": 1_000_000, "chr2": 1_000_000}, items_per_block=256)
+    got = (
+        read_bigwig(spark, path)
+        .df.toPandas()
+        .sort_values(["Chromosome", "Start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(rows)
+    assert list(got.iloc[0]) == ["chr1", 0, 100, 1.5]
+    assert list(got.iloc[3]) == ["chr2", 0, 50, 7.0]
+    assert got.Value.sum() == sum(r[3] for r in rows)
+
+    # sink round-trip: DataFrame -> binary bigwig -> DataFrame
+    out2 = str(tmp_path / "o.bw")
+    to_bigwig_file(read_bigwig(spark, path).df, out2, {"chr1": 1_000_000, "chr2": 1_000_000})
+    back = read_bigwig(spark, out2).df.toPandas().sort_values(["Chromosome", "Start"])
+    assert back.reset_index(drop=True).equals(got)
+
+    # varStep / fixedStep section decoding (format parity beyond what the
+    # writer emits)
+    import struct
+
+    var = struct.pack("<IIIIIBBH", 0, 0, 0, 0, 25, 2, 0, 2) + struct.pack("<If", 10, 1.0) + struct.pack("<If", 50, 2.0)
+    fixed = struct.pack("<IIIIIBBH", 1, 1000, 0, 100, 25, 3, 0, 2) + struct.pack("<f", 3.0) + struct.pack("<f", 4.0)
+    assert decode_block(var, {0: "chr1"}) == [("chr1", 10, 35, 1.0), ("chr1", 50, 75, 2.0)]
+    assert decode_block(fixed, {1: "chr9"}) == [("chr9", 1000, 1025, 3.0), ("chr9", 1100, 1125, 4.0)]
