@@ -80,6 +80,42 @@ isl AS (
 """
 
 
+#: Merged (island-collapsed) interval sets of `a` and `b` per Chromosome as
+#: CTEs ``am``/``bm`` with (Chromosome, s, e) — shared by set-statistic oracles.
+_MERGED_AB = """
+am AS (
+  SELECT Chromosome, MIN(Start) AS s, MAX("End") AS e FROM (
+    SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM (
+      SELECT Chromosome, Start, "End",
+             MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM a
+    )
+  ) GROUP BY Chromosome, island
+),
+bm AS (
+  SELECT Chromosome, MIN(Start) AS s, MAX("End") AS e FROM (
+    SELECT *, SUM(CASE WHEN prev_max IS NULL OR Start >= prev_max THEN 1 ELSE 0 END)
+               OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                     ROWS UNBOUNDED PRECEDING) AS island
+    FROM (
+      SELECT Chromosome, Start, "End",
+             MAX("End") OVER (PARTITION BY Chromosome ORDER BY Start, "End"
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM b
+    )
+  ) GROUP BY Chromosome, island
+),
+ab_inter AS (
+  SELECT CAST(COALESCE(SUM(LEAST(am.e, bm.e) - GREATEST(am.s, bm.s)), 0) AS BIGINT) AS il
+  FROM am JOIN bm ON am.Chromosome = bm.Chromosome AND am.s < bm.e AND bm.s < am.e
+)
+"""
+
+
 def _sp(sql: str) -> str:
     """Rewrite the shared (DuckDB-style) SQL for Spark: "ident" -> `ident`."""
     return sql.replace('"', "`")
@@ -668,6 +704,43 @@ def q_max_disjoint(spark, sf_dir):
     return a.max_disjoint_overlaps(use_strand=False).df
 
 
+def q_fdr(spark, sf_dir):
+    """Benjamini-Hochberg over a deterministic p-value column — exercises the
+    two-phase fdr plan (bucketed rank + asof suffix-min, functions/stats.py).
+    BH adjusted values are provably equal across tied p, so the
+    monotonically_increasing_id tiebreak never shows in the output."""
+    from pyranges_1_x_spark.functions.stats import fdr
+
+    a = _gr_a(spark, sf_dir)
+    d = a.df.selectExpr(
+        "row_id",
+        "CAST((row_id * 1103515245 + 12345) % 100000 AS DOUBLE) / 100000.0 AS PValue",
+    )
+    return fdr(d).select("row_id", "FDR")
+
+
+def q_jaccard_stat(spark, sf_dir):
+    from pyranges_1_x_spark.functions.stats import jaccard_statistic
+
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return jaccard_statistic(a, b)
+
+
+def q_forbes_stat(spark, sf_dir):
+    from pyranges_1_x_spark.functions.stats import forbes_statistic
+
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    genome_length = sum(s for _, s in CHROMSIZES)
+    return forbes_statistic(a, b, genome_length)
+
+
+def q_reldist(spark, sf_dir):
+    from pyranges_1_x_spark.functions.stats import relative_distance
+
+    a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
+    return relative_distance(a, b)
+
+
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over the deterministic
     synthetic media table (ml/multimodal.py). The fake decode kernel's 8
@@ -953,6 +1026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_sliding": q_window_sliding,
         "max_disjoint": q_max_disjoint,
         "multimodal_features": q_multimodal_features,
+        "fdr": q_fdr,
+        "jaccard_stat": q_jaccard_stat,
+        "forbes_stat": q_forbes_stat,
+        "reldist": q_reldist,
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
 
@@ -1853,5 +1930,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST((i * 7 + L - 1) % 256 AS FLOAT) AS DOUBLE) AS f6,
                    CAST(CAST(L AS FLOAT) AS DOUBLE) AS f7
             FROM agg
+        """,
+        "fdr": f"""
+            {_AB},
+            p AS (
+              SELECT row_id,
+                     CAST((row_id * 1103515245 + 12345) % 100000 AS DOUBLE) / 100000.0 AS pv
+              FROM a
+            ),
+            r AS (
+              SELECT row_id, pv,
+                     ROW_NUMBER() OVER (ORDER BY pv, row_id) AS rk,
+                     CAST(COUNT(*) OVER () AS DOUBLE) AS n
+              FROM p
+            ),
+            raw AS (SELECT row_id, pv * n / rk AS raw, rk FROM r),
+            sm AS (
+              SELECT row_id,
+                     MIN(raw) OVER (ORDER BY rk DESC ROWS UNBOUNDED PRECEDING) AS m
+              FROM raw
+            )
+            SELECT row_id, LEAST(m, 1.0) AS FDR FROM sm
+        """,
+        "jaccard_stat": f"""
+            {_AB}, {_MERGED_AB},
+            la AS (SELECT CAST(SUM(e - s) AS BIGINT) AS v FROM am),
+            lb AS (SELECT CAST(SUM(e - s) AS BIGINT) AS v FROM bm)
+            SELECT CAST(il AS DOUBLE) / (la.v + lb.v - il) AS jaccard,
+                   il AS intersection_length,
+                   CAST(la.v + lb.v - il AS BIGINT) AS union_length
+            FROM ab_inter, la, lb
+        """,
+        "forbes_stat": f"""
+            {_AB}, {_MERGED_AB},
+            la AS (SELECT CAST(SUM(e - s) AS BIGINT) AS v FROM am),
+            lb AS (SELECT CAST(SUM(e - s) AS BIGINT) AS v FROM bm)
+            SELECT {sum(s for _, s in CHROMSIZES)} * il / (la.v * lb.v) AS forbes
+            FROM ab_inter, la, lb
+        """,
+        "reldist": f"""
+            {_AB},
+            pts AS (
+              SELECT Chromosome, (Start + "End") / 2 AS m, 0 AS typ FROM a
+              UNION ALL
+              SELECT Chromosome, (Start + "End") / 2 AS m, 1 AS typ FROM b
+            ),
+            w AS (
+              SELECT Chromosome, m, typ,
+                MAX(CASE WHEN typ = 1 THEN m END) OVER (
+                  PARTITION BY Chromosome ORDER BY m ASC, typ DESC
+                  ROWS UNBOUNDED PRECEDING) AS prev,
+                MIN(CASE WHEN typ = 1 THEN m END) OVER (
+                  PARTITION BY Chromosome ORDER BY m DESC, typ DESC
+                  ROWS UNBOUNDED PRECEDING) AS nxt
+              FROM pts
+            )
+            SELECT LEAST((m - prev) / (nxt - prev), 1 - (m - prev) / (nxt - prev)) AS reldist
+            FROM w
+            WHERE typ = 0 AND prev IS NOT NULL AND nxt IS NOT NULL AND nxt > prev
         """,
     }
