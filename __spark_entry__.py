@@ -382,6 +382,47 @@ def q_lsh_topk(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate top-k (ml/similarity.py:ivf_topk): assign every
+    vector to its nearest coarse centroid, probe the 2 cells nearest the
+    query, brute-force within. Centroids are the embeddings of vec_ids 1..8
+    (deterministic; production would pass k-means centroids — the
+    assignment/probe plumbing under test is identical). Rank output keeps
+    the gate exact like ann/lsh_topk."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.similarity import ivf_topk
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id BETWEEN 1 AND 8").orderBy("vec_id").collect()
+    ]
+    qv = [float(x) for x in emb.filter("vec_id = 0").select("embedding").head()[0]]
+    topk = ivf_topk(emb.filter("vec_id <> 0"), qv, cents, k=10, n_probe=2)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+    return topk.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "vec_id", "rank"
+    )
+
+
+def q_winnow(spark, sf_dir):
+    """Winnowing (MOSS) document fingerprints (ml/text.py:winnow_fingerprints)
+    under the engine-portable md5 hash: every 5-gram hashed, keep window-of-4
+    minima, distinct per doc."""
+    from pyranges_1_x_spark.ml.dedup import md5_hash64
+    from pyranges_1_x_spark.ml.text import winnow_fingerprints
+
+    _load(spark, sf_dir, ["documents"])
+    return winnow_fingerprints(
+        spark.table("documents"), k=5, window=4, hash_fn=md5_hash64
+    )
+
+
 def q_cosine_simjoin(spark, sf_dir):
     """All-pairs embedding near-dup join (ml/similarity.py:98): bucket by
     hyperplane signature, verify exact cosine in-bucket only. The oracle
@@ -1030,6 +1071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_stat": q_jaccard_stat,
         "forbes_stat": q_forbes_stat,
         "reldist": q_reldist,
+        "ivf_topk": q_ivf_topk,
+        "winnow": q_winnow,
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
     }
 
@@ -1967,6 +2010,53 @@ def oracle_sql() -> dict[str, str]:
             lb AS (SELECT CAST(SUM(e - s) AS BIGINT) AS v FROM bm)
             SELECT {sum(s for _, s in CHROMSIZES)} * il / (la.v * lb.v) AS forbes
             FROM ab_inter, la, lb
+        """,
+        "ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id BETWEEN 1 AND 8),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            dots AS (
+              SELECT e.vec_id, c.cid, list_dot_product(e.v, c.cv) AS d
+              FROM e CROSS JOIN c WHERE e.vec_id <> 0
+            ),
+            mx AS (SELECT vec_id, MAX(d) AS md FROM dots GROUP BY vec_id),
+            -- MIN(cid) among max-dot centroids = the Spark side's
+            -- first-index-attaining-max tie rule (centroid i has cid i+1)
+            assign AS (
+              SELECT d.vec_id, MIN(d.cid) AS cell
+              FROM dots d JOIN mx ON d.vec_id = mx.vec_id AND d.d = mx.md
+              GROUP BY d.vec_id
+            ),
+            probes AS (
+              SELECT cid FROM c, q
+              ORDER BY list_dot_product(q.qv, c.cv) DESC, cid ASC LIMIT 2
+            ),
+            cand AS (
+              SELECT e.vec_id, list_cosine_similarity(e.v, q.qv) AS cos
+              FROM e JOIN assign a ON e.vec_id = a.vec_id, q
+              WHERE a.cell IN (SELECT cid FROM probes)
+            )
+            SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+            FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        "winnow": f"""
+            WITH g AS (
+              SELECT doc_id, trim(text) AS t,
+                     unnest(range(greatest(length(trim(text)) - 4, 1))) AS i
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, i,
+                     {_duck_md5("substr(t, CAST(i AS INTEGER) + 1, 5)")} AS hv
+              FROM g
+            ),
+            m AS (
+              SELECT doc_id, hv,
+                     MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wm
+              FROM h
+            )
+            SELECT DISTINCT doc_id, hv AS fp FROM m WHERE hv = wm
         """,
         "reldist": f"""
             {_AB},

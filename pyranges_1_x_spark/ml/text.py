@@ -8,7 +8,7 @@ row-local work plus at most one hash aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Tiny english stopword list for quality heuristics (deterministic, no deps).
@@ -75,3 +75,52 @@ def bow_signature(text: Column) -> Column:
     """Bag-of-words signature: md5 over the sorted distinct token multiset —
     equal for token-permuted near-duplicates (order-insensitive dedup key)."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    window: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    — the MOSS scheme): hash every character k-gram, slide a ``window`` over
+    consecutive positions, and keep a k-gram iff it is the minimum of the
+    window ENDING at its position. The selected set is a position-robust
+    sketch: near-duplicate documents share most fingerprints even under
+    insertions/deletions, unlike whole-document hashes.
+
+    All codegen: positions explode to rows, the per-position window minimum
+    is a bounded rows-frame window per document (no serial stage), and the
+    k-gram hash is computed directly on the substring — on a vectorized
+    engine this equals the classic rolling-hash formulation output-for-output
+    without the per-character carry loop. Returns distinct (id, fp) rows.
+    ``hash_fn`` defaults to xxhash64; pass ``md5_hash64`` for the
+    engine-portable oracle twin."""
+    if hash_fn is None:
+        from pyranges_1_x_spark.ml.dedup import xxhash64_fn
+
+        hash_fn = xxhash64_fn
+    t = F.trim(F.col(text_col))
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+    pos = df.select(
+        F.col(id_col),
+        t.alias("__t__"),
+        F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("__pos__"),
+    )
+    h = hash_fn(F.substring(F.col("__t__"), F.col("__pos__") + 1, k))
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__pos__")
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    d = pos.select(F.col(id_col), F.col("__pos__"), h.alias("__h__"))
+    d = d.withColumn("__wm__", F.min("__h__").over(w))
+    return (
+        d.filter(F.col("__h__") == F.col("__wm__"))
+        .select(F.col(id_col), F.col("__h__").alias("fp"))
+        .distinct()
+    )

@@ -188,3 +188,45 @@ def test_translate_cds_alternate_tables(spark):
     assert got.t1 == "I*R"   # standard: ATA=I, TGA=*, AGA=R
     assert got.t2 == "MW*"   # vertebrate mito: ATA=M, TGA=W, AGA=*
     assert got.t2u == "MU*"  # +U: TGA=selenocysteine
+
+
+def test_winnow_fingerprints_robust_to_insertion(spark):
+    from pyranges_1_x_spark.ml.text import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    edited = base.replace("jumps", "jumped")
+    df = spark.createDataFrame([(1, base), (2, edited)], "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=5, window=4).toPandas()
+    s1 = set(fps[fps.doc_id == 1].fp)
+    s2 = set(fps[fps.doc_id == 2].fp)
+    # local edit: most fingerprints shared, but not all
+    inter = len(s1 & s2)
+    assert inter / max(len(s1), len(s2)) > 0.5
+    assert s1 != s2
+    # identical docs -> identical fingerprint sets
+    df2 = spark.createDataFrame([(3, base), (4, base)], "doc_id long, text string")
+    fps2 = winnow_fingerprints(df2, k=5, window=4).toPandas()
+    assert set(fps2[fps2.doc_id == 3].fp) == set(fps2[fps2.doc_id == 4].fp)
+
+
+def test_ivf_topk_matches_bruteforce_in_probed_cells(spark):
+    import random
+
+    from pyranges_1_x_spark.ml.similarity import brute_force_topk, ivf_assign, ivf_topk
+
+    rng = random.Random(11)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    cents = [v for _, v in vecs[:4]]
+    qv = vecs[0][1]
+    got = ivf_topk(df.filter("vec_id <> 0"), qv, cents, k=5, n_probe=2).toPandas()
+    assert len(got) == 5
+    # IVF top-k == brute force restricted to the probed cells
+    assigned = ivf_assign(df.filter("vec_id <> 0"), cents).toPandas()
+    scored = [
+        (i, sum(x * y for x, y in zip(qv, c))) for i, c in enumerate(cents)
+    ]
+    probes = {i for i, _ in sorted(scored, key=lambda t: (-t[1], t[0]))[:2]}
+    keep = set(assigned[assigned.__cell__.isin(probes)].vec_id)
+    bf = brute_force_topk(df.filter(df.vec_id.isin(keep)), qv, k=5).toPandas()
+    assert list(got.vec_id) == list(bf.vec_id)
