@@ -73,3 +73,92 @@ def sessionize(
             "sum_value",
         )
     )
+
+
+def running_anomalies(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key running mean/variance
+    (Welford) carried ACROSS micro-batches via ``applyInPandasWithState``,
+    emitting every event whose value deviates more than ``z_threshold``
+    standard deviations from the statistics accumulated so far.
+
+    This is the class of operator Spark's built-ins cannot express — the
+    state is not a windowed aggregate but an unbounded running fold whose
+    PER-EVENT output depends on all history before that event. Semantics are
+    deterministic given the per-key event-time order: rows fold in ``ts``
+    order within each batch, and each row is scored against the state BEFORE
+    it (its own value never suppresses its own alert).
+
+    State per key is three scalars (count, mean, M2) — O(#keys) total, no
+    growth with stream length; NoTimeout keeps keys alive for the stream's
+    lifetime, which is the intended contract for fleet-style monitoring keys
+    (bounded cardinality).
+    """
+    import math
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField(ts_col, TimestampType()),
+            StructField(value_col, DoubleType()),
+            StructField("zscore", DoubleType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("count", LongType()),
+            StructField("mean", DoubleType()),
+            StructField("m2", DoubleType()),
+        ]
+    )
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.exists:
+            count, mean, m2 = state.get
+        else:
+            count, mean, m2 = 0, 0.0, 0.0
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col, kind="mergesort")
+            for ts, v in zip(pdf[ts_col], pdf[value_col]):
+                v = float(v)
+                if count >= 2:
+                    sd = math.sqrt(m2 / (count - 1))
+                    if sd > 0 and abs(v - mean) / sd > z_threshold:
+                        out_rows.append((key[0], ts, v, (v - mean) / sd, count))
+                count += 1
+                delta = v - mean
+                mean += delta / count
+                m2 += delta * (v - mean)
+        state.update((count, mean, m2))
+        yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
+
+    return (
+        events.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -120,3 +120,51 @@ def test_load_events_timestamp_contract(spark):
     ).fetchone()
     assert pd.Timestamp(got.lo) == pd.Timestamp(want[0])
     assert pd.Timestamp(got.hi) == pd.Timestamp(want[1])
+
+
+def test_running_anomalies_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: Welford state must SURVIVE across micro-batches
+    (maxFilesPerTrigger=1 forces one batch per file), and each event scores
+    against the statistics accumulated before it."""
+    from pyranges_1_x_spark.streaming.events import running_anomalies
+
+    d = str(tmp_path / "anom_in")
+    schema = "event_type string, ts timestamp, value double"
+    base = pd.Timestamp("2026-01-01")
+    # batch 1: 20 calm values (mean ~0, sd ~1). batch 2: one huge spike.
+    calm = pd.DataFrame(
+        {
+            "event_type": ["a"] * 20,
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(20)],
+            "value": [(-1.0) ** i * (1.0 + 0.1 * i) for i in range(20)],
+        }
+    )
+    spike = pd.DataFrame(
+        {
+            "event_type": ["a", "a"],
+            "ts": [base + pd.Timedelta(hours=1), base + pd.Timedelta(hours=2)],
+            "value": [100.0, 0.5],
+        }
+    )
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    spark.createDataFrame(calm, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(spike, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = running_anomalies(stream, z_threshold=3.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("anom_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("anom_sink").toPandas()
+    # only the spike alerts; its n_seen proves the calm batch's state was there
+    assert len(got) == 1
+    assert got.value.iloc[0] == 100.0
+    assert got.n_seen.iloc[0] >= 20
+    assert got.zscore.iloc[0] > 3.0
