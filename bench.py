@@ -40,11 +40,20 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the session once (JVM/codegen/executor-thread spin-up) so the
-    # first measured query is charged for its own plan, not for session
-    # startup — r5 measurements showed the first query absorbing ~7s of
-    # warmup regardless of which query ran first.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm the session once (JVM/codegen/broadcast/parquet-reader classload)
+    # so the first measured query is charged for its own plan, not for
+    # session startup — r5 measurements showed the first query absorbing
+    # ~6-8s of infrastructure warmup regardless of which query ran first.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    warm = spark.range(1_000_000).join(F.broadcast(spark.range(1000)), on="id")
+    warm.write.format("noop").mode("overwrite").save()
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:  # noqa: BLE001
+        pass
 
     import gc
 
