@@ -26,7 +26,13 @@ def merge_overlaps(
     (Chromosome[,Strand][,match_by]); metadata columns are dropped
     (reference merge_overlaps doctest, pyranges_main.py:2111-2131)."""
     keys = self.group_keys(use_strand, match_by)
-    out = island_agg(self.df, keys, slack=slack, count_col=count_col)
+    out = island_agg(
+        self.df,
+        keys,
+        slack=slack,
+        count_col=count_col,
+        bucket_width=self.resolve_bin(None) * 16,
+    )
     return GenomicRanges(out)
 
 
@@ -48,7 +54,12 @@ def cluster_overlaps(
     force a global sequential numbering (which would serialize at scale)."""
     keys = self.group_keys(use_strand, match_by)
     out = assign_islands(
-        self.df, keys, slack=slack, island_col=cluster_column, tiebreak=tiebreak
+        self.df,
+        keys,
+        slack=slack,
+        island_col=cluster_column,
+        tiebreak=tiebreak,
+        bucket_width=self.resolve_bin(None) * 16,
     )
     return GenomicRanges(out)
 

@@ -40,7 +40,9 @@ def subtract_overlaps(
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
     blockers, bkeys = rename_keys(
-        island_agg(odf.select(*keys, nm.START_COL, nm.END_COL), keys)
+        island_agg(
+            odf.select(*keys, nm.START_COL, nm.END_COL), keys, bucket_width=bin_size * 16
+        )
         .withColumnRenamed(nm.START_COL, "__bs__")
         .withColumnRenamed(nm.END_COL, "__be__"),
         keys,
@@ -110,7 +112,11 @@ def complement_ranges(
     ``include_first_interval`` the leading gap is emitted even without sizes.
     """
     keys = self.group_keys(use_strand, match_by)
-    merged = island_agg(self.df.select(*keys, nm.START_COL, nm.END_COL), keys)
+    merged = island_agg(
+        self.df.select(*keys, nm.START_COL, nm.END_COL),
+        keys,
+        bucket_width=self.resolve_bin(None) * 16,
+    )
     w = Window.partitionBy(*keys).orderBy(F.col(nm.START_COL).asc())
     nxt = F.lead(nm.START_COL).over(w)
     gaps = (
@@ -159,7 +165,9 @@ def set_union_overlaps(
     odf, keys = self._binary_prepared(other, strand_behavior)
     cols = [*keys, nm.START_COL, nm.END_COL]
     both = self.df.select(*cols).unionByName(odf.select(*cols))
-    return GenomicRanges(island_agg(both, keys))
+    return GenomicRanges(
+        island_agg(both, keys, bucket_width=self.resolve_bin(None) * 16)
+    )
 
 
 def set_intersect_overlaps(
@@ -171,9 +179,9 @@ def set_intersect_overlaps(
     odf, keys = self._binary_prepared(other, strand_behavior)
     bin_size = self.resolve_bin(bin_size)
     cols = [*keys, nm.START_COL, nm.END_COL]
-    a = island_agg(self.df.select(*cols), keys)
+    a = island_agg(self.df.select(*cols), keys, bucket_width=bin_size * 16)
     b, bkeys = rename_keys(
-        island_agg(odf.select(*cols), keys)
+        island_agg(odf.select(*cols), keys, bucket_width=bin_size * 16)
         .withColumnRenamed(nm.START_COL, "__bs__")
         .withColumnRenamed(nm.END_COL, "__be__"),
         keys,

@@ -4,20 +4,32 @@ The reference funnels merge/cluster through ``ruranges.numpy.merge`` /
 ``ruranges.numpy.cluster`` (a sorted sweep per group,
 ``/root/reference/pyranges1/methods/merge.py:29-34``,
 ``range_frame/range_frame.py:255-260``). On Spark the same sweep is a window
-function: sort each (Chromosome[,Strand][,match_by...]) partition by Start and
-flag a new island whenever ``Start >= max(End so far) + slack`` — verified
-against the reference's cluster_overlaps doctest
-(``core/pyranges_main.py:700-745``: slack=0 does NOT merge bookended intervals,
-slack=1 does).
+function: sort by Start and flag a new island whenever
+``Start >= max(End so far) + slack`` — verified against the reference's
+cluster_overlaps doctest (``core/pyranges_main.py:700-745``: slack=0 does NOT
+merge bookended intervals, slack=1 does).
 
-Scale posture: the window partitions by the grouping keys only, so one
-chromosome = one sort partition. Window state is O(1) (a running max), Spark
-external-sorts within partitions, and the downstream groupBy(island) is a
-map-side-combinable hash agg — this holds at 100TB as long as a single
-(chrom,strand) partition fits on one executor's disk for sorting, which is the
-same contract a range-partitioned sort would need. Skewed chromosomes are the
-known cost; AQE cannot split a window partition, so extremely hot keys should be
-pre-split upstream by adding a coarse ``match_by`` salt when semantics allow.
+Scale posture — two-phase bucketed scan (same decomposition as
+``plans/sweep.py``): a plain ``Window.partitionBy(keys)`` puts a whole
+chromosome in ONE task (~25-way parallelism cap no matter the cluster). The
+island scan is a running ``max(End)`` — associative — so it splits:
+
+1. bucket the Start axis (``floor(Start / bucket_width)``; bucket order is
+   consistent with Start order, ties always share a bucket) and compute the
+   bucket-local exclusive running max(End) per (keys, bucket) — parallelism =
+   #buckets;
+2. patch each bucket with ``max(End)`` of all EARLIER buckets, prefix-scanned
+   over the tiny one-row-per-bucket summary and broadcast back. A row's true
+   preceding-max is ``greatest(local, patch)``, which decides ``is_new``
+   row-locally;
+3. the island id (global prefix count of ``is_new``) decomposes the same way:
+   bucket-local cumsum + the broadcast prefix total of earlier buckets.
+
+Cost shape: one full-width shuffle on (keys, bucket) — whose exchange Catalyst
+reuses for the phase-3 summary branch (ReusedExchange; the bucket-local window
+sort runs twice) — plus two summary-sized broadcasts. Callers that already pay
+for a cache can persist the input. ``bucket_width=None`` (or 0) falls back to
+the single-window-per-keys plan for bounded inputs.
 """
 
 from __future__ import annotations
@@ -25,9 +37,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pyranges_1_x_spark.names import END_COL, ISLAND_COL, START_COL
+from pyranges_1_x_spark.names import DEFAULT_BIN_SIZE, END_COL, ISLAND_COL, START_COL
+from pyranges_1_x_spark.plans.interval_join import floordiv
 
 __all__ = ["assign_islands", "island_agg"]
+
+#: Default island bucket width: coarse multiple of the join bin so each bucket
+#: holds enough rows to amortize its summary row.
+DEFAULT_ISLAND_BUCKET = DEFAULT_BIN_SIZE * 16
+
+
+def _is_new(prev_max, slack: int):
+    return F.when(
+        prev_max.isNull() | (F.col(START_COL) >= prev_max + F.lit(slack)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
 
 
 def assign_islands(
@@ -37,26 +61,81 @@ def assign_islands(
     slack: int = 0,
     island_col: str = ISLAND_COL,
     tiebreak: list[str] | None = None,
+    bucket_width: int | None = DEFAULT_ISLAND_BUCKET,
 ) -> DataFrame:
     """Attach a per-group island id (0-based within each key-group).
 
     Two intervals share an island iff they are transitively connected by
-    ``Start < prev_interval_max_End + slack``. ``tiebreak`` columns make the
-    sort (and thus island numbering) fully deterministic when (Start, End) ties.
+    ``Start < prev_interval_max_End + slack``. Island MEMBERSHIP is a function
+    of the coordinate multiset only (ties on (Start, End) are coordinate-
+    identical rows, which always co-island); ``tiebreak`` columns additionally
+    pin the scan order so downstream per-island sorts are fully deterministic.
     """
     order = [F.col(START_COL).asc(), F.col(END_COL).asc()] + [
         F.col(c).asc() for c in (tiebreak or [])
     ]
-    w = Window.partitionBy(*keys).orderBy(*order)
-    prev_max_end = F.max(END_COL).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    is_new = F.when(
-        prev_max_end.isNull() | (F.col(START_COL) >= prev_max_end + F.lit(slack)),
-        F.lit(1),
-    ).otherwise(F.lit(0))
-    island = (
-        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1
+    if not bucket_width:
+        w = Window.partitionBy(*keys).orderBy(*order)
+        prev_max = F.max(END_COL).over(w.rowsBetween(Window.unboundedPreceding, -1))
+        island = (
+            F.sum(_is_new(prev_max, slack)).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            - 1
+        )
+        return df.withColumn(island_col, island.cast("long"))
+
+    bkt = "__ibkt__"
+    d = df.withColumn(bkt, floordiv(F.col(START_COL), bucket_width))
+
+    # Phase 2 summary first (cheap pruned scan + map-side-combined agg):
+    # patch = max(End) over all earlier buckets of the same key-group.
+    ws = Window.partitionBy(*keys).orderBy(F.col(bkt).asc())
+    patch = (
+        d.groupBy(*keys, bkt)
+        .agg(F.max(END_COL).alias("__bmax__"))
+        .select(
+            *keys,
+            bkt,
+            F.max("__bmax__")
+            .over(ws.rowsBetween(Window.unboundedPreceding, -1))
+            .alias("__patch__"),
+        )
     )
-    return df.withColumn(island_col, island.cast("long"))
+
+    # Phase 1: bucket-local exclusive running max, patched to the true
+    # preceding max; is_new becomes row-local.
+    wl = Window.partitionBy(*keys, bkt).orderBy(*order)
+    local = d.withColumn(
+        "__lpm__", F.max(END_COL).over(wl.rowsBetween(Window.unboundedPreceding, -1))
+    ).join(F.broadcast(patch), on=[*keys, bkt])
+    # greatest() skips nulls: first bucket has null patch, bucket-first rows
+    # have null local max; both-null => very first row of the key-group.
+    prev_max = F.greatest(F.col("__lpm__"), F.col("__patch__"))
+    flagged = local.withColumn("__inew__", _is_new(prev_max, slack))
+
+    # Phase 3: global island id = bucket-local cumsum of is_new + the count of
+    # islands started in earlier buckets (prefix over the summary relation).
+    flagged = flagged.withColumn(
+        "__lcum__",
+        F.sum("__inew__").over(wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    offsets = (
+        flagged.groupBy(*keys, bkt)
+        .agg(F.sum("__inew__").alias("__bn__"))
+        .select(
+            *keys,
+            bkt,
+            F.coalesce(
+                F.sum("__bn__").over(ws.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ).alias("__ioff__"),
+        )
+    )
+    out = flagged.join(F.broadcast(offsets), on=[*keys, bkt]).withColumn(
+        island_col, (F.col("__ioff__") + F.col("__lcum__") - 1).cast("long")
+    )
+    return out.drop(bkt, "__lpm__", "__patch__", "__inew__", "__lcum__", "__ioff__")
 
 
 def island_agg(
@@ -66,12 +145,15 @@ def island_agg(
     slack: int = 0,
     count_col: str | None = None,
     tiebreak: list[str] | None = None,
+    bucket_width: int | None = DEFAULT_ISLAND_BUCKET,
 ) -> DataFrame:
     """Merge overlapping intervals per key-group (the `merge` kernel equivalent).
 
     Returns one row per island: keys..., Start=min, End=max [, count_col].
     """
-    with_islands = assign_islands(df, keys, slack=slack, tiebreak=tiebreak)
+    with_islands = assign_islands(
+        df, keys, slack=slack, tiebreak=tiebreak, bucket_width=bucket_width
+    )
     aggs = [
         F.min(START_COL).alias(START_COL),
         F.max(END_COL).alias(END_COL),
