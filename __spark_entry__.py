@@ -424,11 +424,13 @@ def q_winnow(spark, sf_dir):
 
 
 def q_cosine_simjoin(spark, sf_dir):
-    """All-pairs embedding near-dup join (ml/similarity.py:98): bucket by
-    hyperplane signature, verify exact cosine in-bucket only. The oracle
-    mirrors the SAME bucketing, so in-bucket semantics (not recall) is what
-    is gated; cos_micro fixed-point avoids raw-double hashing (nearest result
-    to a micro boundary is 6.9e-7 on the test data, noise ~1e-9)."""
+    """All-pairs embedding near-dup join (ml/similarity.py): BANDED hyperplane
+    LSH — 18 planes in 3 bands of 6, candidate = agree on any band, emitted
+    once from the first agreeing band, exact cosine verified per pair. The
+    oracle mirrors the SAME banding (OR of per-band signature equality), so
+    banded-candidate semantics (not recall) is what is gated; cos_micro
+    fixed-point avoids raw-double hashing (nearest result to a micro boundary
+    is 6.9e-7 on the test data, noise ~1e-9)."""
     from pyspark.sql import functions as F
 
     from pyranges_1_x_spark.ml.similarity import cosine_similarity_join
@@ -437,7 +439,7 @@ def q_cosine_simjoin(spark, sf_dir):
     emb = spark.table("embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    out = cosine_similarity_join(emb, _lsh_planes(), threshold=0.3)
+    out = cosine_similarity_join(emb, _lsh_planes(64, 18), threshold=0.3, bands=3)
     return out.select(
         "id_a", "id_b", F.floor(F.col("cosine") * 1e6).cast("long").alias("cos_micro")
     )
@@ -1318,15 +1320,24 @@ def oracle_sql() -> dict[str, str]:
             FROM cand ORDER BY cos DESC, vec_id ASC LIMIT 10
         """,
         "cosine_simjoin": f"""
+            -- Banded twin: pair is a candidate iff any of the 3 band
+            -- signatures (6 planes each) agree; the OR-join emits each pair
+            -- once, matching the Spark side's first-agreeing-band emit-once.
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             ),
             s AS (
-              SELECT vec_id, v, {_duck_sig_expr("v", _lsh_planes())} AS sig FROM e
+              SELECT vec_id, v,
+                     {_duck_sig_expr("v", _lsh_planes(64, 18)[0:6])} AS sig0,
+                     {_duck_sig_expr("v", _lsh_planes(64, 18)[6:12])} AS sig1,
+                     {_duck_sig_expr("v", _lsh_planes(64, 18)[12:18])} AS sig2
+              FROM e
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    CAST(FLOOR(list_cosine_similarity(a.v, b.v) * 1e6) AS BIGINT) AS cos_micro
-            FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+            FROM s a JOIN s b
+              ON a.vec_id < b.vec_id
+             AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2)
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
         """,
         "extend_orfs": _orf_oracle_sql(),
