@@ -47,6 +47,22 @@ def _resolve_use_strand(has_strand: bool, use_strand: Union[bool, str]) -> bool:
     return bool(use_strand)
 
 
+def _natkey_py(name) -> tuple:
+    """Driver-side natural-sort key (chr2 < chr11): digit runs compare
+    numerically — the Python twin of operators/sort.natkey."""
+    import re
+
+    s = str(name)
+    s = s[3:] if s.startswith("chr") else s
+    # type-tagged parts: numeric runs sort numerically and before letter runs
+    # (chr1..chr22 < chrM/X/Y), never raising int-vs-str comparisons
+    return tuple(
+        (0, int(part), "") if part.isdigit() else (1, 0, part)
+        for part in re.split(r"(\d+)", s)
+        if part
+    )
+
+
 class GenomicRanges:
     """Interval-frame façade over a Spark DataFrame (see module docstring)."""
 
@@ -154,6 +170,54 @@ class GenomicRanges:
                 .otherwise(F.col(nm.STRAND_COL)),
             )
         )
+
+    # -- strand validity (reference pyranges_main.py:3418-3452+) -----------
+    @property
+    def strand_valid(self) -> bool:
+        """Whether strand info is valid: a Strand column exists AND every
+        value is '+' or '-' (reference strand_valid, pyranges_main.py:3418-3450).
+        NB: an eager action (scans until the first invalid value)."""
+        if not self.has_strand:
+            return False
+        return self._df.filter(~F.col(nm.STRAND_COL).isin("+", "-")).isEmpty()
+
+    def make_strand_valid(self) -> "GenomicRanges":
+        """Coerce invalid Strand values to '+'; add an all-'+' Strand column if
+        absent (reference make_strand_valid, pyranges_main.py:3452+)."""
+        if not self.has_strand:
+            return GenomicRanges(self._df.withColumn(nm.STRAND_COL, F.lit("+")))
+        return GenomicRanges(
+            self._df.withColumn(
+                nm.STRAND_COL,
+                F.when(F.col(nm.STRAND_COL).isin("+", "-"), F.col(nm.STRAND_COL)).otherwise(
+                    F.lit("+")
+                ),
+            )
+        )
+
+    # -- natsorted distinct helpers (reference pyranges_main.py:611-632) ---
+    @property
+    def chromosomes(self) -> list:
+        """Distinct chromosomes, natsorted (chr2 < chr11). Driver-side list by
+        contract (the reference returns a Python list); the distinct is a
+        map-side-combinable hash agg over one column."""
+        rows = self._df.select(nm.CHROM_COL).distinct().collect()
+        return sorted((r[0] for r in rows), key=_natkey_py)
+
+    @property
+    def chromosomes_and_strands(self) -> list:
+        """Distinct (chromosome, strand) pairs, natsorted; raises without a
+        Strand column (reference pyranges_main.py:617-632)."""
+        if not self.has_strand:
+            raise ValueError("PyRanges has no strand column.")
+        rows = self._df.select(nm.CHROM_COL, nm.STRAND_COL).distinct().collect()
+        return sorted(
+            ((r[0], r[1]) for r in rows), key=lambda t: (_natkey_py(t[0]), t[1])
+        )
+
+    def sort_by_position(self) -> "GenomicRanges":
+        """Plain (Start, End) sort (reference range_frame.py:713-715)."""
+        return GenomicRanges(self._df.orderBy(nm.START_COL, nm.END_COL))
 
     @property
     def loci(self) -> "_LociAccessor":

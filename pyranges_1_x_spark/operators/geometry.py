@@ -107,23 +107,36 @@ def window_ranges(self: GenomicRanges, window_size: int) -> GenomicRanges:
 
 
 def clip_ranges(
-    self: GenomicRanges, chromsizes: DataFrame, *, mode: str = "clip"
+    self: GenomicRanges, chromsizes: DataFrame, *, mode: str = "clip",
+    only_right: bool = False,
 ) -> GenomicRanges:
     """Clip to [0, chrom_size) or drop out-of-bounds rows
     (reference genome_bounds, pyranges_main.py:6219-6226). ``chromsizes`` is a
-    small (Chromosome, End=size) DataFrame — broadcast by construction."""
+    small (Chromosome, End=size) DataFrame — broadcast by construction.
+
+    ``only_right`` (reference pyranges_main.py:6090-6094): act only on
+    intervals out-of-bounds on the right (End > size); leave Start < 0
+    untouched (clip) / un-dropped (remove)."""
     sizes = chromsizes.select(
         F.col(nm.CHROM_COL), F.col(nm.END_COL).cast("long").alias("__size__")
     )
     d = self.df.join(F.broadcast(sizes), on=nm.CHROM_COL, how="inner")
     if mode == "clip":
+        clamped_start = (
+            F.col(nm.START_COL)
+            if only_right
+            else F.greatest(F.col(nm.START_COL), F.lit(0))
+        )
         out = (
-            d.withColumn(nm.START_COL, F.greatest(F.col(nm.START_COL), F.lit(0)))
+            d.withColumn(nm.START_COL, clamped_start)
             .withColumn(nm.END_COL, F.least(F.col(nm.END_COL), F.col("__size__")))
             .filter(F.col(nm.START_COL) < F.col(nm.END_COL))
         )
     elif mode == "remove":
-        out = d.filter((F.col(nm.START_COL) >= 0) & (F.col(nm.END_COL) <= F.col("__size__")))
+        in_bounds = F.col(nm.END_COL) <= F.col("__size__")
+        if not only_right:
+            in_bounds = (F.col(nm.START_COL) >= 0) & in_bounds
+        out = d.filter(in_bounds)
     else:
         raise ValueError("mode must be 'clip' or 'remove'")
     return GenomicRanges(out.drop("__size__"))

@@ -83,12 +83,25 @@ def slice_ranges(
     *,
     use_strand="auto",
     tiebreak=None,
+    count_introns: bool = False,
 ) -> GenomicRanges:
     """Spliced subsequence [start, end) in transcript-local coordinates;
     negative indices count from the 3' end (reference slice_ranges,
     methods/slice_ranges.py:37-48). Each exon is clipped to the requested
     local window and mapped back to genomic coordinates; exons falling
-    entirely outside disappear."""
+    entirely outside disappear.
+
+    ``count_introns=True`` (reference pyranges_main.py:3235-3258): local
+    coordinates count the UNSPLICED span — the reference composes
+    outer_ranges -> slice_ranges -> intersect; since each group's boundary is
+    a single interval, that composition collapses to window min/max + per-row
+    clip arithmetic here (no join): slice the [group min Start, group max End)
+    span in local (strand-aware) coordinates, then intersect each input row
+    with its group's sliced span."""
+    if count_introns:
+        return _slice_unspliced(
+            self, start, end, group_by, use_strand=use_strand
+        )
     keys = _group_keys(self, group_by)
     neg = _neg(self, use_strand)
     w = _five_prime_window(keys, neg, tiebreak)
@@ -127,6 +140,55 @@ def slice_ranges(
         .withColumn(nm.START_COL, F.col("__ns__"))
         .withColumn(nm.END_COL, F.col("__ne__"))
         .drop("__ls__", "__le__", "__tot__", "__lo__", "__hi__", "__ns__", "__ne__")
+    )
+    return GenomicRanges(out)
+
+
+def _slice_unspliced(
+    self: GenomicRanges,
+    start: int,
+    end: int | None,
+    group_by,
+    *,
+    use_strand="auto",
+) -> GenomicRanges:
+    """slice_ranges(count_introns=True): intron-counting (unspliced) slice.
+
+    Without ``group_by`` every row is its own group (the reference's temp
+    per-row transcript id, pyranges_main.py:3241-3246), so the group span IS
+    the row and the whole thing is row-local arithmetic.
+    """
+    neg = _neg(self, use_strand)
+    if group_by is None:
+        gs, ge = F.col(nm.START_COL), F.col(nm.END_COL)
+    else:
+        keys = _group_keys(self, group_by)
+        w = Window.partitionBy(*keys)
+        gs, ge = F.min(nm.START_COL).over(w), F.max(nm.END_COL).over(w)
+
+    total = ge - gs
+    qs = F.lit(start) if start >= 0 else total + F.lit(start)
+    if end is None:
+        qe = total
+    elif end >= 0:
+        qe = F.lit(end)
+    else:
+        qe = total + F.lit(end)
+    qs, qe = F.greatest(qs, F.lit(0)), F.least(qe, total)
+
+    # The sliced group span in genomic coordinates (reflected on '-' strand),
+    # then each row intersected with it.
+    span_s = F.when(neg, ge - qe).otherwise(gs + qs)
+    span_e = F.when(neg, ge - qs).otherwise(gs + qe)
+    ns = F.greatest(F.col(nm.START_COL), span_s)
+    ne = F.least(F.col(nm.END_COL), span_e)
+    out = (
+        self.df.withColumn("__ns__", ns)
+        .withColumn("__ne__", ne)
+        .filter(F.col("__ns__") < F.col("__ne__"))
+        .withColumn(nm.START_COL, F.col("__ns__"))
+        .withColumn(nm.END_COL, F.col("__ne__"))
+        .drop("__ns__", "__ne__")
     )
     return GenomicRanges(out)
 

@@ -12,6 +12,9 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # Event-time semantics must not depend on the host timezone (ADVICE r5:
+        # timestamp_ntz -> timestamp casts are session-timezone-dependent).
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "4g")
         .getOrCreate()
     )

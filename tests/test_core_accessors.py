@@ -84,3 +84,90 @@ def test_group_by_returns_plain_df_otherwise(gr):
     res = gr.group_by("Chromosome").agg(F.count(F.lit(1)).alias("n"))
     assert not isinstance(res, GenomicRanges)
     assert {r["Chromosome"]: r["n"] for r in res.collect()} == {"chr1": 3, "chr2": 1}
+
+
+def test_strand_valid_and_make_strand_valid(spark):
+    # reference doctests pyranges_main.py:3418-3452+
+    import pandas as pd
+
+    d = pd.DataFrame(
+        {"Chromosome": ["chr1", "chr1"], "Start": [1, 6], "End": [5, 8], "Strand": ["+", "."]}
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    assert g.strand_valid is False
+    fixed = g.make_strand_valid()
+    assert fixed.strand_valid is True
+    assert sorted(r["Strand"] for r in fixed.df.collect()) == ["+", "+"]
+    # no Strand column at all -> invalid; make valid adds all-'+'
+    g2 = GenomicRanges(spark.createDataFrame(d.drop(columns=["Strand"])))
+    assert g2.strand_valid is False
+    assert g2.make_strand_valid().strand_valid is True
+
+
+def test_chromosomes_natsorted(spark):
+    import pandas as pd
+
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["chr11", "chr2", "chrM", "chr1", "chr2"],
+            "Start": [0, 0, 0, 0, 5],
+            "End": [1, 1, 1, 1, 6],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    assert g.chromosomes == ["chr1", "chr2", "chr11", "chrM"]
+
+
+def test_chromosomes_and_strands(spark):
+    # reference doctest pyranges_main.py:617-632
+    import pandas as pd
+
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["1", "2", "2", "3"],
+            "Start": [1, 2, 3, 9],
+            "End": [3, 3, 10, 12],
+            "Strand": ["+", "-", "+", "-"],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    assert g.chromosomes_and_strands == [("1", "+"), ("2", "+"), ("2", "-"), ("3", "-")]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="no strand column"):
+        _ = GenomicRanges(spark.createDataFrame(d.drop(columns=["Strand"]))).chromosomes_and_strands
+
+
+def test_sort_by_position(spark):
+    import pandas as pd
+
+    d = pd.DataFrame(
+        {"Chromosome": ["c", "c", "c"], "Start": [9, 1, 1], "End": [10, 5, 3]}
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    out = g.sort_by_position().df.toPandas()
+    assert list(map(tuple, out[["Start", "End"]].values)) == [(1, 3), (1, 5), (9, 10)]
+
+
+def test_clip_ranges_only_right(spark):
+    # reference doctest pyranges_main.py:6171-6191 (w fixture + only_right)
+    import pandas as pd
+
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["1", "1", "1"],
+            "Start": [-10, 249250600, 100],
+            "End": [2, 249250640, 150],
+        }
+    )
+    sizes = spark.createDataFrame(
+        pd.DataFrame({"Chromosome": ["1"], "End": [249250620]})
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    out = g.clip_ranges(sizes, only_right=True).df.toPandas()
+    got = sorted(map(tuple, out[["Start", "End"]].values))
+    assert got == [(-10, 2), (100, 150), (249250600, 249250620)]
+    # remove + only_right keeps the negative-Start row, drops right overhang
+    out2 = g.clip_ranges(sizes, mode="remove", only_right=True).df.toPandas()
+    got2 = sorted(map(tuple, out2[["Start", "End"]].values))
+    assert got2 == [(-10, 2), (100, 150)]

@@ -98,3 +98,44 @@ def test_calculate_frame(exons):
     res = exons.calculate_frame("gene_name").df.toPandas()
     ddx = res[res.gene_name == "DDX11L1"].sort_values("Start")
     assert ddx.Frame.tolist() == [0, 359 % 3, 468 % 3]
+
+
+def _slice_fixture(spark):
+    """Reference slice_ranges doctest frame (pyranges_main.py:3144-3149)."""
+    return GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "Chromosome": ["1", "1", "2", "2", "3"],
+                    "Strand": ["+", "+", "-", "-", "+"],
+                    "Start": [1, 40, 10, 70, 140],
+                    "End": [11, 60, 25, 80, 152],
+                    "transcript_id": ["t1", "t1", "t2", "t2", "t3"],
+                }
+            )
+        )
+    )
+
+
+def test_slice_ranges_count_introns_unstranded(spark):
+    # reference doctest pyranges_main.py:3186-3196
+    p = _slice_fixture(spark)
+    res = p.slice_ranges(0, 50, group_by="transcript_id", count_introns=True, use_strand=False)
+    got = {(r.transcript_id, r.Start, r.End) for r in res.df.toPandas().itertuples()}
+    assert got == {("t1", 1, 11), ("t1", 40, 51), ("t2", 10, 25), ("t3", 140, 152)}
+
+
+def test_slice_ranges_count_introns_negative_stranded(spark):
+    # reference doctest pyranges_main.py:3198-3208
+    p = _slice_fixture(spark)
+    res = p.slice_ranges(-50, -5, group_by="transcript_id", count_introns=True)
+    got = {(r.transcript_id, r.Start, r.End) for r in res.df.toPandas().itertuples()}
+    assert got == {("t1", 10, 11), ("t1", 40, 55), ("t2", 15, 25), ("t3", 140, 147)}
+
+
+def test_slice_ranges_count_introns_rowwise(spark):
+    # no group_by: every row is its own span (temp per-row id in the reference)
+    p = _slice_fixture(spark)
+    res = p.slice_ranges(0, 5, count_introns=True, use_strand=False)
+    got = {(r.Start, r.End) for r in res.df.toPandas().itertuples()}
+    assert got == {(1, 6), (40, 45), (10, 15), (70, 75), (140, 145)}
