@@ -784,6 +784,30 @@ def q_reldist(spark, sf_dir):
     return relative_distance(a, b)
 
 
+def q_running_anomalies(spark, sf_dir):
+    """Batch twin of the stateful streaming anomaly operator
+    (streaming/events.py running_anomalies): the SAME Welford fold, run once
+    per key over the full history via applyInPandas, each event scored
+    against the statistics of all events strictly before it in
+    (ts, event_id) order. The oracle is the prefix-window formulation
+    (AVG/VAR_SAMP over UNBOUNDED PRECEDING..1 PRECEDING); z is gated at 1e-4
+    fixed point — margins of |z|-threshold and z*1e4-to-boundary verified
+    >= 1e-5 at sf0.01/sf0.1, far above the ~1e-12 Welford-vs-naive float
+    divergence."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.streaming.events import running_anomalies_batch
+
+    ev = _load_events(spark, sf_dir)
+    out = running_anomalies_batch(ev, id_col="event_id", z_threshold=3.0)
+    return out.select(
+        "event_type",
+        "event_id",
+        "n_seen",
+        F.floor(F.col("zscore") * 1e4).cast("long").alias("z_tenmilli"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over the deterministic
     synthetic media table (ml/multimodal.py). The fake decode kernel's 8
@@ -1073,6 +1097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_stat": q_jaccard_stat,
         "forbes_stat": q_forbes_stat,
         "reldist": q_reldist,
+        "running_anomalies": q_running_anomalies,
         "ivf_topk": q_ivf_topk,
         "winnow": q_winnow,
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
@@ -1930,27 +1955,34 @@ def oracle_sql() -> dict[str, str]:
             -- partitioned by (Chromosome, island) — 35x faster than the flat
             -- per-chromosome recursion (3.8s vs 135s at sf0.01), verified
             -- row-identical. Rows are ranked in the operator's greedy order
-            -- (End, Start, row_id); each recursive step jumps to the first
-            -- eligible rank after the last accepted row — identical to the
-            -- sequential scan because every skipped row has Start < last_end.
+            -- (End, Start, row_id); the recursion STEPS rank -> rank+1
+            -- carrying (last accepted End, kept flag) — a plain equi-join
+            -- recursion, #iterations = max island size (207 at sf0.01). The
+            -- r5-era formulation jumped to the next eligible rank via
+            -- JOIN LATERAL ... ORDER BY/LIMIT 1 inside the recursion, which
+            -- DuckDB executed nondeterministically under load (observed once
+            -- dropping one row in ~20 fresh-process runs — the VERDICT r5
+            -- max_disjoint "flake" was the oracle, not the operator).
             ordered AS (
               SELECT *, row_number() OVER (
                 PARTITION BY Chromosome, island ORDER BY "End", Start, row_id) AS rn
               FROM isl
             ),
             g AS (
-              SELECT Chromosome, island, rn, "End" AS last_end FROM ordered WHERE rn = 1
+              SELECT Chromosome, island, rn, "End" AS last_end, TRUE AS kept
+              FROM ordered WHERE rn = 1
               UNION ALL
-              SELECT nxt.Chromosome, nxt.island, nxt.rn, nxt."End"
-              FROM g JOIN LATERAL (
-                SELECT o.Chromosome, o.island, o.rn, o."End" FROM ordered o
-                WHERE o.Chromosome = g.Chromosome AND o.island = g.island
-                  AND o.rn > g.rn AND o.Start >= g.last_end
-                ORDER BY o.rn LIMIT 1
-              ) nxt ON true
+              SELECT o.Chromosome, o.island, o.rn,
+                     CASE WHEN o.Start >= g.last_end THEN o."End" ELSE g.last_end END,
+                     o.Start >= g.last_end
+              FROM g JOIN ordered o
+                ON o.Chromosome = g.Chromosome AND o.island = g.island
+               AND o.rn = g.rn + 1
             )
             SELECT o.row_id, o.Chromosome, o.Start, o."End", o.Strand, o.Score
-            FROM ordered o JOIN g USING (Chromosome, island, rn)
+            FROM ordered o JOIN g
+              ON o.Chromosome = g.Chromosome AND o.island = g.island AND o.rn = g.rn
+            WHERE g.kept
         """,
         "multimodal_features": """
             -- Twin of ml/multimodal.py synthetic_media + _decode_payload:
@@ -2019,7 +2051,11 @@ def oracle_sql() -> dict[str, str]:
             {_AB}, {_MERGED_AB},
             la AS (SELECT CAST(SUM(e - s) AS BIGINT) AS v FROM am),
             lb AS (SELECT CAST(SUM(e - s) AS BIGINT) AS v FROM bm)
-            SELECT {sum(s for _, s in CHROMSIZES)} * il / (la.v * lb.v) AS forbes
+            -- Mirrors the Spark association (il/la)*(gl/lb): both engines run
+            -- the same IEEE double (div, div, mul), and neither multiplies
+            -- two genome-scale int64s (overflow-safe form, ADVICE r5).
+            SELECT (CAST(il AS DOUBLE) / CAST(la.v AS DOUBLE))
+                   * (CAST({sum(s for _, s in CHROMSIZES)} AS DOUBLE) / CAST(lb.v AS DOUBLE)) AS forbes
             FROM ab_inter, la, lb
         """,
         "ivf_topk": """
@@ -2068,6 +2104,25 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT DISTINCT doc_id, hv AS fp FROM m WHERE hv = wm
+        """,
+        "running_anomalies": """
+            -- Prefix-window twin of the sequential Welford fold: each event
+            -- scored against AVG/VAR_SAMP of all events strictly before it
+            -- in (ts, event_id) order within its key.
+            WITH w AS (
+              SELECT event_type, event_id, value,
+                     COUNT(*) OVER win AS cnt,
+                     AVG(value) OVER win AS mean_prev,
+                     VAR_SAMP(value) OVER win AS var_prev
+              FROM events
+              WINDOW win AS (PARTITION BY event_type ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT event_type, event_id, CAST(cnt AS BIGINT) AS n_seen,
+                   CAST(FLOOR((value - mean_prev) / SQRT(var_prev) * 1e4) AS BIGINT) AS z_tenmilli
+            FROM w
+            WHERE cnt >= 2 AND var_prev > 0
+              AND ABS(value - mean_prev) / SQRT(var_prev) > 3.0
         """,
         "reldist": f"""
             {_AB},

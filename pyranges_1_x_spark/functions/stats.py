@@ -85,7 +85,13 @@ def forbes_statistic(
         .crossJoin(la)
         .crossJoin(lb)
         .select(
-            (F.lit(genome_length) * F.col("il") / (F.col("la") * F.col("lb"))).alias("forbes")
+            # Divide before multiplying (in double): genome_length * il and
+            # la * lb overflow int64 at genome scale (3.1e9^2 > 2^63), and
+            # non-ANSI Spark would wrap silently where DuckDB promotes.
+            (
+                (F.col("il").cast("double") / F.col("la").cast("double"))
+                * (F.lit(float(genome_length)) / F.col("lb").cast("double"))
+            ).alias("forbes")
         )
     )
 

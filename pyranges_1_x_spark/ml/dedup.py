@@ -202,7 +202,15 @@ def ngram_jaccard_pairs(
     ``|candidates| * doc shingle count`` — the verification work any exact
     set-similarity join must do — and every operator is a codegen'd
     join/aggregate (the array form paid interpreted array_intersect/union on
-    wide arrays per pair)."""
+    wide arrays per pair).
+
+    Preconditions (ADVICE r5): ``candidates`` must carry DISTINCT
+    (id_a, id_b) rows — duplicates would double-count the intersection (both
+    in-repo callers dedupe via groupBy; pass ``candidates.distinct()``
+    otherwise). And because ``inter`` comes from an inner join, pairs sharing
+    ZERO shingles are dropped before the threshold filter — correct for any
+    ``threshold > 0``; a ``threshold <= 0`` caller wanting zero-overlap pairs
+    reported must left-join candidates back."""
     sh = shingle_rows(docs, text_col, id_col, k)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (

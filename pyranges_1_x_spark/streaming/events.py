@@ -75,6 +75,82 @@ def sessionize(
     )
 
 
+def _welford_scan(rows, count, mean, m2, z_threshold):
+    """Shared sequential Welford fold (streaming + batch twin run THIS code).
+
+    ``rows`` yields (payload, value); emits (payload, value, z, n_seen) for
+    each value deviating > z_threshold sample stddevs from the state BEFORE
+    it, and returns the updated (count, mean, m2).
+    """
+    import math
+
+    out = []
+    for payload, v in rows:
+        v = float(v)
+        if count >= 2:
+            sd = math.sqrt(m2 / (count - 1))
+            if sd > 0 and abs(v - mean) / sd > z_threshold:
+                out.append((*payload, v, (v - mean) / sd, count))
+        count += 1
+        delta = v - mean
+        mean += delta / count
+        m2 += delta * (v - mean)
+    return out, (count, mean, m2)
+
+
+def running_anomalies_batch(
+    events: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str | None = None,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Batch-mode twin of ``running_anomalies``: one applyInPandas per key
+    running the SAME Welford fold the streaming operator uses (shared
+    ``_welford_scan``), over the whole history in one go — so the streaming
+    semantics ("each row scored against all history before it") become
+    oracle-checkable against a deterministic prefix-window SQL twin.
+
+    ``id_col`` (unique within a key) pins the fold order at ts ties; rows
+    sort by (ts, id_col). Scale posture: parallelism = #keys, which is the
+    operator's contract (monitoring keys are bounded); the per-key fold is
+    O(n) with O(1) state.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    in_schema = {f.name: f for f in events.schema.fields}
+    out_fields = [in_schema[key_col], in_schema[ts_col]]
+    if id_col:
+        out_fields.append(in_schema[id_col])
+    out_fields += [
+        StructField(value_col, DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("n_seen", LongType()),
+    ]
+    out_schema = StructType(out_fields)
+    order = [ts_col] + ([id_col] if id_col else [])
+    payload_cols = [key_col, ts_col] + ([id_col] if id_col else [])
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        rows = (
+            (tuple(t[1:][:len(payload_cols)]), t[1 + len(payload_cols)])
+            for t in pdf[payload_cols + [value_col]].itertuples()
+        )
+        out, _state = _welford_scan(rows, 0, 0.0, 0.0, z_threshold)
+        return pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
+
+    return events.groupBy(F.col(key_col)).applyInPandas(fold, schema=out_schema)
+
+
 def running_anomalies(
     events: DataFrame,
     *,
@@ -100,7 +176,6 @@ def running_anomalies(
     lifetime, which is the intended contract for fleet-style monitoring keys
     (bounded cardinality).
     """
-    import math
     from collections.abc import Iterator
 
     import pandas as pd
@@ -137,18 +212,21 @@ def running_anomalies(
         else:
             count, mean, m2 = 0, 0.0, 0.0
         out_rows = []
-        for pdf in pdfs:
+        # applyInPandasWithState splits one key's micro-batch into multiple
+        # Arrow chunks (default 10k rows) in arbitrary order — concatenate
+        # and sort ONCE so the fold really sees ts order across the whole
+        # batch (per-chunk sorting would make alerts order-dependent,
+        # ADVICE r5).
+        chunks = [c for c in pdfs if len(c)]
+        for pdf in [pd.concat(chunks, ignore_index=True)] if chunks else []:
             pdf = pdf.sort_values(ts_col, kind="mergesort")
-            for ts, v in zip(pdf[ts_col], pdf[value_col]):
-                v = float(v)
-                if count >= 2:
-                    sd = math.sqrt(m2 / (count - 1))
-                    if sd > 0 and abs(v - mean) / sd > z_threshold:
-                        out_rows.append((key[0], ts, v, (v - mean) / sd, count))
-                count += 1
-                delta = v - mean
-                mean += delta / count
-                m2 += delta * (v - mean)
+            rows = (
+                ((key[0], ts), v) for ts, v in zip(pdf[ts_col], pdf[value_col])
+            )
+            out, (count, mean, m2) = _welford_scan(
+                rows, count, mean, m2, z_threshold
+            )
+            out_rows.extend(out)
         state.update((count, mean, m2))
         yield pd.DataFrame(out_rows, columns=[f.name for f in out_schema.fields])
 

@@ -168,3 +168,48 @@ def test_running_anomalies_state_across_batches(spark, tmp_path):
     assert got.value.iloc[0] == 100.0
     assert got.n_seen.iloc[0] >= 20
     assert got.zscore.iloc[0] > 3.0
+
+
+def test_running_anomalies_batch_twin_matches_streaming_fold(spark, tmp_path):
+    """The batch twin (running_anomalies_batch) runs the same _welford_scan
+    as the streaming operator; on a one-batch stream the outputs must be
+    row-identical."""
+    from pyranges_1_x_spark.streaming.events import (
+        running_anomalies,
+        running_anomalies_batch,
+    )
+
+    schema = "event_type string, ts timestamp, value double"
+    base = pd.Timestamp("2026-01-01")
+    rng_vals = [(-1.0) ** i * (1.0 + 0.13 * i) for i in range(40)] + [55.0, -60.0]
+    df = pd.DataFrame(
+        {
+            "event_type": ["a"] * 21 + ["b"] * 21,
+            "ts": [base + pd.Timedelta(minutes=i) for i in range(42)],
+            "value": rng_vals,
+        }
+    )
+    d = str(tmp_path / "anom_twin_in")
+    spark.createDataFrame(df, schema).coalesce(1).write.mode("append").parquet(d)
+
+    batch = running_anomalies_batch(
+        spark.read.parquet(d), z_threshold=3.0
+    ).toPandas()
+
+    stream = spark.readStream.schema(schema).parquet(d)
+    q = (
+        running_anomalies(stream, z_threshold=3.0)
+        .writeStream.format("memory")
+        .queryName("anom_twin_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("anom_twin_sink").toPandas()
+
+    key = ["event_type", "ts", "value", "zscore", "n_seen"]
+    b = batch[key].sort_values(key).reset_index(drop=True)
+    s = streamed[key].sort_values(key).reset_index(drop=True)
+    assert len(b) > 0
+    pd.testing.assert_frame_equal(b, s)
