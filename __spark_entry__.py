@@ -784,6 +784,73 @@ def q_reldist(spark, sf_dir):
     return relative_distance(a, b)
 
 
+def q_bam_roundtrip(spark, sf_dir):
+    """Native binary IO gate: write 200 deterministic alignment records with
+    the pure-stdlib BAM writer (sources/bam_native.py write_bam), read them
+    back through the distributed BGZF/BAM decoder (read_bam_native,
+    full=True), and emit the coordinate/flag surface. The oracle regenerates
+    the same records arithmetically — so the whole encode -> BGZF -> decode ->
+    CIGAR-to-End pipeline is value-gated, not just unit-tested."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.sources.bam_native import read_bam_native, write_bam
+
+    records = []
+    for i in range(200):
+        mlen, dlen = 10 + (i % 20), i % 5
+        cigar = f"{mlen}M{dlen}D" if dlen else f"{mlen}M"
+        records.append(
+            (
+                f"r{i}",
+                16 if i % 3 == 0 else 0,
+                "chr1" if i % 2 == 0 else "chr2",
+                (i * 37) % 5000,
+                20 + (i % 40),
+                cigar,
+                ("ACGT" * mlen)[:mlen],
+                "I" * mlen,
+            )
+        )
+    d = tempfile.mkdtemp(prefix="bam_rt_")
+    path = os.path.join(d, "rt.bam")
+    write_bam(path, records, {"chr1": 6000, "chr2": 6000})
+    out = read_bam_native(spark, path, full=True)
+    return out.select(
+        "Name", "Chromosome", "Start", "End", "Strand", "Flag", "MapQ"
+    )
+
+
+def q_bigwig_roundtrip(spark, sf_dir):
+    """Native bigwig IO gate: write 500 deterministic value runs with the
+    binary bigwig writer (zlib blocks + R-tree), read back via the
+    distributed block decoder. Values are k/8 dyadic rationals — exact in
+    float32 and double on both engines."""
+    import os
+    import tempfile
+
+    from pyranges_1_x_spark.sources.bigwig_native import (
+        read_bigwig_native,
+        write_bigwig,
+    )
+
+    rows = [
+        (
+            "chr1" if i < 300 else "chr2",
+            (i % 300) * 11,
+            (i % 300) * 11 + 7,
+            (i % 97) / 8.0,
+        )
+        for i in range(500)
+    ]
+    d = tempfile.mkdtemp(prefix="bw_rt_")
+    path = os.path.join(d, "rt.bw")
+    write_bigwig(path, rows, {"chr1": 3300, "chr2": 3300}, items_per_block=64)
+    return read_bigwig_native(spark, path)
+
+
 def q_running_anomalies(spark, sf_dir):
     """Batch twin of the stateful streaming anomaly operator
     (streaming/events.py running_anomalies): the SAME Welford fold, run once
@@ -1098,6 +1165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forbes_stat": q_forbes_stat,
         "reldist": q_reldist,
         "running_anomalies": q_running_anomalies,
+        "bam_roundtrip": q_bam_roundtrip,
+        "bigwig_roundtrip": q_bigwig_roundtrip,
         "ivf_topk": q_ivf_topk,
         "winnow": q_winnow,
         "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
@@ -2104,6 +2173,29 @@ def oracle_sql() -> dict[str, str]:
               FROM h
             )
             SELECT DISTINCT doc_id, hv AS fp FROM m WHERE hv = wm
+        """,
+        "bam_roundtrip": """
+            -- Arithmetic twin of the 200 records written by q_bam_roundtrip:
+            -- End = pos + M-run + D-run (reference-consuming CIGAR ops).
+            WITH r AS (SELECT CAST(i AS BIGINT) AS i FROM unnest(range(200)) t(i))
+            SELECT 'r' || CAST(i AS VARCHAR) AS Name,
+                   CASE WHEN i % 2 = 0 THEN 'chr1' ELSE 'chr2' END AS Chromosome,
+                   CAST((i * 37) % 5000 AS BIGINT) AS Start,
+                   CAST((i * 37) % 5000 + 10 + (i % 20) + (i % 5) AS BIGINT) AS "End",
+                   CASE WHEN i % 3 = 0 THEN '-' ELSE '+' END AS Strand,
+                   CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS BIGINT) AS Flag,
+                   CAST(20 + (i % 40) AS BIGINT) AS MapQ
+            FROM r
+        """,
+        "bigwig_roundtrip": """
+            -- Twin of q_bigwig_roundtrip's 500 value runs; k/8 values are
+            -- exact in float32, so no float-cast dance is needed.
+            WITH r AS (SELECT CAST(i AS BIGINT) AS i FROM unnest(range(500)) t(i))
+            SELECT CASE WHEN i < 300 THEN 'chr1' ELSE 'chr2' END AS Chromosome,
+                   CAST((i % 300) * 11 AS BIGINT) AS Start,
+                   CAST((i % 300) * 11 + 7 AS BIGINT) AS "End",
+                   CAST(i % 97 AS DOUBLE) / 8.0 AS Value
+            FROM r
         """,
         "running_anomalies": """
             -- Prefix-window twin of the sequential Welford fold: each event
