@@ -38,16 +38,22 @@ r4 rewrite):
    ``substr(seq, pos, 3)`` calls — Spark's UTF8String substring is O(pos)
    byte-scanning, so each row cost ~80 × O(250 kB) (measured 177.6 s for
    6 k rows at sf0.001; >12 min at sf0.01).
-2. The codon scan itself is regex, not an index-array walk: the first
-   in-frame stop falls out of one anchored lazy match
-   (``^((?:.{3})*?)(?:TAG|TGA|TAA)`` — the lazy star steps in whole
-   codons, so only frame-0 hits match; extension = len(group 1)), and the
-   leftmost upstream start codon out of one greedy match
-   (``^((?:.{3})*)(?:ATG)`` — greedy finds the FURTHEST in-frame start).
-   An intermediate array-of-codons design (split + per-index
+2. The codon scan itself is regex, not an index-array walk: an in-frame hit
+   falls out of one anchored codon-stepped match (``^((?:.{3})*?)(?:...)``
+   lazy for nearest-to-anchor, greedy / ``(?:.{3})*$``-tailed for
+   farthest). An intermediate array-of-codons design (split + per-index
    ``element_at`` probes under ``filter``/``array_min``) was still ~30×
    slower: higher-order functions are CodegenFallback, so every probe ran
    interpreted with boxed indices.
+3. Scans run on the RAW genomic window; transcript orientation lives in the
+   PATTERN (direction via lazy-vs-greedy anchoring, '-' strand via
+   reverse-complemented codon alternatives — a transcript codon at away
+   position k is exactly the RC of the raw codon it maps to). The r5 design
+   instead rebuilt every window into transcript order per row
+   (reverse + translate + a per-codon regexp_replace); those string
+   rebuilds, duplicated across CASE branches that codegen CSE cannot merge,
+   cost more than the scans themselves (7.3s -> 4.7s at sf0.1 for the bench
+   row once removed).
 """
 
 from __future__ import annotations
@@ -62,38 +68,70 @@ STARTS = ("ATG",)
 STOPS = ("TAG", "TGA", "TAA")
 
 _SEQ = "__chromseq__"
-_WL = "__scanwinl__"  # transcript-oriented window left of Start, away order
-_WR = "__scanwinr__"  # transcript-oriented window right of End, away order
+_WL = "__scanwinl__"  # RAW codon-aligned window left of Start
+_WR = "__scanwinr__"  # RAW codon-aligned window right of End
 
 
-def _pat(codons: tuple[str, ...], lazy: bool) -> str:
-    """Anchored in-frame scan regex. The codon-stepped star keeps every
-    probe frame-aligned; lazy finds the FIRST in-frame hit, greedy the
-    LAST. group(1) length / 3 = number of codons before the hit."""
-    alt = "|".join(codons)
-    star = "*?" if lazy else "*"
-    return f"^((?:.{{3}}){star})(?:{alt})"
+_RC = {"A": "T", "C": "G", "G": "C", "T": "A"}
 
 
-def _scan(
-    w: Column,  # transcript-oriented scan window, codons in away-order
+def _rc(codon: str) -> str:
+    return "".join(_RC.get(c, c) for c in reversed(codon.upper()))
+
+
+def _scan_raw(
+    w: Column,  # RAW genomic window (codon-aligned at both edges), upper-cased
     m: Column,  # codon count of the window
     starts: tuple[str, ...],
     stops: tuple[str, ...],
     *,
+    far: bool,
     upstream: bool,
     keep_off_bounds: bool,
 ) -> Column:
-    """Extension length in nt for one direction of one row/group."""
+    """Extension length in nt for one direction of one row/group.
+
+    The scan runs on the RAW window string; transcript orientation is folded
+    into the PATTERN, not the data (the r5 design reversed/complemented every
+    window per row — reverse+translate+regexp_replace chains that cost more
+    than the scans themselves; see module docstring #3):
+
+    - ``far=False``: transcript away-order == raw order (right window on '+',
+      right window on '-' whose codons the caller pre-RCs). First away hit =
+      LEFTMOST raw hit — anchored lazy codon-stepped regex.
+    - ``far=True``: transcript away-order is raw order REVERSED (left
+      windows). First away hit = RIGHTMOST raw in-frame hit — greedy codon
+      prefix with a ``(?:.{3})*$`` tail anchor (both window edges are
+      codon-aligned, so left-anchored frame == right-anchored frame).
+
+    For '-' strand rows the caller passes reverse-complemented codon sets:
+    a transcript-space codon at away position k is exactly the RC of the raw
+    codon it maps to, for both window sides.
+    """
     # Rows whose chromosome is absent from `sequences` have null m (null
     # __seqlen__ through the left join) — treat as "no room to scan" so both
     # branches pass such rows through unextended (ADVICE r3: the
     # keep_off_bounds upstream branch used to emit null Starts here).
     m = F.coalesce(m, F.lit(0).cast("long"))
-    stop_pat = _pat(stops, lazy=True)
-    found = w.rlike(stop_pat)
-    # codons strictly before the first in-frame stop (= m when none).
-    pre_stop = (F.length(F.regexp_extract(w, stop_pat, 1)) / 3).cast("long")
+    stop_alt = "|".join(stops)
+    if far:
+        far_pat = f"^((?:.{{3}})*)(?:{stop_alt})(?:.{{3}})*$"
+        g0 = F.regexp_extract(w, far_pat, 0)
+        found = F.length(g0) > 0
+        # raw codon index of the rightmost in-frame stop = len(group1)/3;
+        # away-order codons strictly before it = m - 1 - that index.
+        pre_stop = (
+            F.when(found, m - 1 - (F.length(F.regexp_extract(w, far_pat, 1)) / 3))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    else:
+        near_pat = f"^((?:.{{3}})*?)(?:{stop_alt})"
+        hit = F.regexp_extract(w, near_pat, 0)
+        found = F.length(hit) > 0
+        pre_stop = (
+            F.when(found, (F.length(hit) - 3) / 3).otherwise(F.lit(0)).cast("long")
+        )
     if not upstream:
         ext = F.when(found, 3 * (pre_stop + 1))
         if keep_off_bounds:
@@ -101,10 +139,22 @@ def _scan(
         return F.coalesce(ext, F.lit(0)).cast("long")
     limit = F.when(found, pre_stop).otherwise(m)
     if starts:
-        sw = w.substr(F.lit(1), (3 * limit).cast("int"))
-        start_pat = _pat(starts, lazy=False)
-        start_i = (F.length(F.regexp_extract(sw, start_pat, 1)) / 3 + 1).cast("long")
-        ext = F.when(sw.rlike(start_pat), 3 * start_i).otherwise(F.lit(0))
+        start_alt = "|".join(starts)
+        if far:
+            # away window [0, limit) = raw codons [m-limit, m); LAST away
+            # start = LEFTMOST raw one in that suffix — lazy scan, ext =
+            # 3*limit - (hit_len - 3).
+            sw = w.substr((3 * (m - limit) + 1).cast("int"), (3 * limit).cast("int"))
+            hit = F.regexp_extract(sw, f"^((?:.{{3}})*?)(?:{start_alt})", 0)
+            ext = F.when(
+                F.length(hit) > 0, 3 * limit - F.length(hit) + 3
+            ).otherwise(F.lit(0))
+        else:
+            # away window [0, limit) = raw prefix; LAST away start = last raw
+            # one — greedy scan, ext = hit length (3*(index+1)).
+            sw = w.substr(F.lit(1), (3 * limit).cast("int"))
+            hit = F.regexp_extract(sw, f"^((?:.{{3}})*)(?:{start_alt})", 0)
+            ext = F.when(F.length(hit) > 0, F.length(hit)).otherwise(F.lit(0))
     else:
         ext = F.when(found, 3 * limit).otherwise(F.lit(0))
     if keep_off_bounds:
@@ -262,40 +312,41 @@ def extend_orfs(
             )
         )
         seq_cols = (_SEQ,)
-    # Transcript away-order orientations (single O(window) passes each):
-    #   '+', left of Start : codon order reversed, codon content kept
-    #   '-', left of Start : reverse complement (away = transcript forward)
-    #   '+', right of End  : as read
-    #   '-', right of End  : keep codon order, RC each codon in place
-    rc3 = lambda s: F.regexp_replace(s, "(.)(.)(.)", "$3$2$1")  # noqa: E731
-    compl = lambda s: F.translate(s, "ACGT", "TGCA")  # noqa: E731
-    w_left = F.when(neg, F.reverse(compl(win_left))).otherwise(
-        rc3(F.reverse(win_left))
-    )
-    w_right = F.when(neg, rc3(compl(win_right))).otherwise(win_right)
+    # RAW windows only — no per-row reorientation (see _scan_raw docstring):
+    # transcript order is folded into the regex patterns and, for '-' strand
+    # rows, into reverse-complemented codon alternatives.
     b = (
-        b.withColumn(_WL, F.coalesce(w_left, F.lit("")))
-        .withColumn(_WR, F.coalesce(w_right, F.lit("")))
-        .withColumn("__mr__", m_right)
+        b.withColumn(_WL, F.coalesce(win_left, F.lit("")))
+        .withColumn(_WR, F.coalesce(win_right, F.lit("")))
         .withColumn("__ml__", m_left)
+        .withColumn("__mr__", m_right)
         .drop(*seq_cols)
+    )
+    plus_codons = (tuple(s.upper() for s in starts), tuple(s.upper() for s in stops))
+    minus_codons = (
+        tuple(_rc(s) for s in starts),
+        tuple(_rc(s) for s in stops),
     )
 
     def _dir(upstream: bool) -> Column:
-        # upstream on '+' and downstream on '-' scan LEFT of Start;
-        # downstream on '+' and upstream on '-' scan RIGHT of End.
+        # upstream on '+' and downstream on '-' scan LEFT of Start (away
+        # order reversed -> far scan); downstream on '+' and upstream on '-'
+        # scan RIGHT of End (away order == raw -> near scan). Only the taken
+        # CASE branch evaluates per row.
         plus_left = upstream
-        common = dict(
-            starts=tuple(starts), stops=tuple(stops),
+        sts_p, stp_p = plus_codons
+        sts_m, stp_m = minus_codons
+        on_plus = _scan_raw(
+            F.col(_WL if plus_left else _WR),
+            F.col("__ml__" if plus_left else "__mr__"),
+            starts=sts_p, stops=stp_p, far=plus_left,
             upstream=upstream, keep_off_bounds=keep_off_bounds,
         )
-        on_plus = _scan(
-            F.col(_WL if plus_left else _WR),
-            F.col("__ml__" if plus_left else "__mr__"), **common,
-        )
-        on_minus = _scan(
+        on_minus = _scan_raw(
             F.col(_WR if plus_left else _WL),
-            F.col("__mr__" if plus_left else "__ml__"), **common,
+            F.col("__mr__" if plus_left else "__ml__"),
+            starts=sts_m, stops=stp_m, far=not plus_left,
+            upstream=upstream, keep_off_bounds=keep_off_bounds,
         )
         return F.when(neg, on_minus).otherwise(on_plus)
 
@@ -312,7 +363,7 @@ def extend_orfs(
             b.select(*keys, "__gs__", "__ge__", "__eu__", "__ed__"), on=keys, how="left"
         )
     else:
-        out = b.drop("__seqlen__", _WL, _WR, "__mr__", "__ml__")
+        out = b.drop("__seqlen__", _WL, _WR, "__ml__", "__mr__")
 
     # Genomic left/right extension from transcript up/down.
     left_ext = F.when(neg, F.col("__ed__")).otherwise(F.col("__eu__"))
