@@ -798,6 +798,30 @@ def q_reldist(spark, sf_dir):
     return relative_distance(a, b)
 
 
+def q_kmeans(spark, sf_dir):
+    """Two Lloyd iterations of distributed k-means (ml/similarity.py
+    kmeans_lloyd) over the embeddings table: init = vectors of the 8 smallest
+    ids, per-iteration centroid means quantized to 1/1024 so both engines see
+    the identical centroid stream despite float-sum order differences. Output
+    is pure integers (per-cell member count + id checksum). Measured boundary
+    margins (min over both rounds): quantization 4.7e-5 (sf0.01) / 3.1e-4
+    (sf0.1) of a 1/1024 step; assignment best-vs-second gap 5.0e-4 / 1.0e-4
+    squared distance — far above the ~1e-12 cross-engine sum divergence."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.similarity import kmeans_lloyd
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assigned, _c = kmeans_lloyd(emb, k=8, iters=2)
+    return assigned.groupBy(F.col("__cell__").alias("cell")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("vec_id").alias("id_sum"),
+    )
+
+
 def q_slice_introns(spark, sf_dir):
     """slice_ranges(count_introns=True): unspliced (intron-counting) slice of
     each (Chromosome, Strand, Score) group span, strand-aware negative
@@ -1152,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bam_roundtrip": q_bam_roundtrip,
         "bigwig_roundtrip": q_bigwig_roundtrip,
         "slice_introns": q_slice_introns,
+        "kmeans": q_kmeans,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -2125,6 +2150,87 @@ def oracle_sql() -> dict[str, str]:
               WINDOW w AS (PARTITION BY doc_id ORDER BY i)
             )
             SELECT DISTINCT doc_id, hv AS fp FROM m WHERE hv = wm
+        """,
+        "kmeans": """
+            -- Twin of kmeans_lloyd(k=8, iters=2, quant=1024). Distances are
+            -- sequential left-to-right folds on both engines (bit-identical
+            -- given identical centroids); per-iteration means are quantized
+            -- to 1/1024 so parallel-sum low-bit differences cannot leak.
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            d1 AS (
+              SELECT e.vec_id, c.cell,
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+              FROM e, c0 c
+            ),
+            a1 AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                FROM d1
+              ) WHERE rn = 1
+            ),
+            x1 AS (
+              SELECT a1.cell, t.i AS dim, e.v[CAST(t.i + 1 AS INTEGER)] AS x
+              FROM a1 JOIN e USING (vec_id), (SELECT unnest(range(64)) AS i) t
+            ),
+            m1 AS (
+              SELECT cell, LIST(FLOOR(sx / nx * 1024) / 1024 ORDER BY dim) AS cv
+              FROM (SELECT cell, dim, SUM(x) AS sx, COUNT(*) AS nx
+                    FROM x1 GROUP BY cell, dim)
+              GROUP BY cell
+            ),
+            c1 AS (
+              SELECT c0.cell, COALESCE(m1.cv, c0.cv) AS cv
+              FROM c0 LEFT JOIN m1 USING (cell)
+            ),
+            d2 AS (
+              SELECT e.vec_id, c.cell,
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+              FROM e, c1 c
+            ),
+            a2 AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                FROM d2
+              ) WHERE rn = 1
+            ),
+            x2 AS (
+              SELECT a2.cell, t.i AS dim, e.v[CAST(t.i + 1 AS INTEGER)] AS x
+              FROM a2 JOIN e USING (vec_id), (SELECT unnest(range(64)) AS i) t
+            ),
+            m2 AS (
+              SELECT cell, LIST(FLOOR(sx / nx * 1024) / 1024 ORDER BY dim) AS cv
+              FROM (SELECT cell, dim, SUM(x) AS sx, COUNT(*) AS nx
+                    FROM x2 GROUP BY cell, dim)
+              GROUP BY cell
+            ),
+            c2 AS (
+              SELECT c1.cell, COALESCE(m2.cv, c1.cv) AS cv
+              FROM c1 LEFT JOIN m2 USING (cell)
+            ),
+            d3 AS (
+              SELECT e.vec_id, c.cell,
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+              FROM e, c2 c
+            ),
+            a3 AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                FROM d3
+              ) WHERE rn = 1
+            )
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(vec_id) AS BIGINT) AS id_sum
+            FROM a3 GROUP BY cell
         """,
         "slice_introns": f"""
             -- Group span per (Chromosome, group_by) — local-coords ops do

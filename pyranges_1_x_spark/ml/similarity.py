@@ -162,6 +162,94 @@ def cosine_similarity_join(
     )
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared euclidean distance, summed left-to-right (sequential fold, so
+    both engines of an oracle pair produce bit-identical doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    cell_col: str = "__cell__",
+) -> DataFrame:
+    """Attach the index of the nearest centroid by squared euclidean distance
+    (ties -> lowest index). Centroids are broadcast literals; assignment is a
+    codegen'd expression per row, no shuffle."""
+    dists = F.array(
+        *[
+            sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+            for c in centroids
+        ]
+    )
+    return df.withColumn(
+        cell_col, (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1024,
+):
+    """Distributed Lloyd k-means over an embedding column, pure DataFrame ops
+    — the coarse-quantizer trainer for ``ivf_assign``/``ivf_topk``.
+
+    Deterministic contract (what makes it oracle-able): init centroids = the
+    vectors of the ``k`` smallest ids; each update quantizes the per-cell
+    mean to ``1/quant`` steps, so the centroid stream is reproducible across
+    engines and across Spark's own partition orders (float sums differ in
+    low bits; the quantization absorbs them — boundary margins are verified
+    by the gate's docstring check). Empty cells keep their previous centroid.
+
+    Scale shape: per iteration ONE scan + a map-side-combinable
+    (cell, dim) hash agg; only k*d aggregated doubles ever reach the driver
+    (the standard iterative-ML pattern — the data never collects). Returns
+    (assigned DataFrame with ``__cell__``, final centroids).
+    """
+    import math
+
+    rows = (
+        df.orderBy(F.col(id_col).asc()).limit(k).select(vec_col).collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in rows]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        asg = kmeans_assign(df, centroids, vec_col=vec_col)
+        stats = (
+            asg.select(
+                "__cell__",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "__dim__", "__x__"
+                ),
+            )
+            .groupBy("__cell__", "__dim__")
+            .agg(F.sum("__x__").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        per = {(r["__cell__"], r["__dim__"]): (r["s"], r["n"]) for r in stats}
+        centroids = [
+            [
+                (math.floor(per[(c, j)][0] / per[(c, j)][1] * quant) / quant)
+                if (c, j) in per
+                else centroids[c][j]
+                for j in range(dim)
+            ]
+            for c in range(k)
+        ]
+    return kmeans_assign(df, centroids, vec_col=vec_col), centroids
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
