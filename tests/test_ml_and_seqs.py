@@ -230,3 +230,31 @@ def test_ivf_topk_matches_bruteforce_in_probed_cells(spark):
     keep = set(assigned[assigned.__cell__.isin(probes)].vec_id)
     bf = brute_force_topk(df.filter(df.vec_id.isin(keep)), qv, k=5).toPandas()
     assert list(got.vec_id) == list(bf.vec_id)
+
+
+def test_kmeans_lloyd_separable(spark):
+    """Two well-separated blobs -> 2 pure cells after one iteration, and the
+    quantized centroids land on the blob means."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.ml.similarity import kmeans_lloyd
+
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3), 10.0]))          # blob A near (11, 10)
+        rows.append((100 + i, [-10.0 - (i % 3), -10.0]))  # blob B near (-11, -10)
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows], "embedding": [r[1] for r in rows]})
+    )
+    assigned, cents = kmeans_lloyd(df, k=2, iters=2, quant=1024)
+    out = assigned.toPandas()
+    cells_a = set(out[out.vec_id < 100]["__cell__"])
+    cells_b = set(out[out.vec_id >= 100]["__cell__"])
+    assert len(cells_a) == 1 and len(cells_b) == 1 and cells_a != cells_b
+    # blob means: x = mean(10,11,12 pattern over 10 pts) = 10.9, y = +/-10,
+    # floor-quantized to 1/1024 steps (negative means floor AWAY from zero)
+    import math
+
+    q = lambda v: math.floor(v * 1024) / 1024  # noqa: E731
+    flat = sorted((c[0], c[1]) for c in cents)
+    assert flat == [(q(-10.9), -10.0), (q(10.9), 10.0)]
