@@ -57,3 +57,46 @@ def test_merge_nested_interval(spark):
 def test_outer_ranges(spark):
     res = gr(spark, STARTS, ENDS).outer_ranges(count_col="Count").df.toPandas()
     assert list(map(tuple, res[["Start", "End", "Count"]].values)) == [(5, 27, 7)]
+
+
+def test_bucketed_islands_match_single_window(spark):
+    """Cross-bucket correctness: with a tiny bucket width (4), islands span
+    many buckets and every row's is_new depends on the broadcast prefix-max
+    patch; membership must equal the single-window (bucket_width=None) plan."""
+    import random
+
+    from pyranges_1_x_spark.plans.islands import assign_islands
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        s = rng.randrange(0, 200)
+        rows.append(("chr1" if i % 3 else "chr2", s, s + rng.randrange(1, 30), i))
+    df = spark.createDataFrame(rows, "Chromosome string, Start long, End long, rid long")
+
+    def memberships(bucket_width):
+        out = assign_islands(
+            df, ["Chromosome"], bucket_width=bucket_width, tiebreak=["rid"]
+        ).collect()
+        isl = {}
+        for r in out:
+            isl.setdefault((r["Chromosome"], r["__island__"]), set()).add(r["rid"])
+        return sorted(frozenset(v) for v in isl.values())
+
+    assert memberships(4) == memberships(None)
+
+
+def test_bucketed_islands_slack_and_bookends(spark):
+    from pyranges_1_x_spark.plans.islands import assign_islands
+
+    # bookended intervals: slack=0 keeps them apart, slack=1 merges
+    df = spark.createDataFrame(
+        [("c", 0, 8), ("c", 8, 16), ("c", 20, 24)],
+        "Chromosome string, Start long, End long",
+    )
+    def islands(slack):
+        out = assign_islands(df, ["Chromosome"], slack=slack, bucket_width=4).collect()
+        return sorted((r["Start"], r["__island__"]) for r in out)
+
+    assert islands(0) == [(0, 0), (8, 1), (20, 2)]
+    assert islands(1) == [(0, 0), (8, 0), (20, 1)]
