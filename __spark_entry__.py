@@ -740,6 +740,21 @@ def q_token_jaccard(spark, sf_dir):
     return out.select("id_a", "id_b", "inter", "uni")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-dup cluster formation (ml/dedup.py:dedup_clusters):
+    exact thresholded Jaccard pairs -> distributed connected components
+    (min-label propagation + pointer jumping, O(log n) rounds) -> smallest
+    doc id per component as the cluster id, with the canonical-doc flag a
+    filtering pipeline keys on. Oracle: the same brute-force pair set fed
+    through a DuckDB recursive-CTE label spread (each doc's cluster = MIN
+    reachable doc id)."""
+    from pyranges_1_x_spark.ml.dedup import dedup_clusters
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return dedup_clusters(docs, k=3, threshold=0.8)
+
+
 def q_sessions(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1177,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigwig_roundtrip": q_bigwig_roundtrip,
         "slice_introns": q_slice_introns,
         "kmeans": q_kmeans,
+        "dedup_clusters": q_dedup_clusters,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -1952,6 +1968,43 @@ def oracle_sql() -> dict[str, str]:
             FROM sh x JOIN sh y ON x.doc_id < y.doc_id
             WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
                   / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) >= 0.8
+        """,
+        "dedup_clusters": """
+            -- Connected components over the brute-force thresholded pair
+            -- set: a recursive label spread — walk(node, label) holds every
+            -- (doc, doc-in-same-component) pair, so MIN(label) per node is
+            -- the component's smallest doc id, matching the Spark side's
+            -- min-label-propagation fixpoint exactly. Shingling identical
+            -- to the token_jaccard oracle (3-gram word shingles, J >= 0.8).
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(0, len(t)-3),
+                                    i -> array_to_string(t[i+1:i+3], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS tk
+              FROM toks
+            ),
+            pairs AS (
+              SELECT x.doc_id AS id_a, y.doc_id AS id_b
+              FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+              WHERE CAST(len(list_intersect(x.tk, y.tk)) AS DOUBLE)
+                    / (len(x.tk) + len(y.tk) - len(list_intersect(x.tk, y.tk))) >= 0.8
+            ),
+            bi AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            walk(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT bi.v, walk.label FROM walk JOIN bi ON bi.u = walk.node
+            )
+            SELECT node AS doc_id, MIN(label) AS cluster_id,
+                   (node = MIN(label)) AS is_canonical
+            FROM walk GROUP BY node
         """,
         "sessions": """
             WITH ord AS (

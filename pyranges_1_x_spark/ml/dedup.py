@@ -348,3 +348,121 @@ def simhash(text: Column, bits: int = 32, hash_fn=xxhash64_fn) -> Column:
     for c in bit_cols[1:]:
         out = out + c
     return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an edge list: min-label
+    propagation fused with pointer jumping. Returns ``(node, component)``
+    where ``component`` is the smallest node id in the node's component —
+    the cluster-formation stage a dedup pipeline needs between "verified
+    near-dup pairs" and "keep one canonical doc per group".
+
+    Algorithm (each round, all DataFrame ops):
+      1. neighbor-min: ``l(v) <- min(l(v), min_{u adj v} l(u))`` — one
+         equi-join of the bidirectional edge list with the label table plus
+         a map-side-combinable min aggregate;
+      2. pointer jump: ``l(v) <- l(l(v))`` — a self-join of the label table
+         treating labels as pointers, which halves label-chain depth so
+         convergence is O(log n) rounds even for path graphs (plain
+         neighbor-min alone needs O(diameter)).
+    Labels start as each node's own id, only ever decrease, and every label
+    value is a node id inside the same component, so the fixpoint is exactly
+    the per-component minimum (adjacent fixpoint labels must be equal).
+    Convergence is detected with a changed-row count; ``max_iter`` is a
+    safety bound (25 pointer-jumped rounds covers graphs far beyond 2^25
+    nodes).
+
+    Scale shape: every round is two shuffle joins + one aggregate over the
+    EDGE table — which, after LSH banding + verification, is orders of
+    magnitude smaller than the corpus — and the label table is
+    ``localCheckpoint``-ed per round so the iterative plan's lineage stays
+    flat (on a cluster with unreliable executors, swap for a
+    reliable ``checkpoint`` dir). Nothing ever collects to the driver but
+    the single changed-row count.
+    """
+    ed = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        ed.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = ed.join(
+                labels, ed["u"] == labels["node"]
+            ).select(F.col("v").alias("node"), "component")
+            l1 = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+            ptr = l1.select(
+                F.col("node").alias("__p_node__"), F.col("component").alias("__p_comp__")
+            )
+            l2 = (
+                l1.join(ptr, l1["component"] == ptr["__p_node__"], "left")
+                .select(
+                    "node",
+                    F.coalesce("__p_comp__", "component").alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                l2.join(labels.withColumnRenamed("component", "__old__"), on="node")
+                .filter(F.col("component") != F.col("__old__"))
+                .count()
+            )
+            labels = l2
+            if changed == 0:
+                break
+    finally:
+        ed.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    candidate_pairs: DataFrame | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """End-to-end near-duplicate cluster formation: verified pairs ->
+    connected components -> one canonical doc per cluster. Returns one row
+    per input doc: ``(id_col, cluster_id, is_canonical)`` where
+    ``cluster_id`` is the smallest doc id in the doc's near-dup component
+    and ``is_canonical`` marks the cluster representative a filtering
+    pipeline would keep (singletons are their own canonical cluster).
+
+    ``candidate_pairs=None`` uses the EXACT prefix+length-filtered Jaccard
+    join (``jaccard_similarity_join``) so the whole pipeline is
+    deterministic and oracle-able; at corpus scale pass
+    ``minhash_lsh_candidates(...)`` output (verified via
+    ``ngram_jaccard_pairs``) to trade exact recall for the banded-LSH
+    shuffle shape.
+    """
+    if candidate_pairs is None:
+        candidate_pairs = jaccard_similarity_join(docs, text_col, id_col, k, threshold)
+    cc = connected_components(candidate_pairs, "id_a", "id_b", max_iter)
+    return (
+        docs.select(F.col(id_col))
+        .join(cc, docs[id_col] == cc["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

@@ -258,3 +258,74 @@ def test_kmeans_lloyd_separable(spark):
     q = lambda v: math.floor(v * 1024) / 1024  # noqa: E731
     flat = sorted((c[0], c[1]) for c in cents)
     assert flat == [(q(-10.9), -10.0), (q(10.9), 10.0)]
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random graph: distributed CC labels == a driver-side union-find."""
+    import random
+
+    from pyranges_1_x_spark.ml.dedup import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(60))
+    edges = [
+        (f"n{min(a, b):03d}", f"n{max(a, b):03d}")
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(45)
+        )
+        if a != b
+    ]
+    # Expected: classic union-find on the same edges.
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_path_graph_converges(spark):
+    """A 40-node path is the worst case for plain neighbor-min (diameter
+    rounds); pointer jumping must still converge inside max_iter=8."""
+    from pyranges_1_x_spark.ml.dedup import connected_components
+
+    edges = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(39)]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    out = connected_components(df, max_iter=8).collect()
+    assert len(out) == 40
+    assert {r["component"] for r in out} == {"p00"}
+
+
+def test_dedup_clusters_singletons_and_groups(spark):
+    from pyranges_1_x_spark.ml.dedup import dedup_clusters
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            ("d1", base),
+            ("d2", base + " ok"),          # near-dup of d1
+            ("d3", "completely different text about spark and parquet files"),
+            ("d4", base + " ok"),          # exact dup of d2 -> same cluster as d1
+        ],
+        "doc_id string, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup_clusters(docs, threshold=0.6).collect()}
+    assert rows["d1"]["cluster_id"] == "d1" and rows["d1"]["is_canonical"]
+    assert rows["d2"]["cluster_id"] == "d1" and not rows["d2"]["is_canonical"]
+    assert rows["d4"]["cluster_id"] == "d1" and not rows["d4"]["is_canonical"]
+    assert rows["d3"]["cluster_id"] == "d3" and rows["d3"]["is_canonical"]
