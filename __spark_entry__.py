@@ -755,6 +755,42 @@ def q_dedup_clusters(spark, sf_dir):
     return dedup_clusters(docs, k=3, threshold=0.8)
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (ml/dedup.py:ngram_contamination): train
+    docs sharing any 4-gram with the held-out eval slice (source='src0'),
+    with per-doc overlap counts and rate. The eval n-gram set collapses to
+    distinct tokens and broadcasts — one corpus scan, no corpus shuffle."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import ngram_contamination
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    train = docs.filter(F.col("source") != "src0")
+    ev = docs.filter(F.col("source") == "src0")
+    return ngram_contamination(train, ev, n=4)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic training-mix sampling (ml/sampling.py): per-source keep
+    fractions decided by md5-of-doc-id threshold, so membership is
+    bit-reproducible across engines/partitionings — the property Spark's
+    RNG-based sampleBy lacks — and DuckDB replays the exact arithmetic."""
+    from pyranges_1_x_spark.ml.sampling import stratified_sample
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    out = stratified_sample(
+        docs,
+        "source",
+        {"src0": 0.8, "src1": 0.5, "src2": 0.25},
+        key_col="doc_id",
+        default=0.1,
+        seed=7,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
 def q_sessions(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1193,6 +1229,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_introns": q_slice_introns,
         "kmeans": q_kmeans,
         "dedup_clusters": q_dedup_clusters,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -2005,6 +2043,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT node AS doc_id, MIN(label) AS cluster_id,
                    (node = MIN(label)) AS is_canonical
             FROM walk GROUP BY node
+        """,
+        "decontaminate": """
+            -- 4-gram overlap vs the eval slice; shingling identical to the
+            -- token_jaccard oracle (distinct word n-grams, short docs
+            -- contribute their whole text once).
+            WITH toks AS (
+              SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ),
+            sh AS (
+              SELECT doc_id, source, list_distinct(CASE WHEN len(t) >= 4
+                THEN list_transform(generate_series(0, len(t)-4),
+                                    i -> array_to_string(t[i+1:i+4], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS tk
+              FROM toks
+            ),
+            tr AS (SELECT doc_id, unnest(tk) AS token FROM sh WHERE source <> 'src0'),
+            ev AS (SELECT DISTINCT unnest(tk) AS token FROM sh WHERE source = 'src0'),
+            sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM tr GROUP BY doc_id),
+            hits AS (SELECT tr.doc_id, COUNT(*) AS n_hit FROM tr JOIN ev USING (token)
+                     GROUP BY tr.doc_id)
+            SELECT h.doc_id,
+                   CAST(h.n_hit AS BIGINT) AS n_hit_ngrams,
+                   CAST(s.n_ngrams AS BIGINT) AS n_ngrams,
+                   CAST(h.n_hit AS DOUBLE) / s.n_ngrams AS contamination_rate
+            FROM hits h JOIN sizes s USING (doc_id)
+        """,
+        "stratified_sample": """
+            -- Same md5-threshold arithmetic as ml/sampling.py (60-bit hash
+            -- of 'doc_id#seed', mod 1e6, per-source thresholds).
+            SELECT doc_id, source, lang FROM documents
+            WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15))::BIGINT
+                  % 1000000
+                  < CASE source WHEN 'src0' THEN 800000 WHEN 'src1' THEN 500000
+                                WHEN 'src2' THEN 250000 ELSE 100000 END
         """,
         "sessions": """
             WITH ord AS (

@@ -466,3 +466,45 @@ def dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing at least
+    one word n-gram with an evaluation set. Returns one row per CONTAMINATED
+    train doc: ``(id_col, n_hit_ngrams, n_ngrams, contamination_rate)``
+    where the rate is the fraction of the doc's distinct n-grams that
+    appear anywhere in the eval set — the standard "n-gram overlap"
+    contamination test run before training on a scraped corpus.
+
+    Scale shape: the eval side collapses to its DISTINCT n-gram set —
+    benchmarks are tiny next to a training corpus — and is broadcast
+    (``broadcast_eval=False`` falls back to a shuffle hash join for
+    pathologically large eval suites). The train side is one bounded
+    per-doc shingle window + a broadcast semi-side join + one
+    map-side-combinable count aggregate: a single scan of the corpus, no
+    corpus-sized shuffle anywhere.
+    """
+    tr = shingle_rows(train, text_col, id_col, n)
+    ev = shingle_rows(eval_df, text_col, id_col, n).select("token").distinct()
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    sizes = tr.groupBy("id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = tr.join(ev, "token").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hit_ngrams")
+    )
+    return (
+        hits.join(sizes, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_hit_ngrams",
+            "n_ngrams",
+            (F.col("n_hit_ngrams") / F.col("n_ngrams")).alias("contamination_rate"),
+        )
+    )

@@ -329,3 +329,43 @@ def test_dedup_clusters_singletons_and_groups(spark):
     assert rows["d2"]["cluster_id"] == "d1" and not rows["d2"]["is_canonical"]
     assert rows["d4"]["cluster_id"] == "d1" and not rows["d4"]["is_canonical"]
     assert rows["d3"]["cluster_id"] == "d3" and rows["d3"]["is_canonical"]
+
+
+def test_ngram_contamination_flags_shared_span(spark):
+    from pyranges_1_x_spark.ml.dedup import ngram_contamination
+
+    train = spark.createDataFrame(
+        [
+            ("t1", "alpha beta gamma delta epsilon zeta"),   # contains eval 4-gram
+            ("t2", "one two three four five six seven"),     # clean
+        ],
+        "doc_id string, text string",
+    )
+    ev = spark.createDataFrame(
+        [("e1", "XX alpha beta gamma delta YY")], "doc_id string, text string"
+    )
+    rows = {r["doc_id"]: r for r in ngram_contamination(train, ev, n=4).collect()}
+    assert set(rows) == {"t1"}
+    # t1 has 3 distinct 4-grams; exactly one ("alpha beta gamma delta") is in eval
+    assert rows["t1"]["n_hit_ngrams"] == 1 and rows["t1"]["n_ngrams"] == 3
+    assert abs(rows["t1"]["contamination_rate"] - 1 / 3) < 1e-12
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from pyranges_1_x_spark.ml.sampling import hash_sample, stratified_sample
+
+    docs = spark.createDataFrame(
+        [(str(i), "src%d" % (i % 2), "x") for i in range(400)],
+        "doc_id string, source string, text string",
+    )
+    out1 = sorted(r["doc_id"] for r in stratified_sample(
+        docs, "source", {"src0": 0.5}, default=0.1, seed=3).collect())
+    out2 = sorted(r["doc_id"] for r in stratified_sample(
+        docs.repartition(13), "source", {"src0": 0.5}, default=0.1, seed=3).collect())
+    assert out1 == out2  # partitioning-independent membership
+    n0 = sum(1 for d in out1 if int(d) % 2 == 0)
+    n1 = len(out1) - n0
+    assert 60 <= n0 <= 140 and 5 <= n1 <= 45  # ~100 of 200 / ~20 of 200
+    # different seed -> different subset; same fraction ballpark
+    out3 = sorted(r["doc_id"] for r in hash_sample(docs, 0.5, seed=9).collect())
+    assert out3 != out1 and 140 <= len(out3) <= 260
