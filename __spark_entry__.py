@@ -791,6 +791,36 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
+def q_fasta_roundtrip(spark, sf_dir):
+    """Native FASTA IO gate: write 51 deterministic records across three
+    files (one gzipped, wrapped at 13 cols) with sources/fasta.py
+    write_fasta, read back through the distributed per-file parser, and gate
+    record names, lengths, and full-sequence md5 — the whole wrap ->
+    compress -> parse -> concatenate path, value-exact."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.sources.fasta import read_fasta_native, write_fasta
+
+    d = tempfile.mkdtemp(prefix="fasta_rt_")
+    paths = []
+    for f in range(3):
+        seqs = [
+            (f"s{f}_{i}", "ACGT" * (5 + (f * 17 + i) % 40)) for i in range(17)
+        ]
+        p = os.path.join(d, f"g{f}.fa" + (".gz" if f == 2 else ""))
+        write_fasta(p, seqs, width=13)
+        paths.append(p)
+    out = read_fasta_native(spark, paths)
+    return out.select(
+        "Chromosome",
+        F.length("Sequence").cast("long").alias("n_chars"),
+        F.md5("Sequence").alias("seq_md5"),
+    )
+
+
 def q_sessions(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1231,6 +1261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "fasta_roundtrip": q_fasta_roundtrip,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -2393,6 +2424,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN i % 3 = 0 THEN '-' ELSE '+' END AS Strand,
                    CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS BIGINT) AS Flag,
                    CAST(20 + (i % 40) AS BIGINT) AS MapQ
+            FROM r
+        """,
+        "fasta_roundtrip": """
+            -- Arithmetic twin of q_fasta_roundtrip's 51 records; md5 of the
+            -- regenerated sequence gates the parse byte-for-byte.
+            WITH r AS (SELECT a.f, b.i FROM unnest(range(3)) a(f)
+                       CROSS JOIN unnest(range(17)) b(i))
+            SELECT 's' || CAST(f AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS Chromosome,
+                   CAST(4 * (5 + (f * 17 + i) % 40) AS BIGINT) AS n_chars,
+                   md5(repeat('ACGT', CAST(5 + (f * 17 + i) % 40 AS INTEGER))) AS seq_md5
             FROM r
         """,
         "bigwig_roundtrip": """

@@ -173,3 +173,52 @@ def test_native_bigwig_roundtrip(spark, tmp_path):
     fixed = struct.pack("<IIIIIBBH", 1, 1000, 0, 100, 25, 3, 0, 2) + struct.pack("<f", 3.0) + struct.pack("<f", 4.0)
     assert decode_block(var, {0: "chr1"}) == [("chr1", 10, 35, 1.0), ("chr1", 50, 75, 2.0)]
     assert decode_block(fixed, {1: "chr9"}) == [("chr9", 1000, 1025, 3.0), ("chr9", 1100, 1125, 4.0)]
+
+
+def test_fasta_roundtrip_and_get_sequence(spark, tmp_path):
+    """write_fasta -> read_fasta_native -> get_sequence: wrapped lines, .gz,
+    multi-record, header-comment word split, '-'-strand revcomp."""
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.functions.seqs import get_sequence
+    from pyranges_1_x_spark.sources.fasta import read_fasta_native, write_fasta
+
+    seqs = [("chrA", "ACGTACGTACGTACGTAAACCCGGGTTT"), ("chrB", "TTTTGGGGCCCCAAAA")]
+    plain = str(tmp_path / "g.fa")
+    gz = str(tmp_path / "g2.fa.gz")
+    write_fasta(plain, seqs, width=7)
+    # .gz variant with a description after the name (must be dropped)
+    with open(plain) as fh:
+        txt = fh.read().replace(">chrA", ">chrA assembled contig")
+    import gzip as _gz
+
+    with _gz.open(gz, "wt") as fh:
+        fh.write(txt)
+
+    for path in (plain, gz):
+        table = read_fasta_native(spark, path)
+        got = {r["Chromosome"]: r["Sequence"] for r in table.collect()}
+        assert got == dict(seqs), path
+
+    gr = GenomicRanges(
+        spark.createDataFrame(
+            [("chrA", 2, 6, "+"), ("chrA", 2, 6, "-"), ("chrB", 0, 4, "+")],
+            "Chromosome string, Start long, End long, Strand string",
+        )
+    )
+    out = {
+        (r["Chromosome"], r["Start"], r["Strand"]): r["Seq"]
+        for r in get_sequence(gr, read_fasta_native(spark, plain)).df.collect()
+    }
+    assert out[("chrA", 2, "+")] == "GTAC"
+    assert out[("chrA", 2, "-")] == "GTAC"  # revcomp of GTAC is GTAC
+    assert out[("chrB", 0, "+")] == "TTTT"
+
+
+def test_fasta_multi_file_parallel_read(spark, tmp_path):
+    from pyranges_1_x_spark.sources.fasta import read_fasta_native, write_fasta
+
+    for i in range(3):
+        write_fasta(str(tmp_path / f"part{i}.fa"), [(f"c{i}", "ACGT" * (i + 1))])
+    table = read_fasta_native(spark, str(tmp_path / "part*.fa"))
+    got = {r["Chromosome"]: r["Sequence"] for r in table.collect()}
+    assert got == {"c0": "ACGT", "c1": "ACGTACGT", "c2": "ACGTACGTACGT"}
