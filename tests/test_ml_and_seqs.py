@@ -369,3 +369,26 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     # different seed -> different subset; same fraction ballpark
     out3 = sorted(r["doc_id"] for r in hash_sample(docs, 0.5, seed=9).collect())
     assert out3 != out1 and 140 <= len(out3) <= 260
+
+
+def test_deterministic_shuffle_total_order_and_reproducible(spark):
+    from pyranges_1_x_spark.ml.sampling import deterministic_shuffle
+
+    docs = spark.createDataFrame(
+        [(str(i),) for i in range(300)], "doc_id string"
+    )
+    r1 = {r["doc_id"]: r["shuffle_rank"]
+          for r in deterministic_shuffle(docs, seed=1).collect()}
+    # total permutation of 1..300
+    assert sorted(r1.values()) == list(range(1, 301))
+    # partitioning-independent
+    r2 = {r["doc_id"]: r["shuffle_rank"]
+          for r in deterministic_shuffle(docs.repartition(17), seed=1).collect()}
+    assert r1 == r2
+    # different seed -> different permutation; still total
+    r3 = {r["doc_id"]: r["shuffle_rank"]
+          for r in deterministic_shuffle(docs, seed=2).collect()}
+    assert sorted(r3.values()) == list(range(1, 301)) and r3 != r1
+    # actually shuffled (not identity / not sorted-by-id order)
+    ids_in_rank_order = [d for d, _ in sorted(r1.items(), key=lambda kv: kv[1])]
+    assert ids_in_rank_order != sorted(r1, key=int)
