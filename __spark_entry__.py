@@ -791,6 +791,26 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """Embedding near-dup clustering (ml/similarity.py:
+    semantic_dedup_clusters): banded hyperplane-LSH cosine pairs at
+    cos >= 0.4 (margin to the threshold is >=1.2e-4 on the fixtures, far
+    above double noise) -> connected components -> canonical vector per
+    cluster. Oracle: the same banded pair set fed through a recursive-CTE
+    label spread."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.similarity import semantic_dedup_clusters
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semantic_dedup_clusters(
+        emb, _lsh_planes(64, 18), threshold=0.4, bands=3
+    )
+
+
 def q_shuffle(spark, sf_dir):
     """Reproducible corpus shuffle (ml/sampling.py:deterministic_shuffle):
     global rank by (md5(key#seed), key) via hash-prefix buckets + broadcast
@@ -1275,6 +1295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "fasta_roundtrip": q_fasta_roundtrip,
         "shuffle_rank": q_shuffle,
+        "semantic_dedup": q_semantic_dedup,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -1570,6 +1591,41 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id < b.vec_id
              AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2)
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """,
+        "semantic_dedup": f"""
+            -- Banded pair set identical to the cosine_simjoin twin (any of
+            -- 3 six-plane signatures agree, cos >= 0.4), then the same
+            -- recursive label spread as the dedup_clusters oracle.
+            WITH RECURSIVE e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            s AS (
+              SELECT vec_id, v,
+                     {_duck_sig_expr("v", _lsh_planes(64, 18)[0:6])} AS sig0,
+                     {_duck_sig_expr("v", _lsh_planes(64, 18)[6:12])} AS sig1,
+                     {_duck_sig_expr("v", _lsh_planes(64, 18)[12:18])} AS sig2
+              FROM e
+            ),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM s a JOIN s b
+                ON a.vec_id < b.vec_id
+               AND (a.sig0 = b.sig0 OR a.sig1 = b.sig1 OR a.sig2 = b.sig2)
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+            ),
+            bi AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL
+              SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            walk(node, label) AS (
+              SELECT vec_id, vec_id FROM e
+              UNION
+              SELECT bi.v, walk.label FROM walk JOIN bi ON bi.u = walk.node
+            )
+            SELECT node AS vec_id, MIN(label) AS cluster_id,
+                   (node = MIN(label)) AS is_canonical
+            FROM walk GROUP BY node
         """,
         "extend_orfs": _orf_oracle_sql(),
         "simhash": _simhash_oracle_sql(32),

@@ -296,3 +296,42 @@ def ivf_topk(
         F.col("__cell__").isin([int(p) for p in probes])
     )
     return brute_force_topk(cand, query_vec, vec_col=vec_col, id_col=id_col, k=k)
+
+
+def semantic_dedup_clusters(
+    df: DataFrame,
+    planes: list[list[float]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    bands: int = 1,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Embedding-space near-duplicate clustering: banded-LSH cosine pairs ->
+    distributed connected components -> one canonical vector per semantic
+    cluster. The embedding twin of ``ml.dedup.dedup_clusters`` — same output
+    contract ``(id_col, cluster_id, is_canonical)``, cluster id = smallest
+    member id, singletons canonical.
+
+    Scale: inherits ``cosine_similarity_join``'s banded-bucket candidate
+    shape (never all-pairs) and ``connected_components``' edge-relation
+    iteration; the final membership join is one broadcast-sized label table
+    against the corpus when dup rates are low, a plain shuffle join
+    otherwise.
+    """
+    from pyranges_1_x_spark.ml.dedup import connected_components
+
+    pairs = cosine_similarity_join(
+        df, planes, vec_col=vec_col, id_col=id_col, threshold=threshold, bands=bands
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs, max_iter=max_iter)
+    return (
+        df.select(F.col(id_col))
+        .join(cc, df[id_col] == cc["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("component", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
+    )

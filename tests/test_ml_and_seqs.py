@@ -392,3 +392,24 @@ def test_deterministic_shuffle_total_order_and_reproducible(spark):
     # actually shuffled (not identity / not sorted-by-id order)
     ids_in_rank_order = [d for d, _ in sorted(r1.items(), key=lambda kv: kv[1])]
     assert ids_in_rank_order != sorted(r1, key=int)
+
+
+def test_semantic_dedup_clusters_groups_near_vectors(spark):
+    from pyranges_1_x_spark.ml.similarity import semantic_dedup_clusters
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.01, 0.999, 0.0]),   # near-dup of 3
+        (5, [0.0, 0.0, 1.0]),      # singleton
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = [[1.0, 0.3, -0.2], [-0.4, 1.0, 0.1], [0.2, -0.3, 1.0],
+              [0.7, 0.7, 0.0], [0.0, 0.6, -0.8], [-0.5, 0.2, 0.6]]
+    out = {r["vec_id"]: r for r in
+           semantic_dedup_clusters(emb, planes, threshold=0.95, bands=2).collect()}
+    assert out[1]["cluster_id"] == 1 and out[1]["is_canonical"]
+    assert out[2]["cluster_id"] == 1 and not out[2]["is_canonical"]
+    assert out[3]["cluster_id"] == 3 and out[4]["cluster_id"] == 3
+    assert out[5]["cluster_id"] == 5 and out[5]["is_canonical"]
