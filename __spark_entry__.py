@@ -791,6 +791,23 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
+def q_bpe_tokens(spark, sf_dir):
+    """Token budgeting (ml/text.py): whitespace tokens vs GPT-2-style BPE
+    pre-tokens per doc, both pure JVM regex — the counts a mix-sizing
+    pipeline aggregates per source/language."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.text import bpe_token_count, token_count
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """Embedding near-dup clustering (ml/similarity.py:
     semantic_dedup_clusters): banded hyperplane-LSH cosine pairs at
@@ -1296,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fasta_roundtrip": q_fasta_roundtrip,
         "shuffle_rank": q_shuffle,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_tokens": q_bpe_tokens,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -2494,6 +2512,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS BIGINT) AS Flag,
                    CAST(20 + (i % 40) AS BIGINT) AS MapQ
             FROM r
+        """,
+        "bpe_tokens": """
+            SELECT doc_id,
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                     '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+                   )) AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "shuffle_rank": """
             SELECT doc_id,

@@ -14,8 +14,19 @@ from pyspark.sql import functions as F
 #: Tiny english stopword list for quality heuristics (deterministic, no deps).
 STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
 
-#: Word-ish tokenizer: runs of word characters (a BPE-ish regex would go here).
+#: Word-ish tokenizer: runs of word characters.
 TOKEN_PATTERN = r"\s+"
+
+#: GPT-2-style BPE pre-tokenizer (public: the openai/gpt-2 encoder regex),
+#: restricted to the Java-regex/RE2 common subset so Spark and DuckDB
+#: tokenize identically: contraction suffixes, space-prefixed letter runs,
+#: digit runs, punctuation runs, whitespace runs. (The original's
+#: ``\s+(?!\S)`` lookahead is dropped — RE2 has no lookahead — so a
+#: whitespace run groups as one pre-token instead of splitting its last
+#: space onto the next word; counts shift only for multi-space runs.)
+BPE_PRETOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
 
 
 def tokens(text: Column) -> Column:
@@ -25,6 +36,19 @@ def tokens(text: Column) -> Column:
 
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE pre-tokens (the units a byte-pair encoder would merge within) —
+    JVM-side ``regexp_extract_all``, no UDF."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Pre-token count — the standard cheap proxy for an exact BPE token
+    budget when sizing a training mix (exact merges need the vocab; run
+    them in a mapInPandas kernel if a tokenizer model is shipped)."""
+    return F.size(bpe_pretokens(text))
 
 
 def unique_token_count(text: Column) -> Column:

@@ -413,3 +413,18 @@ def test_semantic_dedup_clusters_groups_near_vectors(spark):
     assert out[2]["cluster_id"] == 1 and not out[2]["is_canonical"]
     assert out[3]["cluster_id"] == 3 and out[4]["cluster_id"] == 3
     assert out[5]["cluster_id"] == 5 and out[5]["is_canonical"]
+
+
+def test_bpe_pretokens_shape(spark):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.text import bpe_pretokens, bpe_token_count
+
+    df = spark.createDataFrame(
+        [("d1", "I don't have 42 apples, OK?")], "doc_id string, text string"
+    )
+    toks = df.select(bpe_pretokens(F.col("text")).alias("t")).collect()[0]["t"]
+    # contraction split, space-prefixed words, digit run, punctuation runs
+    assert toks == ["I", " don", "'t", " have", " 42", " apples", ",", " OK", "?"]
+    n = df.select(bpe_token_count(F.col("text")).alias("n")).collect()[0]["n"]
+    assert n == len(toks)
