@@ -398,7 +398,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             nbr = ed.join(
                 labels, ed["u"] == labels["node"]
             ).select(F.col("v").alias("node"), "component")
@@ -418,6 +418,12 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
+            if it == 0:
+                # Round 1 always changes at least one label when any edge
+                # exists (every non-minimum member of a component drops), so
+                # the convergence count would be a wasted job here.
+                labels = l2
+                continue
             changed = (
                 l2.join(labels.withColumnRenamed("component", "__old__"), on="node")
                 .filter(F.col("component") != F.col("__old__"))
