@@ -240,3 +240,26 @@ def running_anomalies(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: list[str] | str,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup for continuous ingestion: keep the FIRST arrival of each
+    key, dropping re-deliveries that arrive within the watermark horizon —
+    the streaming twin of ``ml.dedup.dedup_exact`` for at-least-once
+    sources (log replays, retried uploads).
+
+    State posture (why this survives an unbounded stream):
+    ``dropDuplicatesWithinWatermark`` expires a key's dedup state once the
+    watermark passes its first-seen event time, so state is bounded by
+    (keys per watermark window), not by all keys ever seen —
+    ``dropDuplicates`` on a stream would grow without bound. On a batch
+    DataFrame the same call degrades to plain semantics for parity testing.
+    """
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

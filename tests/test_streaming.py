@@ -213,3 +213,40 @@ def test_running_anomalies_batch_twin_matches_streaming_fold(spark, tmp_path):
     s = streamed[key].sort_values(key).reset_index(drop=True)
     assert len(b) > 0
     pd.testing.assert_frame_equal(b, s)
+
+
+def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
+    """File-source stream with duplicated keys: only the first arrival of
+    each key survives; state is watermark-bounded (see docstring)."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.streaming.events import streaming_dedup
+
+    d = str(tmp_path / "dedup_in")
+    pdf = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "a", "c", "b", "a"],
+            "payload": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(
+                [
+                    "2026-01-01 00:00",
+                    "2026-01-01 00:01",
+                    "2026-01-01 00:02",
+                    "2026-01-01 00:03",
+                    "2026-01-01 00:04",
+                    "2026-01-01 00:05",
+                ]
+            ),
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(
+        "doc_id string, payload long, ts timestamp"
+    ).parquet(d)
+    out = streaming_dedup(stream, "doc_id", watermark="10 minutes")
+    assert out.isStreaming
+    got = run_stream(spark, out, "dedup_sink")
+    assert sorted(got["doc_id"]) == ["a", "b", "c"]
+    # first arrival wins
+    by_id = {r.doc_id: r.payload for r in got.itertuples()}
+    assert by_id == {"a": 1, "b": 2, "c": 4}
