@@ -107,3 +107,37 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
         payload = bytes((i * 7 + j) % 256 for j in range(64 + (i % 5) * 32))
         rows.append((i, kinds[i % 3], payload, 64 + i % 128, 64, 1 + (i % 30)))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel (PIL's `Image.resize` in a real deployment).
+
+    Deterministic fake: re-sample the byte stream to width*height bytes by
+    integer striding — byte-exact across engines/partitionings, so the
+    Arrow round-trip (binary in -> binary out) is testable without PIL.
+    """
+    if payload is None or not payload:
+        return bytes(width * height)
+    target = max(width * height, 1)
+    n = len(payload)
+    return bytes(payload[(i * n) // target] for i in range(target))
+
+
+def resize_images(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """mapInPandas image resize: binary payloads in, resized binary payloads
+    out, metadata updated to the new dimensions. Non-image rows pass through
+    untouched (resize is an image-kind transform; the plan keeps one Arrow
+    batch in flight like ``extract_features``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            is_img = pdf["kind"] == "image"
+            pdf = pdf.copy()
+            pdf.loc[is_img, "payload"] = [
+                _resize_payload(p, width, height) for p in pdf.loc[is_img, "payload"]
+            ]
+            pdf.loc[is_img, "width"] = width
+            pdf.loc[is_img, "height"] = height
+            yield pdf
+
+    return df.mapInPandas(run, schema=df.schema)

@@ -428,3 +428,16 @@ def test_bpe_pretokens_shape(spark):
     assert toks == ["I", " don", "'t", " have", " 42", " apples", ",", " OK", "?"]
     n = df.select(bpe_token_count(F.col("text")).alias("n")).collect()[0]["n"]
     assert n == len(toks)
+
+
+def test_resize_images_plumbing(spark):
+    from pyranges_1_x_spark.ml.multimodal import resize_images, synthetic_media
+
+    media = synthetic_media(spark, 12)
+    out = resize_images(media, width=4, height=4).collect()
+    assert len(out) == 12
+    for r in out:
+        if r["kind"] == "image":
+            assert len(r["payload"]) == 16 and r["width"] == 4 and r["height"] == 4
+        else:  # non-image rows untouched
+            assert len(r["payload"]) >= 64
