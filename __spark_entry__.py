@@ -791,6 +791,24 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
+def q_corpus_filter(spark, sf_dir):
+    """Quality-gate filter (ml/text.py:filter_corpus): keep flag + first
+    failing reason per doc; thresholds chosen so all four reason classes
+    fire on the fixture corpus (354/40/8/9 drops, 89 keepers at sf0.01)."""
+    from pyranges_1_x_spark.ml.text import filter_corpus
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    out = filter_corpus(
+        docs,
+        min_chars=400,
+        min_tokens=80,
+        min_unique_ratio=0.30,
+        min_stopword_ratio=0.03,
+    )
+    return out.select("doc_id", "keep", "drop_reason")
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Token budgeting (ml/text.py): whitespace tokens vs GPT-2-style BPE
     pre-tokens per doc, both pure JVM regex — the counts a mix-sizing
@@ -1314,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_rank": q_shuffle,
         "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
+        "corpus_filter": q_corpus_filter,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -2512,6 +2531,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS BIGINT) AS Flag,
                    CAST(20 + (i % 40) AS BIGINT) AS MapQ
             FROM r
+        """,
+        "corpus_filter": """
+            WITH s AS (
+              SELECT doc_id, length(text) AS c,
+                     len(string_split(trim(text), ' ')) AS t,
+                     len(list_distinct(string_split(trim(text), ' '))) AS u,
+                     len(list_filter(string_split(trim(text), ' '),
+                         x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) AS sw
+              FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN c < 400 THEN 'too_short'
+                        WHEN t < 80 THEN 'too_few_tokens'
+                        WHEN CAST(u AS DOUBLE) / GREATEST(t, 1) < 0.30 THEN 'low_unique_ratio'
+                        WHEN CAST(sw AS DOUBLE) / GREATEST(t, 1) < 0.03 THEN 'low_stopword_ratio'
+                   END AS drop_reason,
+                   (CASE WHEN c < 400 THEN 'too_short'
+                         WHEN t < 80 THEN 'too_few_tokens'
+                         WHEN CAST(u AS DOUBLE) / GREATEST(t, 1) < 0.30 THEN 'low_unique_ratio'
+                         WHEN CAST(sw AS DOUBLE) / GREATEST(t, 1) < 0.03 THEN 'low_stopword_ratio'
+                    END) IS NULL AS keep
+            FROM s
         """,
         "bpe_tokens": """
             SELECT doc_id,

@@ -148,3 +148,40 @@ def winnow_fingerprints(
         .select(F.col(id_col), F.col("__h__").alias("fp"))
         .distinct()
     )
+
+
+def filter_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_chars: int = 200,
+    min_tokens: int = 20,
+    min_unique_ratio: float = 0.0,
+    min_stopword_ratio: float = 0.0,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Quality-gate a corpus: per-doc ``keep`` flag plus the FIRST failing
+    check as an auditable ``drop_reason`` (too_short -> too_few_tokens ->
+    low_unique_ratio -> low_stopword_ratio, NULL when kept) — the
+    filter stage a training pipeline runs between scraping and mixing,
+    with reasons preserved so drop-rate dashboards can attribute loss.
+
+    Pure column expressions over one scan; ratios are integer-count
+    divisions, so Spark and an oracle engine agree bit-for-bit.
+    """
+    t = F.col(text_col)
+    c = char_count(t)
+    n = token_count(t)
+    u = unique_token_count(t)
+    sw = stopword_count(t, stopwords)
+    nn = F.greatest(n, F.lit(1))
+    reason = (
+        F.when(c < min_chars, F.lit("too_short"))
+        .when(n < min_tokens, F.lit("too_few_tokens"))
+        .when(u / nn < min_unique_ratio, F.lit("low_unique_ratio"))
+        .when(sw / nn < min_stopword_ratio, F.lit("low_stopword_ratio"))
+    )
+    return df.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )

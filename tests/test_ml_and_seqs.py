@@ -441,3 +441,28 @@ def test_resize_images_plumbing(spark):
             assert len(r["payload"]) == 16 and r["width"] == 4 and r["height"] == 4
         else:  # non-image rows untouched
             assert len(r["payload"]) >= 64
+
+
+def test_filter_corpus_reason_precedence(spark):
+    from pyranges_1_x_spark.ml.text import filter_corpus
+
+    docs = spark.createDataFrame(
+        [
+            ("short", "tiny"),                                   # too_short
+            ("fewtok", "x " * 3 + "the is of to in it a an or"), # enough chars? no
+            (
+                "good",
+                "the quick brown fox jumps over a lazy dog while many other "
+                "animals watch from the tall grass and wonder about it all "
+                "during an otherwise quiet afternoon in the green valley",
+            ),
+            ("repeat", ("the the the the the is is is is of of " * 8).strip()),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in filter_corpus(
+        docs, min_chars=30, min_tokens=10, min_unique_ratio=0.2,
+        min_stopword_ratio=0.05).collect()}
+    assert out["short"]["drop_reason"] == "too_short" and not out["short"]["keep"]
+    assert out["good"]["keep"] and out["good"]["drop_reason"] is None
+    assert out["repeat"]["drop_reason"] == "low_unique_ratio"
