@@ -222,3 +222,63 @@ def test_fasta_multi_file_parallel_read(spark, tmp_path):
     table = read_fasta_native(spark, str(tmp_path / "part*.fa"))
     got = {r["Chromosome"]: r["Sequence"] for r in table.collect()}
     assert got == {"c0": "ACGT", "c1": "ACGTACGT", "c2": "ACGTACGTACGT"}
+
+
+def test_bucketed_table_aggregation_skips_shuffle(spark, tmp_path):
+    """groupBy(Chromosome, ...) over a bucketBy(Chromosome) table must plan
+    with NO Exchange (the co-location contract sources/bucketed.py claims);
+    the same aggregation over the plain table must show one."""
+    from pyranges_1_x_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    df = spark.createDataFrame(
+        [("chr%d" % (i % 3), i * 10, i * 10 + 5, i) for i in range(200)],
+        "Chromosome string, Start long, End long, Score long",
+    )
+    try:
+        write_bucketed(df, "t_bucketed", buckets=4)
+        agg = (
+            read_bucketed(spark, "t_bucketed")
+            .groupBy("Chromosome")
+            .count()
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # multi-key grouping with the bucket column as prefix also co-locates
+        agg2 = (
+            read_bucketed(spark, "t_bucketed")
+            .groupBy("Chromosome", "Score")
+            .count()
+        )
+        plan2 = agg2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2, plan2
+        # control: the un-bucketed frame shuffles
+        plain = df.groupBy("Chromosome").count()
+        plan3 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan3
+        # values identical either way
+        assert sorted(map(tuple, agg.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bucketed")
+
+
+def test_bucketed_join_colocates_on_exact_bucket_key(spark):
+    """Two same-bucketed tables join with zero exchanges on the exact bucket
+    key; a superset join key still shuffles (the contract documented in
+    sources/bucketed.py)."""
+    from pyranges_1_x_spark.sources.bucketed import write_bucketed
+
+    df = spark.createDataFrame(
+        [("chr%d" % (i % 3), i * 10, i * 10 + 5, i) for i in range(100)],
+        "Chromosome string, Start long, End long, Score long",
+    )
+    try:
+        write_bucketed(df, "t_ja", buckets=4)
+        write_bucketed(df, "t_jb", buckets=4)
+        a = spark.table("t_ja")
+        b = spark.table("t_jb").toDF("Chromosome", "S2", "E2", "Sc2")
+        with_hint = a.hint("merge").join(b, on="Chromosome")
+        plan = with_hint._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ja")
+        spark.sql("DROP TABLE IF EXISTS t_jb")
