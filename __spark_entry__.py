@@ -791,6 +791,25 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
+def q_kmv_vocab(spark, sf_dir):
+    """Per-source distinct-3-gram-vocabulary estimate via the KMV sketch
+    (ml/sketches.py) — the deterministic, value-gateable alternative to
+    HyperLogLog: the sketch is the k smallest distinct md5 hashes, so DuckDB
+    replays it with one ROW_NUMBER; k=32 keeps some sources in exact mode
+    and pushes others through the (k-1)*H/h_k estimator."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import shingles
+    from pyranges_1_x_spark.ml.sketches import kmv_distinct
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    toks = docs.select(
+        "source", F.explode(shingles(F.col("text"), 3)).alias("shingle")
+    )
+    return kmv_distinct(toks, "source", "shingle", k=32)
+
+
 def q_corpus_filter(spark, sf_dir):
     """Quality-gate filter (ml/text.py:filter_corpus): keep flag + first
     failing reason per doc; thresholds chosen so all four reason classes
@@ -1333,6 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
         "corpus_filter": q_corpus_filter,
+        "kmv_vocab": q_kmv_vocab,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -2531,6 +2551,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS BIGINT) AS Flag,
                    CAST(20 + (i % 40) AS BIGINT) AS MapQ
             FROM r
+        """,
+        "kmv_vocab": """
+            -- KMV sketch twin: k=32 smallest distinct md5-60bit hashes of
+            -- the 3-gram shingles per source; (k-1)*2^60/h_k estimator,
+            -- exact below k. Shingling identical to the token_jaccard twin.
+            WITH toks AS (
+              SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ),
+            sh AS (
+              SELECT source, list_distinct(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(0, len(t)-3),
+                                    i -> array_to_string(t[i+1:i+3], ' '))
+                ELSE [array_to_string(t, ' ')] END) AS tk
+              FROM toks
+            ),
+            u AS (SELECT DISTINCT source, unnest(tk) AS token FROM sh),
+            hh AS (SELECT DISTINCT source,
+                          ('0x' || substring(md5(token), 1, 15))::BIGINT AS h FROM u),
+            r AS (SELECT source, h,
+                         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh),
+            m AS (SELECT source, COUNT(*) AS n, MAX(h) AS kth
+                  FROM r WHERE rn <= 32 GROUP BY source)
+            SELECT source,
+                   CAST(FLOOR(CASE WHEN n < 32 THEN CAST(n AS DOUBLE)
+                              ELSE 31.0 * 1152921504606846976.0 / CAST(kth AS DOUBLE)
+                              END) AS BIGINT) AS est_distinct,
+                   (n < 32) AS exact
+            FROM m
         """,
         "corpus_filter": """
             WITH s AS (

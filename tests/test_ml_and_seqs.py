@@ -466,3 +466,24 @@ def test_filter_corpus_reason_precedence(spark):
     assert out["short"]["drop_reason"] == "too_short" and not out["short"]["keep"]
     assert out["good"]["keep"] and out["good"]["drop_reason"] is None
     assert out["repeat"]["drop_reason"] == "low_unique_ratio"
+
+
+def test_kmv_distinct_exact_and_estimate(spark):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.sketches import kmv_distinct
+
+    rows = [("small", f"v{i % 10}") for i in range(100)] + [
+        ("big", f"w{i}") for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "grp string, val string")
+    out = {r["grp"]: r for r in kmv_distinct(df, "grp", "val", k=64).collect()}
+    # below k: exact count
+    assert out["small"]["est_distinct"] == 10 and out["small"]["exact"]
+    # above k: estimator within ~4 sigma (sigma ~ D/sqrt(k-2) ~ 634)
+    assert not out["big"]["exact"]
+    assert abs(out["big"]["est_distinct"] - 5000) < 2600
+    # partitioning-independent (deterministic sketch)
+    out2 = {r["grp"]: r["est_distinct"]
+            for r in kmv_distinct(df.repartition(13), "grp", "val", k=64).collect()}
+    assert out2 == {g: r["est_distinct"] for g, r in out.items()}
