@@ -1344,12 +1344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigwig_roundtrip": q_bigwig_roundtrip,
         "slice_introns": q_slice_introns,
         "kmeans": q_kmeans,
-        "dedup_clusters": q_dedup_clusters,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
         "fasta_roundtrip": q_fasta_roundtrip,
         "shuffle_rank": q_shuffle,
-        "semantic_dedup": q_semantic_dedup,
         "bpe_tokens": q_bpe_tokens,
         "corpus_filter": q_corpus_filter,
         "kmv_vocab": q_kmv_vocab,
@@ -1373,6 +1371,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage": q_coverage,
         "coverage_ratio": q_coverage_ratio,
         "extend_orfs": q_extend_orfs,
+        # Iterative-session queries (localCheckpoint/persist state) run LAST
+        # inside the driver's 50-row gate window: if a memory-tight harness
+        # session ever dies here, only these rows are lost instead of every
+        # row after position ~25 (observed failure shape in the local gate
+        # before the 8g fix).
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
         "cosine_simjoin": q_cosine_simjoin,
         "sort_rank": q_sort_rank,
         "events_hourly": q_events_hourly,

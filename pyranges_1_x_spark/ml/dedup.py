@@ -380,11 +380,14 @@ def connected_components(
     Scale shape: every round is two shuffle joins + one aggregate over the
     EDGE table — which, after LSH banding + verification, is orders of
     magnitude smaller than the corpus — and the label table is
-    ``localCheckpoint``-ed per round so the iterative plan's lineage stays
-    flat (on a cluster with unreliable executors, swap for a
-    reliable ``checkpoint`` dir). Nothing ever collects to the driver but
-    the single changed-row count.
+    ``localCheckpoint``-ed per round (DISK_ONLY, so iterating leaves no
+    executor-heap residue in a long-lived session; on a cluster with
+    unreliable executors, swap for a reliable ``checkpoint`` dir) to keep
+    the iterative plan's lineage flat. Nothing ever collects to the driver
+    but the single changed-row count.
     """
+    from pyspark import StorageLevel
+
     ed = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -395,7 +398,7 @@ def connected_components(
         ed.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     try:
         for it in range(max_iter):
@@ -416,7 +419,7 @@ def connected_components(
                     "node",
                     F.coalesce("__p_comp__", "component").alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             )
             if it == 0:
                 # Round 1 always changes at least one label when any edge

@@ -17,6 +17,15 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
+    """HOF fold on purpose — do NOT unroll to element_at chains.
+
+    r6 measured the "optimization" of expanding these folds into explicit
+    ``((0+a1*b1)+a2*b2)+...`` expressions (64-dim): the giant projections
+    (18 planes x 64 dims in one select) blew past Janino's method limits,
+    whole-stage codegen FELL BACK to interpreted for the entire stage, and
+    the hot queries regressed 4-12x (cosine_simjoin 4.4s -> 29.7s,
+    semantic_dedup 7.6s -> 94s, kmeans 2s -> 33s at sf0.1). The HOF fold is
+    CodegenFallback per element but keeps the surrounding stage compiled."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
     )

@@ -60,12 +60,20 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
 
+    import os
+
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "16")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # The default 1g heap OOMed a >80-query session (r6: the JVM died at
+        # query ~27 and every later row cascade-failed) — local mode hosts
+        # the executors in the driver JVM, so size it like one.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
         .getOrCreate()
     )
     con = duckdb.connect()
@@ -98,6 +106,13 @@ def main() -> int:
             failures.append(name)
             continue
         t_spark = time.time() - t0
+        # Drop per-query residue (cached relations, finished broadcasts)
+        # so an 80-query session's heap stays flat; a query under test must
+        # not depend on cache surviving past its own materialization.
+        spark.catalog.clearCache()
+        import gc as _gc
+
+        _gc.collect()
         if name not in oracles:
             print(f"ok?  {name}: rows={len(got)} (no oracle, rows-only) [{t_spark:.1f}s]")
             continue
