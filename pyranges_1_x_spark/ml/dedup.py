@@ -385,6 +385,12 @@ def connected_components(
     unreliable executors, swap for a reliable ``checkpoint`` dir) to keep
     the iterative plan's lineage flat. Nothing ever collects to the driver
     but the single changed-row count.
+
+    The per-round EAGER checkpoint is load-bearing, not an optimization
+    knob: r6 measured "checkpoint every 3rd round" at 4x SLOWER (30s vs 7s
+    at sf0.1) — the returned label plan must not reference the edge
+    relation after the ``finally`` unpersists it, or the expensive pair
+    join recomputes once per label-lineage reference at materialization.
     """
     from pyspark import StorageLevel
 
