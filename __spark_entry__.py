@@ -791,6 +791,28 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source", "lang")
 
 
+def q_normalize_dedup(spark, sf_dir):
+    """Normalize-then-fingerprint (ml/text.py:normalize_text + fingerprint):
+    exact-dup groups AFTER case/whitespace/punctuation canonicalization —
+    the normalize stage that lets dedup_exact collapse trivially-different
+    scrapes of the same page."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.text import normalize_text
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    norm = normalize_text(F.col("text"), strip_punctuation=True)
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_fp"))
+        .groupBy("norm_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
 def q_kmv_vocab(spark, sf_dir):
     """Per-source distinct-3-gram-vocabulary estimate via the KMV sketch
     (ml/sketches.py) — the deterministic, value-gateable alternative to
@@ -1351,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokens": q_bpe_tokens,
         "corpus_filter": q_corpus_filter,
         "kmv_vocab": q_kmv_vocab,
+        "normalize_dedup": q_normalize_dedup,
         # --- r6-changed operator families + heavy hitters (to slot 50) ---
         "merge_stranded": q_merge_stranded,
         "cluster": q_cluster,
@@ -2556,6 +2579,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN i % 3 = 0 THEN 16 ELSE 0 END AS BIGINT) AS Flag,
                    CAST(20 + (i % 40) AS BIGINT) AS MapQ
             FROM r
+        """,
+        "normalize_dedup": """
+            -- Same canonicalization chain: lower -> strip punctuation
+            -- (non letter/digit/space) -> collapse whitespace -> trim.
+            WITH n AS (
+              SELECT doc_id,
+                     md5(trim(regexp_replace(
+                       regexp_replace(lower(text), '[^\\p{L}\\p{N}\\s]+', '', 'g'),
+                       '\\s+', ' ', 'g'))) AS norm_fp
+              FROM documents
+            )
+            SELECT norm_fp, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   MIN(doc_id) AS keep_id
+            FROM n GROUP BY norm_fp
         """,
         "kmv_vocab": """
             -- KMV sketch twin: k=32 smallest distinct md5-60bit hashes of

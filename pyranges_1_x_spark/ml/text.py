@@ -185,3 +185,26 @@ def filter_corpus(
     return df.withColumn("drop_reason", reason).withColumn(
         "keep", F.col("drop_reason").isNull()
     )
+
+
+def normalize_text(
+    text: Column,
+    *,
+    lowercase: bool = True,
+    collapse_whitespace: bool = True,
+    strip_punctuation: bool = False,
+) -> Column:
+    """Canonicalize text before fingerprinting/shingling so near-dup
+    detection is robust to case/spacing/punctuation noise — the normalize
+    stage of an exact-dedup pipeline (run it, then ``fingerprint``/
+    ``dedup_exact`` collapse trivially-different scrapes). Pure JVM
+    expressions; engine-portable (lower/regexp_replace/trim exist with
+    identical semantics in any oracle engine)."""
+    t = text
+    if lowercase:
+        t = F.lower(t)
+    if strip_punctuation:
+        t = F.regexp_replace(t, r"[^\p{L}\p{N}\s]+", "")
+    if collapse_whitespace:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return t

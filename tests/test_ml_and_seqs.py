@@ -487,3 +487,20 @@ def test_kmv_distinct_exact_and_estimate(spark):
     out2 = {r["grp"]: r["est_distinct"]
             for r in kmv_distinct(df.repartition(13), "grp", "val", k=64).collect()}
     assert out2 == {g: r["est_distinct"] for g, r in out.items()}
+
+
+def test_normalize_text_canonicalizes(spark):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.text import normalize_text
+
+    df = spark.createDataFrame(
+        [("a", "Hello,   World!"), ("b", "hello world"), ("c", "other text")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id",
+        normalize_text(F.col("text"), strip_punctuation=True).alias("n"),
+    ).collect()}
+    assert out["a"] == out["b"] == "hello world"
+    assert out["c"] == "other text"
