@@ -504,3 +504,42 @@ def test_normalize_text_canonicalizes(spark):
     ).collect()}
     assert out["a"] == out["b"] == "hello world"
     assert out["c"] == "other text"
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_connected_components_property_multi_seed(spark, seed):
+    """Random graphs at several densities equal a driver-side union-find."""
+    import random
+
+    from pyranges_1_x_spark.ml.dedup import connected_components
+
+    rng = random.Random(seed)
+    n = 40 + seed
+    edges = list(
+        {
+            (f"n{min(a, b):03d}", f"n{max(a, b):03d}")
+            for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(seed * 2))
+            if a != b
+        }
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a string, id_b string")
+        ).collect()
+    }
+    assert got == expected

@@ -130,3 +130,28 @@ def test_extend_orfs_missing_chromosome_passthrough(spark):
         got = sorted((r.Start, r.End, r.extension_up, r.extension_down)
                      for r in out.df.collect())
         assert got == [(20, 29, 0, 0), (20, 29, 0, 0)], kwargs
+
+
+def test_extend_orfs_from_native_fasta(spark, tmp_path):
+    """Integration: write a genome FASTA, read it with the native parser,
+    and feed the sequence table straight into extend_orfs — the composition
+    a reference user performs with pyfaidx."""
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.operators.orfs import extend_orfs
+    from pyranges_1_x_spark.sources.fasta import read_fasta_native, write_fasta
+
+    #            0         1         2
+    #            0123456789012345678901234567
+    seq =       "AAATGACCCGGGTTTAAACCCGGGTGAA"
+    # CDS [3,9) = ATGACC; downstream in-frame stop TGA at [24,27)
+    write_fasta(str(tmp_path / "g.fa"), [("chrZ", seq)], width=10)
+    table = read_fasta_native(spark, str(tmp_path / "g.fa"))
+    gr = GenomicRanges(
+        spark.createDataFrame(
+            [("chrZ", 3, 9, "+")],
+            "Chromosome string, Start long, End long, Strand string",
+        )
+    )
+    out = extend_orfs(gr, table, direction="down", starts=()).df.collect()
+    assert len(out) == 1
+    assert out[0]["Start"] == 3 and out[0]["End"] == 27
