@@ -26,6 +26,11 @@ DEFAULT = [
     "merge_stranded", "cluster", "complement", "subtract", "split",
     "set_union", "set_intersect", "mcc", "summary_stats", "jaccard_stat",
     "forbes_stat", "fdr", "winnow", "max_disjoint", "running_anomalies",
+    # r6 additions: recursive-CTE label spreads, ROW_NUMBER rank replay,
+    # hash-threshold sampling, regex tokenization, KMV sketch.
+    "dedup_clusters", "semantic_dedup", "shuffle_rank", "decontaminate",
+    "stratified_sample", "fasta_roundtrip", "kmv_vocab", "corpus_filter",
+    "bpe_tokens", "normalize_dedup",
 ]
 
 
