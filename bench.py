@@ -58,15 +58,22 @@ def main() -> int:
     import gc
 
     qs = entrymod.queries()
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        qs = {n: f for n, f in qs.items() if n in keep}
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             timings[name] = round(time.time() - t0, 3)
+            runs[name] = [timings[name]]
         except Exception as e:  # noqa: BLE001
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
+            runs[name] = [-1.0]
         # Release driver-side py4j refs promptly so Spark's ContextCleaner can
         # drop finished broadcasts between queries — late queries otherwise
         # absorb accumulated GC pressure (observed 2.7s-warm queries reading
@@ -78,7 +85,11 @@ def main() -> int:
     # consecutive clean runs). Queries past the threshold get ONE re-run and
     # report the min of the two full materializations — both runs do the
     # complete noop-sink write, so this is a real floor, not plan pruning.
-    # Disable with SPARK_GRAFT_BENCH_RERUN=0.
+    # All run times (first run AND re-run) are reported under "runs" so
+    # cross-round comparisons can normalize methodology (VERDICT r6 #8: the
+    # min-only report clipped noise asymmetrically — slow queries got a
+    # floor, fast ones kept single noisy samples). Disable with
+    # SPARK_GRAFT_BENCH_RERUN=0.
     rerun_threshold = float(os.environ.get("SPARK_GRAFT_BENCH_RERUN", "2.5"))
     if rerun_threshold > 0:
         for name, fn in qs.items():
@@ -86,7 +97,9 @@ def main() -> int:
                 t0 = time.time()
                 try:
                     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                    timings[name] = min(timings[name], round(time.time() - t0, 3))
+                    t1 = round(time.time() - t0, 3)
+                    runs[name].append(t1)
+                    timings[name] = min(timings[name], t1)
                 except Exception as e:  # noqa: BLE001
                     print(f"bench rerun error in {name}: {e}", file=sys.stderr)
                 gc.collect()
@@ -99,6 +112,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf),
                 "agg": f"min of 2 runs for queries over {rerun_threshold}s"
                 if rerun_threshold > 0

