@@ -41,7 +41,8 @@ def subtract_overlaps(
     bin_size = self.resolve_bin(bin_size)
     blockers, bkeys = rename_keys(
         island_agg(
-            odf.select(*keys, nm.START_COL, nm.END_COL), keys, bucket_width=bin_size * 16
+            odf.select(*keys, nm.START_COL, nm.END_COL), keys, bucket_width=bin_size * 16,
+            adaptive=True,
         )
         .withColumnRenamed(nm.START_COL, "__bs__")
         .withColumnRenamed(nm.END_COL, "__be__"),
@@ -116,6 +117,7 @@ def complement_ranges(
         self.df.select(*keys, nm.START_COL, nm.END_COL),
         keys,
         bucket_width=self.resolve_bin(None) * 16,
+        adaptive=True,
     )
     w = Window.partitionBy(*keys).orderBy(F.col(nm.START_COL).asc())
     nxt = F.lead(nm.START_COL).over(w)
@@ -166,7 +168,7 @@ def set_union_overlaps(
     cols = [*keys, nm.START_COL, nm.END_COL]
     both = self.df.select(*cols).unionByName(odf.select(*cols))
     return GenomicRanges(
-        island_agg(both, keys, bucket_width=self.resolve_bin(None) * 16)
+        island_agg(both, keys, bucket_width=self.resolve_bin(None) * 16, adaptive=True)
     )
 
 
@@ -179,9 +181,9 @@ def set_intersect_overlaps(
     odf, keys = self._binary_prepared(other, strand_behavior)
     bin_size = self.resolve_bin(bin_size)
     cols = [*keys, nm.START_COL, nm.END_COL]
-    a = island_agg(self.df.select(*cols), keys, bucket_width=bin_size * 16)
+    a = island_agg(self.df.select(*cols), keys, bucket_width=bin_size * 16, adaptive=True)
     b, bkeys = rename_keys(
-        island_agg(odf.select(*cols), keys, bucket_width=bin_size * 16)
+        island_agg(odf.select(*cols), keys, bucket_width=bin_size * 16, adaptive=True)
         .withColumnRenamed(nm.START_COL, "__bs__")
         .withColumnRenamed(nm.END_COL, "__be__"),
         keys,

@@ -100,3 +100,36 @@ def test_bucketed_islands_slack_and_bookends(spark):
 
     assert islands(0) == [(0, 0), (8, 1), (20, 2)]
     assert islands(1) == [(0, 0), (8, 0), (20, 1)]
+
+
+def test_adaptive_plan_selection(spark, monkeypatch):
+    """adaptive=True picks single-window for small-stats inputs, keeps the
+    bucketed two-phase plan when the size estimate exceeds the threshold
+    (VERDICT r6 #2); adaptive=False always honors the numeric width."""
+    from pyranges_1_x_spark.plans.islands import assign_islands
+
+    # NOTE: built from range(), not createDataFrame — a Python LogicalRDD has
+    # UNKNOWN stats (sizeInBytes = Long.MaxValue), which the gate reads as
+    # "assume huge, stay bucketed" (the scale-safe direction).
+    df = spark.range(50).selectExpr(
+        "'c' as Chromosome", "id * 10 as Start", "id * 10 + 5 as End"
+    )
+
+    def has_bucket(adaptive):
+        plan = (
+            assign_islands(df, ["Chromosome"], bucket_width=4, adaptive=adaptive)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        return "__ibkt__" in plan
+
+    # small input + adaptive => single window; explicit width always bucketed
+    assert not has_bucket(adaptive=True)
+    assert has_bucket(adaptive=False)
+    # threshold 0 disables the fallback: adaptive inputs stay bucketed
+    monkeypatch.setenv("SPARK_GRAFT_ISLAND_SINGLE_WINDOW_BYTES", "0")
+    assert has_bucket(adaptive=True)
+    # a 1-byte threshold says nothing is small enough either
+    monkeypatch.setenv("SPARK_GRAFT_ISLAND_SINGLE_WINDOW_BYTES", "1")
+    assert has_bucket(adaptive=True)
