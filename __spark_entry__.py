@@ -1335,74 +1335,23 @@ def q_minhash_lsh(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver's gate window: the driver records
-    correctness rows for the FIRST 50 entries only. Rotation policy (VERDICT
-    r5 #2): lead with every query that has never had a driver-recorded row —
-    the 17 r5-era ungated entries plus this round's new ones — then fill the
-    remaining window with the operator families most changed this round;
-    r5-green rows past position 50 stay covered by the local gate
-    (scripts/check_oracle.py runs all of them)."""
+    correctness rows for the FIRST 50 entries only.
+
+    Rotation invariant (pinned per VERDICT r6 #4): every round, lead the
+    registry with every query NOT driver-gated the previous round, then fill
+    the remaining window slots with the operator families most changed this
+    round. Consequence: every query gets a driver-recorded correctness row
+    at least every 2 rounds; no row is ever more than one round stale.
+    Rows past position 50 stay covered every round by the local full-registry
+    gate (scripts/check_oracle.py).
+
+    r7 window = the 32 queries ungated in CORRECTNESS_r06.json + 18 fills
+    from this round's changed code paths (adaptive island plan: merge/
+    cluster/complement/subtract/split/setops/boundary/max_disjoint/
+    jaccard_stat/forbes_stat; single-shuffle MinHash: minhash_lsh;
+    connected-components round fusion: dedup_clusters/semantic_dedup)."""
     return {
-        # --- never driver-gated before r6 (17 from r5) ---
-        "upstream_flank": q_upstream_flank,
-        "downstream_flank": q_downstream_flank,
-        "join_first": q_join_first,
-        "join_contained": q_join_contained,
-        "overlap_slack": q_overlap_slack,
-        "dedup_exact": q_dedup_exact,
-        "extend_group": q_extend_group,
-        "window_sliding": q_window_sliding,
-        "max_disjoint": q_max_disjoint,
-        "multimodal_features": q_multimodal_features,
-        "fdr": q_fdr,
-        "jaccard_stat": q_jaccard_stat,
-        "forbes_stat": q_forbes_stat,
-        "reldist": q_reldist,
-        "ivf_topk": q_ivf_topk,
-        "winnow": q_winnow,
-        "minhash_lsh": q_minhash_lsh,        # rows-only (xxhash64 not available in DuckDB)
-        # --- new in r6 ---
-        "running_anomalies": q_running_anomalies,
-        "bam_roundtrip": q_bam_roundtrip,
-        "bigwig_roundtrip": q_bigwig_roundtrip,
-        "slice_introns": q_slice_introns,
-        "kmeans": q_kmeans,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "fasta_roundtrip": q_fasta_roundtrip,
-        "shuffle_rank": q_shuffle,
-        "bpe_tokens": q_bpe_tokens,
-        "corpus_filter": q_corpus_filter,
-        "kmv_vocab": q_kmv_vocab,
-        "normalize_dedup": q_normalize_dedup,
-        # --- r6-changed operator families + heavy hitters (to slot 50) ---
-        "merge_stranded": q_merge_stranded,
-        "cluster": q_cluster,
-        "complement": q_complement,
-        "subtract": q_subtract,
-        "split": q_split,
-        "set_union": q_set_union,
-        "set_intersect": q_set_intersect,
-        "boundary": q_boundary,
-        "overlap_semi": q_overlap_semi,
-        "overlap_anti": q_overlap_anti,
-        "join_inner": q_join_inner,
-        "join_left": q_join_left,
-        "join_same_strand": q_join_same_strand,
-        "intersect": q_intersect,
-        "count_overlaps": q_count_overlaps,
-        "nearest": q_nearest,
-        "coverage": q_coverage,
-        "coverage_ratio": q_coverage_ratio,
-        # Iterative-session queries (localCheckpoint/persist state) run LAST
-        # inside the driver's 50-row gate window: if a memory-tight harness
-        # session ever dies here, only these rows are lost instead of every
-        # row after position ~25 (observed failure shape in the local gate
-        # before the 8g fix). extend_orfs sits just past the window (driver
-        # rows green r1-r5).
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        "extend_orfs": q_extend_orfs,
-        "cosine_simjoin": q_cosine_simjoin,
+        # --- not driver-gated in r6 (registry positions 51-82 last round) ---
         "sort_rank": q_sort_rank,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
@@ -1410,9 +1359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_to_local": q_map_to_local,
         "count_matrix": q_count_matrix,
         "tile": q_tile,
-        "minhash_lsh_md5": q_minhash_lsh_md5,
         "token_jaccard": q_token_jaccard,
-        # --- past the 50-row driver window: r5-driver-green, local gate only ---
         "doc_signature_dedup": q_doc_signature_dedup,
         "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
@@ -1434,6 +1381,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simes": q_simes,
         "mcc": q_mcc,
         "spearman_rows": q_spearman_rows,
+        "minhash_lsh_md5": q_minhash_lsh_md5,
+        "cosine_simjoin": q_cosine_simjoin,
+        "extend_orfs": q_extend_orfs,
+        # --- r7-changed code paths (fills to slot 50) ---
+        "merge_stranded": q_merge_stranded,
+        "cluster": q_cluster,
+        "complement": q_complement,
+        "subtract": q_subtract,
+        "split": q_split,
+        "set_union": q_set_union,
+        "set_intersect": q_set_intersect,
+        "boundary": q_boundary,
+        "max_disjoint": q_max_disjoint,
+        "jaccard_stat": q_jaccard_stat,
+        "forbes_stat": q_forbes_stat,
+        "minhash_lsh": q_minhash_lsh,  # rows-only (xxhash64 not in DuckDB)
+        "nearest": q_nearest,
+        "join_inner": q_join_inner,
+        "overlap_semi": q_overlap_semi,
+        "count_overlaps": q_count_overlaps,
+        # Iterative-session queries (localCheckpoint/persist state) run LAST
+        # inside the driver's 50-row gate window: if a memory-tight harness
+        # session ever dies here, only these rows are lost instead of every
+        # row after them (observed failure shape in the local gate before
+        # the 8g fix).
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        # --- past the 50-row driver window: r6-driver-green, local gate only ---
+        "upstream_flank": q_upstream_flank,
+        "downstream_flank": q_downstream_flank,
+        "join_first": q_join_first,
+        "join_contained": q_join_contained,
+        "overlap_slack": q_overlap_slack,
+        "dedup_exact": q_dedup_exact,
+        "extend_group": q_extend_group,
+        "window_sliding": q_window_sliding,
+        "multimodal_features": q_multimodal_features,
+        "fdr": q_fdr,
+        "reldist": q_reldist,
+        "ivf_topk": q_ivf_topk,
+        "winnow": q_winnow,
+        "running_anomalies": q_running_anomalies,
+        "bam_roundtrip": q_bam_roundtrip,
+        "bigwig_roundtrip": q_bigwig_roundtrip,
+        "slice_introns": q_slice_introns,
+        "kmeans": q_kmeans,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "fasta_roundtrip": q_fasta_roundtrip,
+        "shuffle_rank": q_shuffle,
+        "bpe_tokens": q_bpe_tokens,
+        "corpus_filter": q_corpus_filter,
+        "kmv_vocab": q_kmv_vocab,
+        "normalize_dedup": q_normalize_dedup,
+        "overlap_anti": q_overlap_anti,
+        "join_left": q_join_left,
+        "join_same_strand": q_join_same_strand,
+        "intersect": q_intersect,
+        "coverage": q_coverage,
+        "coverage_ratio": q_coverage_ratio,
     }
 
 
