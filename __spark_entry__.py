@@ -904,7 +904,12 @@ def q_fasta_roundtrip(spark, sf_dir):
     files (one gzipped, wrapped at 13 cols) with sources/fasta.py
     write_fasta, read back through the distributed per-file parser, and gate
     record names, lengths, and full-sequence md5 — the whole wrap ->
-    compress -> parse -> concatenate path, value-exact."""
+    compress -> parse -> concatenate path, value-exact.
+
+    LOCAL-MODE ONLY: the files live on the driver filesystem and the read
+    happens eagerly below (toPandas) so the fixed tmp dir can be reused and
+    never leaks per invocation (ADVICE r6); on a real cluster executors
+    would need a shared filesystem path instead."""
     import os
     import tempfile
 
@@ -912,7 +917,8 @@ def q_fasta_roundtrip(spark, sf_dir):
 
     from pyranges_1_x_spark.sources.fasta import read_fasta_native, write_fasta
 
-    d = tempfile.mkdtemp(prefix="fasta_rt_")
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_fasta_rt")
+    os.makedirs(d, exist_ok=True)
     paths = []
     for f in range(3):
         seqs = [
@@ -1615,7 +1621,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "doc_signature_dedup": """
-            SELECT md5(array_to_string(list_sort(list_distinct(string_split(trim(text), ' '))), ' ')) AS sig,
+            SELECT md5(array_to_string(list_sort(list_distinct(regexp_split_to_array(trim(text), '\\s+'))), ' ')) AS sig,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    MIN(doc_id) AS keep_id
             FROM documents GROUP BY 1
@@ -1623,18 +1629,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": """
             SELECT doc_id,
                    CAST(length(text) AS INTEGER) AS n_chars_text,
-                   CAST(len(string_split(trim(text), ' ')) AS INTEGER) AS n_tokens,
-                   CAST(len(list_distinct(string_split(trim(text), ' '))) AS INTEGER) AS n_unique_tokens,
-                   CAST(len(list_filter(string_split(trim(text), ' '),
+                   CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS INTEGER) AS n_unique_tokens,
+                   CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                         x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x))))
                         AS INTEGER) AS n_stopwords
             FROM documents
         """,
         "doc_langid": """
             SELECT doc_id,
-                   CASE WHEN CAST(len(list_filter(string_split(trim(text), ' '),
+                   CASE WHEN CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                           x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) AS DOUBLE)
-                          / GREATEST(len(string_split(trim(text), ' ')), 1) >= 0.05
+                          / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1) >= 0.05
                         THEN 'en' ELSE 'unknown' END AS pred_lang
             FROM documents
         """,
@@ -2633,9 +2639,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": """
             WITH s AS (
               SELECT doc_id, length(text) AS c,
-                     len(string_split(trim(text), ' ')) AS t,
-                     len(list_distinct(string_split(trim(text), ' '))) AS u,
-                     len(list_filter(string_split(trim(text), ' '),
+                     len(regexp_split_to_array(trim(text), '\\s+')) AS t,
+                     len(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS u,
+                     len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                          x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], lower(x)))) AS sw
               FROM documents
             )

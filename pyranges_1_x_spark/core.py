@@ -446,6 +446,31 @@ class GenomicRanges:
 
         return _sq.get_sequence(self, sequences, **kw)
 
+    # -- writers (reference core/out.py; methods on PyRanges) ---------------
+
+    def to_bed(self, path, **kw) -> None:
+        from pyranges_1_x_spark.sources import bed as _bed
+
+        _bed.to_bed(self._df, path, **kw)
+
+    def to_gtf(self, path) -> None:
+        from pyranges_1_x_spark.sources import gtf as _gtf
+
+        _gtf.to_gtf(self._df, path)
+
+    def to_gff3(self, path) -> None:
+        from pyranges_1_x_spark.sources import gtf as _gtf
+
+        _gtf.to_gff3(self._df, path)
+
+    def to_csv(self, path=None, sep=",", **kw):
+        """Reference ``PyRanges.to_csv`` (core/out.py:111-141): write CSV to
+        ``path`` (distributed), or return the CSV text when ``path`` is None
+        (driver-side; small frames only)."""
+        from pyranges_1_x_spark.sources import out as _out
+
+        return _out.to_csv(self._df, path, sep, **kw)
+
     def get_transcript_sequence(self, sequences, group_by, **kw):
         from pyranges_1_x_spark.functions import seqs as _sq
 
@@ -539,6 +564,36 @@ class _LociAccessor:
             existing = F.col(col) if col in d.columns else F.lit(None)
             d = d.withColumn(col, F.when(m, val).otherwise(existing))
         return GenomicRanges(d)
+
+    def __setitem__(self, key, value) -> None:
+        """The reference's ``gr.loci[key] = value`` sugar (loci_getter.py:
+        56-59, pyranges_main.py:343 doctest). Two accepted value shapes:
+
+        - a ``GenomicRanges``/``DataFrame`` replacing the rows ``key``
+          selects (the doctest's "same-sized PyRanges" form — here the
+          match-count discipline is the caller's, since a lazy plan cannot
+          afford an eager count): non-matching rows pass through, matching
+          rows are swapped for ``value``'s rows by column name;
+        - a dict of ``column -> value/Column``, delegating to ``assign``
+          (the loc-based column-assignment idiom two doctests down).
+
+        Mutates the parent in place, as the reference does.
+        """
+        if isinstance(value, dict):
+            self._gr._df = self.assign(key, **value).df
+            return
+        vdf = value.df if isinstance(value, GenomicRanges) else value
+        if not isinstance(vdf, DataFrame):
+            raise TypeError(
+                "loci assignment takes a GenomicRanges/DataFrame (row "
+                "replacement) or a dict of column assignments; got "
+                f"{type(value).__name__}"
+            )
+        chrom, strand, rng = self._parse(key)
+        keep = self._gr.df.filter(~self._mask(chrom, strand, rng.start, rng.stop))
+        self._gr._df = keep.unionByName(
+            vdf.select(*self._gr.df.columns), allowMissingColumns=False
+        )
 
 
 class GenomicRangesGroupBy:

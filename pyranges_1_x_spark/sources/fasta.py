@@ -38,7 +38,10 @@ def parse_fasta_bytes(raw: bytes) -> pd.DataFrame:
     cur: list[str] | None = None
     for line in raw.decode("ascii", errors="strict").splitlines():
         if line.startswith(">"):
-            chroms.append(line[1:].split()[0] if len(line) > 1 else "")
+            # (line[1:].split() or [""]) guards '>' followed by only
+            # whitespace — a nameless header yields "" instead of an
+            # executor-side IndexError (ADVICE r6).
+            chroms.append((line[1:].split() or [""])[0])
             cur = []
             seqs.append(cur)  # type: ignore[arg-type]
         elif line.strip():

@@ -122,6 +122,104 @@ def test_example_data(spark):
     assert g.df.count() == 50
 
 
+def test_example_data_packaged_fixtures(spark):
+    """The packaged parquet corpus mirrors the reference's ExampleData
+    properties (example_data.py:138-345): row counts and schemas from its
+    doctests / data files."""
+    from pyranges_1_x_spark.sources import example_data as ed
+
+    chip = ed.chipseq(spark).df.toPandas()
+    assert len(chip) == 20
+    assert list(chip.columns) == ["Chromosome", "Start", "End", "Name", "Score", "Strand"]
+    assert (chip.Name == "U0").all()
+    assert len(ed.chipseq_background(spark).df.toPandas()) == 10
+    aorta = ed.aorta(spark).df.toPandas()
+    assert set(aorta.Name) <= {"H3K27me3"} and aorta.Start.min() >= 9000
+    assert len(ed.aorta2(spark).df.toPandas()) > 0
+
+    gtf = ed.ensembl_gtf(spark).df.toPandas()
+    # read_gtf semantics: 0-based Start (doctest row: gene at 1-based 11869)
+    gene = gtf[gtf.Feature == "gene"].iloc[0]
+    assert gene.Start == 11868 and gene.End == 14409
+    assert "gene_id" in gtf.columns and "transcript_id" in gtf.columns
+
+    gff = ed.ncbi_gff(spark).df.toPandas()
+    assert len(gff) == 150 and "Feature" in gff.columns
+
+    fa = ed.ncbi_fasta(spark).toPandas()
+    assert list(fa.columns) == ["Chromosome", "Sequence"] and len(fa) == 6
+
+    ip = ed.interpro_hits(spark).df.toPandas()
+    assert len(ip) == 4 and ip.Start.min() == 0  # reference shifts to 0-based
+    rf = ed.rfam_hits(spark).toPandas()
+    assert len(rf) == 35 and "seq_from" in rf.columns
+
+    fl = ed.files()
+    assert "chipseq.parquet" in fl and fl["chipseq.parquet"].exists()
+
+
+def test_to_csv_and_writer_methods(spark, tmp_path):
+    """PyRanges.to_csv parity (reference core/out.py:111-141): path mode
+    writes distributed CSV, no-path mode returns the text."""
+    from pyranges_1_x_spark.sources import example_data as ed
+
+    g = ed.f1(spark)
+    txt = g.to_csv()
+    lines = [ln for ln in txt.strip().split("\n") if ln]
+    assert lines[0] == "Chromosome,Start,End,Name,Score,Strand"
+    assert len(lines) == 4  # header + 3 rows
+    assert any("interval2" in ln for ln in lines)
+    # custom sep, no header
+    txt2 = g.to_csv(sep="\t", header=False)
+    assert txt2.count("\t") >= 3 * 5 and "Chromosome" not in txt2
+
+    out = str(tmp_path / "f1_csv")
+    assert g.to_csv(out, sep="\t") is None
+    back = spark.read.csv(out, sep="\t", header=True)
+    assert back.count() == 3
+
+    bed_out = str(tmp_path / "f1_bed")
+    g.to_bed(bed_out)
+    assert spark.read.csv(bed_out, sep="\t").count() == 3
+
+
+def test_loci_setitem(spark):
+    """gr.loci[key] = value sugar (reference loci_getter.py:56-59;
+    pyranges_main.py:343 doctest: replace the chr2 rows with a same-sized
+    frame whose Chromosome was reassigned)."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    pdf = pd.DataFrame(
+        {
+            "Chromosome": ["chr1", "chr2"],
+            "Start": [1, 2],
+            "End": [4, 5],
+            "Strand": [".", "+"],
+            "Score": [10, 12],
+            "Id": ["a", "b"],
+        }
+    )
+    from pyspark.sql import functions as F
+
+    g = GenomicRanges(spark.createDataFrame(pdf))
+    g.loci["chr2"] = g.loci["chr2"].df.withColumn("Chromosome", F.lit("xxx"))
+    out = g.df.toPandas().sort_values("Start").reset_index(drop=True)
+    assert out.Chromosome.tolist() == ["chr1", "xxx"]
+    assert out.Id.tolist() == ["a", "b"]
+
+    # dict form delegates to assign: set Score on chr1 rows only
+    g.loci["chr1"] = {"Score": 100}
+    out = g.df.toPandas().sort_values("Start").reset_index(drop=True)
+    assert out.Score.tolist() == [100, 12]
+
+    import pytest
+
+    with pytest.raises(TypeError):
+        g.loci["chr1"] = 5
+
+
 def test_fisher_exact_vs_exact_rational_oracle(spark):
     """fisher_exact (scipy-free log-gamma kernel) vs exact fractions.Fraction
     hypergeometric sums, plus the reference doctest goldens (ext/stats.py:174-246)."""
