@@ -199,6 +199,14 @@ def mcc(
         )
         tagged = part if tagged is None else tagged.unionByName(part)
 
+    # The tagged merged-union relation feeds THREE plan references (the
+    # per-set length aggregate plus both sides of the pair self-join), each
+    # of which would re-run every input's island merge; it is merged-
+    # interval-sized, so materialize it once (r7: mcc 4.7s -> ~2s at sf0.1).
+    from pyspark import StorageLevel
+
+    tagged = tagged.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+
     lengths = {
         r["__tag__"]: r["len"]
         for r in tagged.groupBy("__tag__")

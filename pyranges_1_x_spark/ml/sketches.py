@@ -48,9 +48,18 @@ def kmv_distinct(
     if k < 2:
         raise ValueError("k must be >= 2")
     g = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    # Distinct the RAW (group, value) pairs before hashing, so each distinct
+    # value is hashed once instead of once per occurrence. The r6 shape
+    # hashed first for a narrower distinct shuffle (8-byte hash vs ~20-byte
+    # shingle string); the measured check (VERDICT r6 #4) at sf0.1 with
+    # ~10x token duplication: hash-first 4.7-5.8s, distinct-first 4.1-4.6s,
+    # identical outputs — md5's per-row cost outweighs the extra shuffle
+    # width, and the gap widens with the duplication factor. For very wide
+    # values a caller can pre-hash into a surrogate column.
     d = (
-        df.select(*g, hash_fn(F.col(value_col)).alias("__h__"))
+        df.select(*g, F.col(value_col).alias("__v__"))
         .distinct()
+        .select(*g, hash_fn(F.col("__v__")).alias("__h__"))
         .withColumn("__b__", F.pmod(F.col("__h__"), F.lit(n_buckets)))
     )
     w1 = Window.partitionBy(*g, "__b__").orderBy(F.col("__h__").asc())

@@ -62,16 +62,26 @@ DEFAULT_SINGLE_WINDOW_BYTES = 256 << 20
 
 
 def _single_window_ok(df: DataFrame) -> bool:
-    """True when the optimizer's size estimate says the whole input is small
-    enough that one sort task per key-group beats the bucketed two-phase plan.
-    Estimate unavailable => False (keep the scale-safe bucketed plan)."""
+    """True when the size estimate says the whole input is small enough that
+    one sort task per key-group beats the bucketed two-phase plan.
+    Estimate unavailable => False (keep the scale-safe bucketed plan).
+
+    Reads the ANALYZED plan's stats, not the optimized plan's: the basic
+    sizeInBytes visitor gives the same order-of-magnitude answer (identical
+    on scan/union inputs) but skips a full Catalyst optimization pass per
+    call — measured 0.005s vs 0.15s on a two-table union, and operators
+    like mcc that build many island plans per query were spending more
+    driver time optimizing throwaway plans for this check than executing
+    (mcc build 4.8s -> ~1s at sf0.1). Without pushdown pruning the
+    analyzed estimate can only overshoot, which errs toward the bucketed
+    (scale-safe) side."""
     threshold = int(
         os.environ.get("SPARK_GRAFT_ISLAND_SINGLE_WINDOW_BYTES", DEFAULT_SINGLE_WINDOW_BYTES)
     )
     if threshold <= 0:
         return False
     try:
-        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        est = int(df._jdf.queryExecution().analyzed().stats().sizeInBytes())
     except Exception:  # noqa: BLE001
         return False
     return est <= threshold
