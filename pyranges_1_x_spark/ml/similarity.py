@@ -138,6 +138,39 @@ def _pair_cosine(a: Column, b: Column) -> Column:
     return _pair_cosine_udf()(a, b)
 
 
+def _band_signatures_udf(planes: list[list[float]], bands: int):
+    """Arrow-batched band bucket ids: one numpy matmul per batch instead of
+    ``bands * planes_per_band`` interpreted ``F.aggregate`` folds per row
+    (the HOF ``dot()`` is CodegenFallback — at sf0.1 the per-plane fold was
+    the dominant cost of ``cosine_similarity_join``'s candidate stage,
+    ~3.5s of signature time for 64 planes). Bit packing matches
+    ``hyperplane_signature`` exactly: within band b, plane j contributes
+    ``2**j`` when ``dot(vec, plane) >= 0``. numpy's matmul differs from the
+    sequential fold only in summation order (~1e-13 for unit-scale 64-dim
+    vectors), far below the >=1.7e-4 sign margins verified on the
+    fixtures — same reasoning as ``_pair_cosine_udf``, and the DuckDB twin
+    (list_dot_product) is itself order-different yet gates green."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes, dtype=np.float64)
+    per = P.shape[0] // bands
+    w = (1 << np.arange(per)).astype(np.int64)
+
+    def sigs(v):
+        M = np.stack(v.to_numpy())
+        bits = (M @ P.T) >= 0
+        arr = np.stack(
+            [bits[:, b * per : (b + 1) * per].astype(np.int64) @ w for b in range(bands)],
+            axis=1,
+        )
+        return pd.Series(list(arr))
+
+    sigs.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return pandas_udf(sigs, "array<long>")
+
+
 def cosine_similarity_join(
     df: DataFrame,
     planes: list[list[float]],
@@ -168,13 +201,10 @@ def cosine_similarity_join(
     re-join by id instead if vectors are huge)."""
     if len(planes) % bands != 0:
         raise ValueError(f"len(planes)={len(planes)} not divisible by bands={bands}")
-    per = len(planes) // bands
-    sigs = F.array(
-        *[
-            hyperplane_signature(F.col(vec_col), planes[i * per : (i + 1) * per])
-            for i in range(bands)
-        ]
-    )
+    # Signature stage: Arrow-vectorized (see _band_signatures_udf) — the
+    # per-band expression form is hyperplane_signature(planes[b*per:(b+1)*per])
+    # per band, kept as the semantic spec and for the oracle twin.
+    sigs = _band_signatures_udf(planes, bands)(F.col(vec_col))
     b = df.select(F.col(id_col), F.col(vec_col), sigs.alias("__sigs__"))
     a_side = b.toDF("id_a", "vec_a", "sigs_a").select(
         "id_a", "vec_a", "sigs_a", F.posexplode("sigs_a").alias("__band__", "__sig__")
