@@ -87,6 +87,23 @@ class GenomicRanges:
     def df(self) -> DataFrame:
         return self._df
 
+    def __repr__(self) -> str:
+        """Schema-only summary — deliberately runs NO Spark job (the
+        reference's tostring renders rows eagerly, core/tostring.py; a lazy
+        engine must not trigger a distributed scan from a REPL echo). Use
+        ``show()``/``head()`` to look at data."""
+        cols = ", ".join(f"{c}:{t}" for c, t in self._df.dtypes)
+        return f"GenomicRanges[{cols}] (lazy; use .show()/.head() to materialize)"
+
+    def show(self, n: int = 8, truncate: bool = True) -> None:
+        """Print the first ``n`` rows (the reference's print surface,
+        core/tostring.py — here a direct ``df.show`` delegate)."""
+        self._df.show(n, truncate=truncate)
+
+    def head(self, n: int = 8):
+        """First ``n`` rows as pandas (reference inherits pandas ``head``)."""
+        return self._df.limit(n).toPandas()
+
     @property
     def has_strand(self) -> bool:
         return nm.STRAND_COL in self._df.columns

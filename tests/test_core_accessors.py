@@ -171,3 +171,16 @@ def test_clip_ranges_only_right(spark):
     out2 = g.clip_ranges(sizes, mode="remove", only_right=True).df.toPandas()
     got2 = sorted(map(tuple, out2[["Start", "End"]].values))
     assert got2 == [(-10, 2), (100, 150)]
+
+
+def test_repr_show_head(spark, capsys):
+    from pyranges_1_x_spark.sources.example_data import f1
+
+    g = f1(spark)
+    r = repr(g)
+    assert r.startswith("GenomicRanges[") and "Chromosome" in r and "lazy" in r
+    g.show(2)
+    out = capsys.readouterr().out
+    assert "Chromosome" in out and "interval1" in out
+    h = g.head(2)
+    assert len(h) == 2 and list(h.columns)[:3] == ["Chromosome", "Start", "End"]
