@@ -821,14 +821,19 @@ def q_kmv_vocab(spark, sf_dir):
     and pushes others through the (k-1)*H/h_k estimator."""
     from pyspark.sql import functions as F
 
-    from pyranges_1_x_spark.ml.dedup import shingles
+    from pyranges_1_x_spark.ml.dedup import shingle_rows
     from pyranges_1_x_spark.ml.sketches import kmv_distinct
 
     _load(spark, sf_dir, ["documents"])
     docs = spark.table("documents")
-    toks = docs.select(
-        "source", F.explode(shingles(F.col("text"), 3)).alias("shingle")
-    )
+    # shingle_rows is the codegen twin of explode(shingles(...)) — the array
+    # form builds every shingle inside transform/slice higher-order functions
+    # (CodegenFallback, interpreted), which was this query's dominant cost;
+    # per-doc duplicate shingles are harmless since kmv_distinct distincts
+    # at (source, shingle) anyway.
+    toks = shingle_rows(
+        docs, "text", "doc_id", 3, distinct=False, extra_cols=["source"]
+    ).withColumnRenamed("token", "shingle")
     return kmv_distinct(toks, "source", "shingle", k=32)
 
 

@@ -74,6 +74,7 @@ def shingle_rows(
     k: int = 3,
     distinct: bool = True,
     num_partitions: int | None = None,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Word k-shingles, one ``(id, token)`` row per shingle — the codegen
     form of ``explode(shingles(...))``; distinct per doc by default.
@@ -100,8 +101,10 @@ def shingle_rows(
     entirely — the window partitioning then feeds the downstream per-id
     aggregation with no further exchange."""
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    extras = list(extra_cols or [])
     toks = df.select(
         F.col(id_col).alias("id"),
+        *[F.col(c) for c in extras],
         F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos__", "__tok__"),
     ).repartition(nparts, "id")
     w = Window.partitionBy("id").orderBy("__pos__")
@@ -109,6 +112,7 @@ def shingle_rows(
     full = F.lead("__tok__", k - 1).over(w).isNotNull() if k > 1 else F.lit(True)
     rows = toks.select(
         "id",
+        *extras,
         F.concat_ws(" ", F.col("__tok__"), *leads).alias("token"),
         full.alias("__full__"),
         F.col("__pos__"),
@@ -116,7 +120,7 @@ def shingle_rows(
     )
     out = rows.filter(
         F.col("__full__") | ((F.col("__n__") < k) & (F.col("__pos__") == 0))
-    ).select("id", "token")
+    ).select("id", *extras, "token")
     return out.distinct() if distinct else out
 
 
