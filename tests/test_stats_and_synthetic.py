@@ -299,3 +299,48 @@ def test_fdr_benjamini_hochberg(spark):
     expect = {i: min(run[k], 1.0) for k, i in enumerate(order)}
     for i in range(n):
         assert abs(got[i] - expect[i]) < 1e-12, (i, got[i], expect[i])
+
+
+def test_mcc_aorta_reference_doctest(spark):
+    """Golden parity with the reference's mcc doctest (ext/stats.py:276-289):
+    labels a=aorta, b=aorta, c=aorta2, genome length 2,100,000 — exact
+    TP/FP/TN/FN integers and MCC to the printed 5 decimals."""
+    from pyranges_1_x_spark.functions.stats import mcc
+    from pyranges_1_x_spark.sources.example_data import aorta, aorta2
+
+    out = mcc(
+        {"a": aorta(spark), "b": aorta(spark), "c": aorta2(spark)},
+        genome_length=2_100_000,
+    )
+    got = {
+        (r.T, r.F): (r.TP, r.FP, r.TN, r.FN, round(r.MCC, 5))
+        for r in out.itertuples()
+    }
+    expected = {
+        ("a", "a"): (728, 0, 2099272, 0, 1.0),
+        ("a", "b"): (728, 0, 2099272, 0, 1.0),
+        ("a", "c"): (457, 485, 2098787, 271, 0.55168),
+        ("b", "a"): (728, 0, 2099272, 0, 1.0),
+        ("b", "b"): (728, 0, 2099272, 0, 1.0),
+        ("b", "c"): (457, 485, 2098787, 271, 0.55168),
+        ("c", "a"): (457, 271, 2098787, 485, 0.55168),
+        ("c", "b"): (457, 271, 2098787, 485, 0.55168),
+        ("c", "c"): (942, 0, 2099058, 0, 1.0),
+    }
+    assert got == expected
+
+
+def test_jaccard_f1_f2_reference_doctest(spark):
+    """Golden parity with the reference's jaccard doctest
+    (ext/stats.py:779-782): f1 vs f2 under auto (-> same-strand) behavior
+    gives 1/7; its |A|+|B|-|A∩B| denominator equals this engine's merged
+    set-union length by inclusion-exclusion on point sets. The unstranded
+    variant is 1/6 (checked too, against hand-merged lengths)."""
+    from pyranges_1_x_spark.functions.stats import jaccard_statistic
+    from pyranges_1_x_spark.sources.example_data import f1, f2
+
+    row = jaccard_statistic(f1(spark), f2(spark), strand_behavior="same").collect()[0]
+    assert abs(row["jaccard"] - 0.14285714285714285) < 1e-12
+    assert (row["intersection_length"], row["union_length"]) == (1, 7)
+    row2 = jaccard_statistic(f1(spark), f2(spark), strand_behavior="ignore").collect()[0]
+    assert (row2["intersection_length"], row2["union_length"]) == (1, 6)
