@@ -1060,7 +1060,10 @@ def q_bam_roundtrip(spark, sf_dir):
                 "I" * mlen,
             )
         )
-    d = tempfile.mkdtemp(prefix="bam_rt_")
+    # Fixed reusable dir (same discipline as q_fasta_roundtrip, ADVICE r6):
+    # gate + bench + soak all call this, so a per-invocation mkdtemp leaks.
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_bam_rt")
+    os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "rt.bam")
     write_bam(path, records, {"chr1": 6000, "chr2": 6000})
     out = read_bam_native(spark, path, full=True)
@@ -1091,7 +1094,9 @@ def q_bigwig_roundtrip(spark, sf_dir):
         )
         for i in range(500)
     ]
-    d = tempfile.mkdtemp(prefix="bw_rt_")
+    # Fixed reusable dir (see q_bam_roundtrip / ADVICE r6 — no per-call leak).
+    d = os.path.join(tempfile.gettempdir(), "spark_graft_bw_rt")
+    os.makedirs(d, exist_ok=True)
     path = os.path.join(d, "rt.bw")
     write_bigwig(path, rows, {"chr1": 3300, "chr2": 3300}, items_per_block=64)
     return read_bigwig_native(spark, path)

@@ -254,21 +254,46 @@ class GenomicRanges:
         return _LociAccessor(self)
 
     def length_sum(self):
-        """Total interval length (reference .length, pyranges_main.py:1404)."""
+        """Total interval length as a one-row DataFrame — the lazy form of
+        the reference's ``.length`` (pyranges_main.py:1404)."""
         return self._df.select(
             F.coalesce(F.sum(F.col(nm.END_COL) - F.col(nm.START_COL)), F.lit(0)).alias("length")
         )
+
+    @property
+    def length(self) -> int:
+        """Total interval length (reference ``.length`` property,
+        pyranges_main.py:1404-1431). Runs one scalar aggregate job; use
+        ``length_sum()`` for the lazy DataFrame form."""
+        return int(self.length_sum().collect()[0][0])
 
     def lengths(self) -> "GenomicRanges":
         return GenomicRanges(
             self._df.withColumn("Length", F.col(nm.END_COL) - F.col(nm.START_COL))
         )
 
+    @property
+    def loc_columns(self) -> list:
+        """Genomic location column names — [Chromosome, Strand] when stranded
+        else [Chromosome] (reference ``loc_columns``, pyranges_main.py:1135)."""
+        return [nm.CHROM_COL, nm.STRAND_COL] if self.has_strand else [nm.CHROM_COL]
+
+    def copy(self) -> "GenomicRanges":
+        """Reference ``.copy()`` (pyranges_main.py:753). Spark plans are
+        immutable, so this is a new wrapper over the same logical plan — the
+        reference needs a deep copy because pandas mutates in place; here
+        every operator already returns a fresh plan."""
+        return GenomicRanges(self._df)
+
     def group_by(self, *cols) -> "GenomicRangesGroupBy":
         """``df.groupBy`` that re-wraps results keeping the location contract
         (reference core/pyranges_groupby.py:13-62 auto-rewraps aggregates that
         retain loc columns; otherwise you get the plain DataFrame back)."""
         return GenomicRangesGroupBy(self._df.groupBy(*cols))
+
+    def groupby(self, *cols) -> "GenomicRangesGroupBy":
+        """Reference spelling (pyranges_main.py:204) for ``group_by``."""
+        return self.group_by(*cols)
 
     # -- operator delegation (implementations live in operators/) ---------
     def overlap(self, other, **kw):
@@ -463,7 +488,72 @@ class GenomicRanges:
 
         return _sq.get_sequence(self, sequences, **kw)
 
+    def to_rle(self, value_col=None, strand="auto", *, rpm: bool = False):
+        """Reference ``to_rle`` (pyranges_main.py:4344): run-length coverage.
+
+        The reference returns a ``pyrle.Rledict`` (per-chromosome run/value
+        arrays on one machine); the distributed equivalent is the value-run
+        interval relation itself — (Chromosome[,Strand], Start, End, Value)
+        rows partitioning the covered axis, which is what ``Rledict.to_ranges``
+        would give back and what every downstream reference use (to_bigwig,
+        ratio tracks) immediately converts to anyway."""
+        return self.to_coverage(use_strand=strand, value_col=value_col, rpm=rpm)
+
     # -- writers (reference core/out.py; methods on PyRanges) ---------------
+
+    def to_bigwig(
+        self,
+        path=None,
+        chromosome_sizes=None,
+        value_col=None,
+        *,
+        divide: bool = False,
+        rpm: bool = True,
+        return_data: bool = False,
+    ):
+        """Reference ``to_bigwig`` method (core/out.py:164-224,
+        pyranges_main.py:3994): coverage (value-weighted if ``value_col``,
+        RPM-normalized by default) reduced to constant-value runs, written as
+        binary bigwig via the native writer (sources/bigwig_native.py).
+        ``divide=True`` writes the log2(value coverage / raw depth) track.
+        ``return_data=True`` returns the run relation (Score column) instead
+        of writing. ``chromosome_sizes`` may be a dict or a frame with
+        (Chromosome, End); when None, per-chromosome max End is used."""
+        if divide:
+            if value_col is None:
+                raise ValueError("divide=True requires value_col")
+            runs = self.coverage_ratio(
+                value_col=value_col, use_strand=False, log2=True, ratio_out="Score"
+            ).df.select(nm.CHROM_COL, nm.START_COL, nm.END_COL, "Score")
+            runs = runs.filter(F.col("Score").isNotNull())
+        else:
+            runs = self.to_coverage(
+                use_strand=False, value_col=value_col, rpm=rpm, drop_zero=True,
+                value_out="Score",
+            ).df.select(nm.CHROM_COL, nm.START_COL, nm.END_COL, "Score")
+        if return_data:
+            return GenomicRanges(runs)
+        if path is None:
+            raise ValueError("to_bigwig needs a path unless return_data=True")
+        if chromosome_sizes is None:
+            sizes = {
+                r[0]: int(r[1])
+                for r in self._df.groupBy(nm.CHROM_COL)
+                .agg(F.max(nm.END_COL))
+                .collect()
+            }
+        elif isinstance(chromosome_sizes, dict):
+            sizes = {k: int(v) for k, v in chromosome_sizes.items()}
+        else:
+            cs = getattr(chromosome_sizes, "df", chromosome_sizes)
+            sizes = {
+                r[0]: int(r[1])
+                for r in cs.select(nm.CHROM_COL, nm.END_COL).collect()
+            }
+        from pyranges_1_x_spark.sources.binary import to_bigwig_file
+
+        to_bigwig_file(runs.withColumnRenamed("Score", "Value"), path, sizes)
+        return None
 
     def to_bed(self, path, **kw) -> None:
         from pyranges_1_x_spark.sources import bed as _bed

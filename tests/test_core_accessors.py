@@ -184,3 +184,52 @@ def test_repr_show_head(spark, capsys):
     assert "Chromosome" in out and "interval1" in out
     h = g.head(2)
     assert len(h) == 2 and list(h.columns)[:3] == ["Chromosome", "Start", "End"]
+
+
+def test_length_loc_columns_copy_groupby(spark):
+    # reference .length doctest (pyranges_main.py:1404-1431): f1 -> 6;
+    # merged (unstranded) -> 5
+    from pyranges_1_x_spark.sources.example_data import f1
+
+    g = f1(spark)
+    assert g.length == 6
+    assert g.merge_overlaps(use_strand=False).length == 5
+    assert g.loc_columns == ["Chromosome", "Strand"]
+    assert g.remove_strand().loc_columns == ["Chromosome"]
+    c = g.copy()
+    assert c is not g and c.df.columns == g.df.columns
+    agg = g.groupby("Chromosome").count().toPandas()
+    assert int(agg["count"].iloc[0]) == 3
+
+
+def test_to_rle_and_to_bigwig_method(spark, tmp_path):
+    # to_rle == coverage runs; to_bigwig(return_data=True) drops zero runs
+    # and rpm-normalizes; to_bigwig(path) round-trips through the native
+    # bigwig writer/reader (reference core/out.py:164-224).
+    import pandas as pd
+
+    from pyranges_1_x_spark.sources.binary import read_bigwig
+
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["chr1", "chr1", "chr1"],
+            "Start": [3, 8, 5],
+            "End": [6, 9, 7],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    rle = g.to_rle(strand=False).df.toPandas().sort_values("Start")
+    got = list(map(tuple, rle[["Start", "End", "Value"]].values))
+    # includes the zero-depth gap run, like reference Rle (runs 3,2,1,1,1 /
+    # values 1,2,1,0,1 over [3,9))
+    assert got == [(3, 5, 1), (5, 6, 2), (6, 7, 1), (7, 8, 0), (8, 9, 1)]
+
+    data = g.to_bigwig(return_data=True, rpm=False).df.toPandas()
+    assert sorted(data.columns) == ["Chromosome", "End", "Score", "Start"]
+    assert len(data) == 4
+
+    p = str(tmp_path / "t.bw")
+    g.to_bigwig(p, rpm=False)
+    back = read_bigwig(spark, p).df.toPandas().sort_values("Start")
+    got2 = list(map(tuple, back[["Start", "End", "Value"]].values))
+    assert got2 == [(3.0, 5.0, 1.0), (5.0, 6.0, 2.0), (6.0, 7.0, 1.0), (8.0, 9.0, 1.0)]
