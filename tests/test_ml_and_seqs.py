@@ -292,9 +292,12 @@ def test_connected_components_matches_union_find(spark):
     expected = {x: find(x) for x in parent}
 
     df = spark.createDataFrame(edges, "id_a string, id_b string")
+    # driver_threshold=0 forces the distributed min-label rounds; the
+    # default adaptive path is union-find-on-driver and is cross-checked
+    # against this one in test_connected_components_small_path_equals.
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(df, driver_threshold=0).collect()
     }
     assert got == expected
 
@@ -306,7 +309,7 @@ def test_connected_components_path_graph_converges(spark):
 
     edges = [(f"p{i:02d}", f"p{i + 1:02d}") for i in range(39)]
     df = spark.createDataFrame(edges, "id_a string, id_b string")
-    out = connected_components(df, max_iter=8).collect()
+    out = connected_components(df, max_iter=8, driver_threshold=0).collect()
     assert len(out) == 40
     assert {r["component"] for r in out} == {"p00"}
 
@@ -539,10 +542,20 @@ def test_connected_components_property_multi_seed(spark, seed):
     got = {
         r["node"]: r["component"]
         for r in connected_components(
-            spark.createDataFrame(edges, "id_a string, id_b string")
+            spark.createDataFrame(edges, "id_a string, id_b string"),
+            driver_threshold=0,
         ).collect()
     }
     assert got == expected
+    # the adaptive small-graph path (driver union-find + broadcast labels)
+    # must produce identical labels
+    small = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, "id_a string, id_b string")
+        ).collect()
+    }
+    assert small == expected
 
 
 def test_minhash_lsh_exact_python_twin(spark):
