@@ -29,7 +29,10 @@ def subtract_overlaps(
 ) -> GenomicRanges:
     """Self minus (merged) other: each self row is split into the sub-intervals
     not covered by any other interval; fully-covered rows disappear; metadata
-    is carried through (reference range_frame.py:699-707).
+    is carried through (reference range_frame.py:699-707). Only NONEMPTY
+    residuals are emitted — a zero-length input row [p,p) denotes the empty
+    set and never produces output (the gap/tail filters require
+    start < end; pinned by tests/test_property_based.py).
 
     Plan: merge other per group (disjoint blockers) -> ONE left binned join ->
     per-self-row ordered window over blockers emits the gap before each blocker
