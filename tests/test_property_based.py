@@ -40,6 +40,10 @@ _frame = st.lists(_interval, min_size=0, max_size=12)
 _SETTINGS = settings(
     max_examples=8,
     deadline=None,
+    # Reproducible example stream: an unpinned RNG would make the CI gate
+    # flaky on a genuinely-new falsifying example. Explore freshly with
+    # `python -m pytest tests/test_property_based.py --hypothesis-seed=random`.
+    derandomize=True,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 
