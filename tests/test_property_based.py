@@ -212,3 +212,125 @@ def test_nearest_matches_bruteforce(spark, a, b):
     )
     # compare the per-row minimal distance (ties may multiply rows upstream)
     assert sorted(set(got)) == sorted(set(want))
+
+
+def _merge_tuples(ivs):
+    """Strict-overlap merge of (c,s,e) tuples (see _merge_py)."""
+    parent = list(range(len(ivs)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(ivs)):
+        for j in range(i + 1, len(ivs)):
+            if _overlaps(ivs[i], ivs[j]):
+                parent[find(i)] = find(j)
+    comps = {}
+    for i, iv in enumerate(ivs):
+        comps.setdefault(find(i), []).append(iv)
+    return sorted(
+        (g[0][0], min(x[1] for x in g), max(x[2] for x in g))
+        for g in comps.values()
+    )
+
+
+@_SETTINGS
+@given(a=_frame, b=_frame)
+def test_set_union_matches_bruteforce(spark, a, b):
+    ga, gb = _to_gr(spark, a), _to_gr(spark, b)
+    allt = [(c, s, s + ln) for (c, s, ln, _, _) in a + b]
+    got = _rows(ga.set_union_overlaps(gb, strand_behavior="ignore"))
+    assert got == _merge_tuples(allt)
+
+
+@_SETTINGS
+@given(a=_frame, b=_frame)
+def test_set_intersect_matches_bruteforce(spark, a, b):
+    ga, gb = _to_gr(spark, a), _to_gr(spark, b)
+    ia = _merge_tuples([(c, s, s + ln) for (c, s, ln, _, _) in a])
+    ib = _merge_tuples([(c, s, s + ln) for (c, s, ln, _, _) in b])
+    want = sorted(
+        (x[0], max(x[1], y[1]), min(x[2], y[2]))
+        for x in ia
+        for y in ib
+        if _overlaps(x, y)
+    )
+    got = _rows(ga.set_intersect_overlaps(gb, strand_behavior="ignore"))
+    assert got == want
+
+
+@_SETTINGS
+@given(a=_frame, b=_frame)
+def test_intersect_overlaps_matches_bruteforce(spark, a, b):
+    ga, gb = _to_gr(spark, a), _to_gr(spark, b)
+    at = [(c, s, s + ln, sc) for (c, s, ln, _, sc) in a]
+    bt = [(c, s, s + ln) for (c, s, ln, _, _) in b]
+    want = sorted(
+        (x[0], max(x[1], y[1]), min(x[2], y[2]), x[3])
+        for x in at
+        for y in bt
+        if _overlaps(x[:3], y)
+    )
+    out = ga.intersect_overlaps(gb, strand_behavior="ignore")
+    got = _rows(out, ("Chromosome", "Start", "End", "Score"))
+    assert got == want
+
+
+@_SETTINGS
+@given(rows=_frame)
+def test_cluster_overlaps_partition_matches_bruteforce(spark, rows):
+    """Cluster ids are arbitrary labels; compare the PARTITION they induce:
+    the multiset of row-groups must equal strict-overlap union-find groups
+    (per chromosome, unstranded)."""
+    g = _to_gr(spark, rows)
+    ivs = [(c, s, s + ln, i) for i, (c, s, ln, _, _) in enumerate(rows)]
+    parent = list(range(len(ivs)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(ivs)):
+        for j in range(i + 1, len(ivs)):
+            if _overlaps(ivs[i][:3], ivs[j][:3]):
+                parent[find(i)] = find(j)
+    groups = {}
+    for i, iv in enumerate(ivs):
+        groups.setdefault(find(i), []).append(iv[:3])
+    want = sorted(sorted(g_) for g_ in groups.values())
+
+    out = (
+        g.cluster_overlaps(use_strand=False)
+        .df.select("Chromosome", "Start", "End", "Cluster")
+        .toPandas()
+    )
+    clusters = {}
+    for c, s, e, cl in out.values:
+        clusters.setdefault((c, cl), []).append((c, int(s), int(e)))
+    got = sorted(sorted(g_) for g_ in clusters.values())
+    assert got == want
+
+
+@_SETTINGS
+@given(rows=_frame, between=st.booleans())
+def test_split_overlaps_matches_bruteforce(spark, rows, between):
+    """Atomize at every boundary: adjacent distinct-point segments, kept when
+    covered by >= 1 input interval (always kept with between=True)."""
+    g = _to_gr(spark, rows)
+    by_chrom = {}
+    for c, s, ln, _, _ in rows:
+        by_chrom.setdefault(c, []).append((s, s + ln))
+    want = []
+    for c, ivs in by_chrom.items():
+        pts = sorted({p for iv in ivs for p in iv})
+        for p, q in zip(pts, pts[1:]):
+            covered = any(s <= p and q <= e for s, e in ivs)
+            if covered or between:
+                want.append((c, p, q))
+    got = _rows(g.split_overlaps(use_strand=False, between=between))
+    assert got == sorted(want)
