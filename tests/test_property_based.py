@@ -334,3 +334,81 @@ def test_split_overlaps_matches_bruteforce(spark, rows, between):
                 want.append((c, p, q))
     got = _rows(g.split_overlaps(use_strand=False, between=between))
     assert got == sorted(want)
+
+
+@_SETTINGS
+@given(rows=_frame, w=st.integers(min_value=1, max_value=9))
+def test_tile_ranges_matches_bruteforce(spark, rows, w):
+    """Genome-aligned tiles: k*w..(k+1)*w for floor(s/w) <= k <= max(floor(s/w),
+    floor((e-1)/w)); zero-length rows emit their single anchor tile."""
+    g = _to_gr(spark, rows)
+    want = []
+    for c, s, ln, st_, sc in rows:
+        e = s + ln
+        lo = s // w
+        hi = max(lo, (e - 1) // w)
+        for k in range(lo, hi + 1):
+            want.append((c, k * w, (k + 1) * w))
+    got = _rows(g.tile_ranges(w))
+    assert got == sorted(want)
+
+
+@_SETTINGS
+@given(rows=_frame, w=st.integers(min_value=1, max_value=9))
+def test_window_ranges_matches_bruteforce(spark, rows, w):
+    """Start-anchored chunks of width w, last clipped to End; zero-length
+    rows emit themselves."""
+    g = _to_gr(spark, rows)
+    want = []
+    for c, s, ln, st_, sc in rows:
+        e = s + ln
+        if ln == 0:
+            want.append((c, s, s))
+            continue
+        p = s
+        while p < e:
+            want.append((c, p, min(p + w, e)))
+            p += w
+    got = _rows(g.window_ranges(w))
+    assert got == sorted(want)
+
+
+@_SETTINGS
+@given(
+    rows=_frame,
+    e5=st.integers(min_value=0, max_value=7),
+    e3=st.integers(min_value=0, max_value=7),
+)
+def test_extend_ranges_matches_bruteforce(spark, rows, e5, e3):
+    """Strand-aware 5'/3' padding: on '-' the 5' end is End; Start floors
+    at 0."""
+    g = _to_gr(spark, rows)
+    want = sorted(
+        (
+            c,
+            max(0, s - (e3 if st_ == "-" else e5)),
+            s + ln + (e5 if st_ == "-" else e3),
+        )
+        for (c, s, ln, st_, sc) in rows
+    )
+    got = _rows(g.extend_ranges(ext_5=e5, ext_3=e3, use_strand=True))
+    assert got == want
+
+
+@_SETTINGS
+@given(a=_frame, b=_frame)
+def test_join_inner_matches_bruteforce(spark, a, b):
+    """Inner join_overlaps: one output row per strictly-overlapping pair,
+    with the match's coordinates as Start_b/End_b."""
+    ga, gb = _to_gr(spark, a), _to_gr(spark, b)
+    at = [(c, s, s + ln) for (c, s, ln, _, _) in a]
+    bt = [(c, s, s + ln) for (c, s, ln, _, _) in b]
+    want = sorted(
+        (x[0], x[1], x[2], y[1], y[2])
+        for x in at
+        for y in bt
+        if _overlaps(x, y)
+    )
+    out = ga.join_overlaps(gb, strand_behavior="ignore")
+    got = _rows(out, ("Chromosome", "Start", "End", "Start_b", "End_b"))
+    assert got == want
