@@ -130,18 +130,27 @@ def winnow_fingerprints(
         hash_fn = xxhash64_fn
     t = F.trim(F.col(text_col))
     n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
-    pos = df.select(
-        F.col(id_col),
-        t.alias("__t__"),
-        F.explode(F.sequence(F.lit(0), n_grams - 1)).alias("__pos__"),
+    # Hash the k-grams row-locally into ONE long array, then posexplode the
+    # array: exploding positions first and substring-ing afterwards copies
+    # the FULL document text into every per-position generator row —
+    # len(text) rows x len(text) bytes per doc through the exploded
+    # projection, quadratic in doc size. At sf0.1's short docs that is only
+    # a ~1.1-1.2x warm win (interleaved A/B, values bit-equal), but the
+    # exploded relation here is (id, pos, long) regardless of doc length,
+    # which is the shape that survives book-length documents.
+    h_arr = F.transform(
+        F.sequence(F.lit(0), n_grams - 1),
+        lambda i: hash_fn(F.substring(t, i + 1, k)),
     )
-    h = hash_fn(F.substring(F.col("__t__"), F.col("__pos__") + 1, k))
+    d = df.select(
+        F.col(id_col),
+        F.posexplode(h_arr).alias("__pos__", "__h__"),
+    )
     w = (
         Window.partitionBy(id_col)
         .orderBy("__pos__")
         .rowsBetween(-(window - 1), Window.currentRow)
     )
-    d = pos.select(F.col(id_col), F.col("__pos__"), h.alias("__h__"))
     d = d.withColumn("__wm__", F.min("__h__").over(w))
     return (
         d.filter(F.col("__h__") == F.col("__wm__"))
