@@ -128,7 +128,14 @@ def complement_ranges(
         bucket_width=self.resolve_bin(None) * 16,
         adaptive=True,
     )
-    w = Window.partitionBy(*keys).orderBy(F.col(nm.START_COL).asc())
+    # (Start, End) — not Start alone: merged islands are strict-overlap
+    # disjoint but a zero-length island can TIE a neighbor's Start
+    # ([5,5) next to [5,9)), and with an ambiguous tie order the lead()
+    # could pair [5,9) with [5,5) and silently swallow the real gap after
+    # End=9. (Start, End) is a total order over disjoint islands.
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(nm.START_COL).asc(), F.col(nm.END_COL).asc()
+    )
     nxt = F.lead(nm.START_COL).over(w)
     gaps = (
         merged.withColumn("__next__", nxt)

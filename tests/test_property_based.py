@@ -412,3 +412,69 @@ def test_join_inner_matches_bruteforce(spark, a, b):
     out = ga.join_overlaps(gb, strand_behavior="ignore")
     got = _rows(out, ("Chromosome", "Start", "End", "Start_b", "End_b"))
     assert got == want
+
+
+@_SETTINGS
+@given(rows=_frame)
+def test_outer_ranges_matches_bruteforce(spark, rows):
+    """Per-(chrom,strand) span with count."""
+    g = _to_gr(spark, rows)
+    spans = {}
+    for c, s, ln, st_, _ in rows:
+        k = (c, st_)
+        lo, hi, n = spans.get(k, (s, s + ln, 0))
+        spans[k] = (min(lo, s), max(hi, s + ln), n + 1)
+    want = sorted((c, lo, hi, st_, n) for (c, st_), (lo, hi, n) in spans.items())
+    out = g.outer_ranges(use_strand=True, count_col="Count")
+    got = _rows(out, ("Chromosome", "Start", "End", "Strand", "Count"))
+    assert [tuple(r[:3]) + (r[3], int(r[4])) for r in got] == want
+
+
+@_SETTINGS
+@given(rows=_frame, slack=st.integers(min_value=0, max_value=5))
+def test_max_disjoint_matches_bruteforce(spark, rows, slack):
+    """Greedy earliest-End-first per (chrom,strand); next accepted iff
+    Start >= last_End + slack; ties broken by the full row ordering."""
+    g = _to_gr(spark, rows)
+    by_key = {}
+    for c, s, ln, st_, sc in rows:
+        by_key.setdefault((c, st_), []).append((s + ln, s, c, st_, sc))
+    want = []
+    for (c, st_), ivs in by_key.items():
+        last = None
+        for e, s, c_, st2, sc in sorted(ivs):
+            if last is None or s >= last + slack:
+                want.append((c_, s, e, st2, sc))
+                last = e
+    out = g.max_disjoint_overlaps(use_strand=True, slack=slack)
+    got = _rows(out, ("Chromosome", "Start", "End", "Strand", "Score"))
+    assert got == sorted(want)
+
+
+@_SETTINGS
+@given(rows=_frame)
+def test_complement_matches_bruteforce(spark, rows):
+    """Gaps strictly between merged islands per chromosome (no chromsizes:
+    no leading/trailing gaps)."""
+    g = _to_gr(spark, rows)
+    merged = _merge_tuples([(c, s, s + ln) for (c, s, ln, _, _) in rows])
+    by_chrom = {}
+    for c, s, e in merged:
+        by_chrom.setdefault(c, []).append((s, e))
+    want = []
+    for c, ivs in by_chrom.items():
+        ivs.sort()
+        for (s1, e1), (s2, e2) in zip(ivs, ivs[1:]):
+            if s2 > e1:
+                want.append((c, e1, s2))
+    got = _rows(g.complement_ranges(use_strand=False))
+    assert got == sorted(want)
+
+
+def test_complement_zero_length_start_tie(spark):
+    """Regression: a zero-length island tying a neighbor's Start must not
+    swallow the real gap after that neighbor (lead() order pinned to
+    (Start, End))."""
+    rows = [("chr1", 5, 0, "+", 0), ("chr1", 5, 4, "+", 0), ("chr1", 12, 3, "+", 0)]
+    got = _rows(_to_gr(spark, rows).complement_ranges(use_strand=False))
+    assert got == [("chr1", 9, 12)]
