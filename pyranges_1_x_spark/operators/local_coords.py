@@ -102,6 +102,17 @@ def slice_ranges(
         return _slice_unspliced(
             self, start, end, group_by, use_strand=use_strand
         )
+    if group_by is None:
+        # Reference semantics (methods/slice_ranges.py:35: ``np.arange`` group
+        # ids when no ``by``): with NO group_by every ROW is its own
+        # transcript — doctest pyranges_main.py:3082 slices [40,60) to
+        # [40,45) independently of its chromosome neighbors. A single
+        # interval's spliced and unspliced spans coincide, so the row-local
+        # unspliced arithmetic implements this exactly (and without any
+        # window). The earlier Chromosome-level grouping silently treated
+        # all rows of a chromosome as one spliced transcript — caught by
+        # tests/test_property_based.py's five_end oracle.
+        return _slice_unspliced(self, start, end, None, use_strand=use_strand)
     keys = _group_keys(self, group_by)
     neg = _neg(self, use_strand)
     w = _five_prime_window(keys, neg, tiebreak)

@@ -139,3 +139,28 @@ def test_slice_ranges_count_introns_rowwise(spark):
     res = p.slice_ranges(0, 5, count_introns=True, use_strand=False)
     got = {(r.Start, r.End) for r in res.df.toPandas().itertuples()}
     assert got == {(1, 6), (40, 45), (10, 15), (70, 75), (140, 145)}
+
+
+def test_slice_ranges_ungrouped_per_row_golden(spark):
+    """Reference doctest pyranges_main.py:3082-3106: with NO group_by every
+    row slices independently (ruranges passes arange group ids)."""
+    import pandas as pd
+
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["1", "1", "2", "2", "3"],
+            "Strand": ["+", "+", "-", "-", "+"],
+            "Start": [1, 40, 10, 70, 140],
+            "End": [11, 60, 25, 80, 152],
+            "transcript_id": ["t1", "t1", "t2", "t2", "t3"],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    first5 = sorted(
+        map(tuple, g.slice_ranges(0, 5).df.select("Start", "End").toPandas().values)
+    )
+    assert first5 == [(1, 6), (20, 25), (40, 45), (75, 80), (140, 145)]
+    last10 = sorted(
+        map(tuple, g.slice_ranges(-10).df.select("Start", "End").toPandas().values)
+    )
+    assert last10 == [(1, 11), (10, 20), (50, 60), (70, 80), (142, 152)]

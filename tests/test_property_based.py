@@ -478,3 +478,54 @@ def test_complement_zero_length_start_tie(spark):
     rows = [("chr1", 5, 0, "+", 0), ("chr1", 5, 4, "+", 0), ("chr1", 12, 3, "+", 0)]
     got = _rows(_to_gr(spark, rows).complement_ranges(use_strand=False))
     assert got == [("chr1", 9, 12)]
+
+
+@_SETTINGS
+@given(rows=_frame, length=st.integers(min_value=1, max_value=8),
+       gap=st.integers(min_value=0, max_value=4))
+def test_upstream_downstream_match_bruteforce(spark, rows, length, gap):
+    """Strand-aware flanks clipped at 0; empty (fully-clipped) flanks drop."""
+    g = _to_gr(spark, rows)
+
+    def clip(s, e):
+        s, e = max(0, s), max(0, e)
+        return (s, e) if s < e else None
+
+    up, dn = [], []
+    for c, s, ln, st_, _ in rows:
+        e = s + ln
+        if st_ == "-":
+            u = clip(e + gap, e + gap + length)
+            d = clip(s - gap - length, s - gap)
+        else:
+            u = clip(s - gap - length, s - gap)
+            d = clip(e + gap, e + gap + length)
+        if u:
+            up.append((c, u[0], u[1], st_))
+        if d:
+            dn.append((c, d[0], d[1], st_))
+    cols = ("Chromosome", "Start", "End", "Strand")
+    assert _rows(g.upstream(length, gap=gap), cols) == sorted(up)
+    assert _rows(g.downstream(length, gap=gap), cols) == sorted(dn)
+
+
+@_SETTINGS
+@given(rows=_frame)
+def test_five_three_end_match_bruteforce(spark, rows):
+    """Length-1 interval at the strand-aware 5'/3' end of each row."""
+    g = _to_gr(spark, rows)
+    five, three = [], []
+    for c, s, ln, st_, _ in rows:
+        if ln == 0:
+            # slice_ranges(0,1) of an empty interval is empty -> dropped
+            continue
+        e = s + ln
+        if st_ == "-":
+            five.append((c, max(s, e - 1), e, st_))
+            three.append((c, s, min(e, s + 1), st_))
+        else:
+            five.append((c, s, min(e, s + 1), st_))
+            three.append((c, max(s, e - 1), e, st_))
+    cols = ("Chromosome", "Start", "End", "Strand")
+    assert _rows(g.five_end(), cols) == sorted(five)
+    assert _rows(g.three_end(), cols) == sorted(three)
