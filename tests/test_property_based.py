@@ -529,3 +529,46 @@ def test_five_three_end_match_bruteforce(spark, rows):
     cols = ("Chromosome", "Start", "End", "Strand")
     assert _rows(g.five_end(), cols) == sorted(five)
     assert _rows(g.three_end(), cols) == sorted(three)
+
+
+@_SETTINGS
+@given(rows=_frame)
+def test_group_cumsum_matches_bruteforce(spark, rows):
+    """use_strand=False, grouped by Score: per (chrom, score) group, rows in
+    (Start, End) order get [cum, cum+len) local coordinates. Compared as a
+    multiset (tied duplicate rows swap positions freely but yield the same
+    output multiset)."""
+    g = _to_gr(spark, rows)
+    by = {}
+    for c, s, ln, st_, sc in rows:
+        by.setdefault((c, sc), []).append((s, s + ln))
+    want = []
+    for (c, sc), ivs in by.items():
+        cum = 0
+        for s, e in sorted(ivs):
+            want.append((c, cum, cum + (e - s), sc))
+            cum += e - s
+    out = g.group_cumsum(group_by="Score", use_strand=False)
+    got = _rows(out, ("Chromosome", "Start", "End", "Score"))
+    assert sorted(got) == sorted(want)
+
+
+@_SETTINGS
+@given(rows=_frame, size=st.integers(min_value=1, max_value=70))
+def test_clip_ranges_matches_bruteforce(spark, rows, size):
+    g = _to_gr(spark, rows)
+    import pandas as pd
+
+    sizes = spark.createDataFrame(
+        pd.DataFrame({"Chromosome": ["chr1", "chr2"], "End": [size, size]})
+    )
+    clip_want, rm_want = [], []
+    for c, s, ln, st_, _ in rows:
+        e = s + ln
+        cs, ce = max(0, s), min(e, size)
+        if cs < ce:
+            clip_want.append((c, cs, ce))
+        if s >= 0 and e <= size:
+            rm_want.append((c, s, e))
+    assert _rows(g.clip_ranges(sizes)) == sorted(clip_want)
+    assert _rows(g.clip_ranges(sizes, mode="remove")) == sorted(rm_want)
