@@ -572,3 +572,63 @@ def test_clip_ranges_matches_bruteforce(spark, rows, size):
             rm_want.append((c, s, e))
     assert _rows(g.clip_ranges(sizes)) == sorted(clip_want)
     assert _rows(g.clip_ranges(sizes, mode="remove")) == sorted(rm_want)
+
+
+@_SETTINGS
+@given(rows=_frame)
+def test_to_coverage_matches_bruteforce(spark, rows):
+    """Depth runs: at every integer position, the engine's covering run value
+    equals the brute-force count of intervals spanning that position; runs
+    tile the boundary span with no overlaps."""
+    g = _to_gr(spark, rows)
+    out = g.to_coverage(use_strand=False).df.toPandas()
+    ivs = {}
+    for c, s, ln, _, _ in rows:
+        ivs.setdefault(c, []).append((s, s + ln))
+    for c, chrom_ivs in ivs.items():
+        runs = sorted(
+            (int(r.Start), int(r.End), int(r.Value))
+            for r in out[out.Chromosome == c].itertuples()
+        )
+        lo = min(s for s, _ in chrom_ivs)
+        hi = max(e for _, e in chrom_ivs)
+        # runs tile [lo, hi) contiguously
+        if lo < hi:
+            assert runs[0][0] == lo and runs[-1][1] == hi
+            for (s1, e1, _), (s2, e2, _) in zip(runs, runs[1:]):
+                assert e1 == s2
+        for p in range(lo, hi):
+            want = sum(1 for s, e in chrom_ivs if s <= p < e)
+            got = [v for s, e, v in runs if s <= p < e]
+            assert len(got) == 1 and got[0] == want, (c, p, got, want)
+
+
+@_SETTINGS
+@given(a=_frame, b=_frame)
+def test_join_left_padding_matches_bruteforce(spark, a, b):
+    """how='left': one row per overlapping pair plus ONE null-padded row per
+    matchless left row."""
+    ga, gb = _to_gr(spark, a), _to_gr(spark, b)
+    at = [(c, s, s + ln) for (c, s, ln, _, _) in a]
+    bt = [(c, s, s + ln) for (c, s, ln, _, _) in b]
+    want = []
+    for x in at:
+        hits = [y for y in bt if _overlaps(x, y)]
+        if hits:
+            want.extend((x[0], x[1], x[2], y[1], y[2]) for y in hits)
+        else:
+            want.append((x[0], x[1], x[2], None, None))
+    out = ga.join_overlaps(gb, strand_behavior="ignore", join_type="left").df
+    pdf = out.select("Chromosome", "Start", "End", "Start_b", "End_b").toPandas()
+    got = sorted(
+        (
+            r.Chromosome,
+            int(r.Start),
+            int(r.End),
+            None if pd.isna(r.Start_b) else int(r.Start_b),
+            None if pd.isna(r.End_b) else int(r.End_b),
+        )
+        for r in pdf.itertuples()
+    )
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert got == sorted(want, key=key) or sorted(got, key=key) == sorted(want, key=key)
