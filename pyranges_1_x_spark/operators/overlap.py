@@ -147,12 +147,22 @@ def intersect_overlaps(
     *,
     strand_behavior: str = "auto",
     match_by=None,
+    multiple: str = nm.OVERLAP_ALL,
     slack: int = 0,
     bin_size: int | None = None,
 ) -> GenomicRanges:
     """Join + clip coordinates to the overlapping stretch
     (reference methods/overlap.py:72-101): Start=max(s1,s2), End=min(e1,e2);
-    other's metadata columns are NOT reported."""
+    other's metadata columns are NOT reported. ``multiple`` in
+    {all, first, last} keeps every match / the smallest-(Start,End) match /
+    the largest-(Start,End) match per self row (doctest-pinned order,
+    pyranges_main.py:5397-5413 — see the OVERLAP_LAST note in
+    plans/interval_join.py), reduced with a partial-aggregatable
+    min_by/max_by, never a pair-relation sort."""
+    if multiple not in nm.VALID_OVERLAP_MODES:
+        raise ValueError(
+            f"multiple must be one of {nm.VALID_OVERLAP_MODES}, got {multiple!r}"
+        )
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
     right, rkeys = _right_coords(odf, keys)
@@ -167,6 +177,11 @@ def intersect_overlaps(
         rstart="__rs__",
         rend="__re__",
     )
+    if multiple != nm.OVERLAP_ALL:
+        payload = F.struct(*[F.col(c) for c in joined.columns])
+        order = F.struct(F.col("__rs__"), F.col("__re__"))
+        agg = F.min_by(payload, order) if multiple == nm.OVERLAP_FIRST else F.max_by(payload, order)
+        joined = joined.groupBy(_LID).agg(agg.alias("__p__")).select("__p__.*")
     out = (
         joined.withColumn(nm.START_COL, F.greatest(F.col(nm.START_COL), F.col("__rs__")))
         .withColumn(nm.END_COL, F.least(F.col(nm.END_COL), F.col("__re__")))

@@ -393,9 +393,15 @@ def interval_join(
             red = matched_rows.groupBy(_LID).agg(
                 F.min_by(payload, F.struct(F.col(rstart), F.col(rend))).alias("__p__")
             )
-        else:  # OVERLAP_LAST: biggest End wins (reference range_frame.py:558-562)
+        else:
+            # OVERLAP_LAST = lexicographically-last (Start, End) match. The
+            # reference DOCSTRINGS say "biggest End in other", but the only
+            # executable doctest (intersect_overlaps, pyranges_main.py:5406)
+            # contradicts them: among overlaps [25,33) and [28,32) the kernel
+            # returns [28,32) — biggest Start, not biggest End. The doctest
+            # is the executed truth, so mirror (Start, End) order here.
             red = matched_rows.groupBy(_LID).agg(
-                F.max_by(payload, F.struct(F.col(rend), F.col(rstart))).alias("__p__")
+                F.max_by(payload, F.struct(F.col(rstart), F.col(rend))).alias("__p__")
             )
         reduced = red.select("__p__.*")
         if how == "inner":

@@ -88,7 +88,11 @@ def test_multiple_first_last(spark):
     first = a.join_overlaps(b, multiple="first").df.toPandas()
     assert first.Start_b.tolist() == [1]  # smallest right Start
     last = a.join_overlaps(b, multiple="last").df.toPandas()
-    assert last.End_b.tolist() == [30]  # biggest right End
+    # lexicographically-last (Start_b, End_b) match — (10,12), NOT the
+    # biggest-End (1,30): the reference docstring says "biggest End" but its
+    # executable intersect doctest (pyranges_main.py:5406) proves the kernel
+    # orders by (Start, End); see test_intersect_multiple_first_last_golden.
+    assert last.Start_b.tolist() == [10] and last.End_b.tolist() == [12]
 
 
 def test_strand_behavior(spark):
@@ -142,3 +146,32 @@ def test_floordiv_exact_beyond_double_precision(spark):
     got = {r["c"]: r["q"] for r in df.select("c", floordiv(F.col("c"), w).alias("q")).collect()}
     for v in vals:
         assert got[v] == v // w, f"floordiv({v}, {w}) = {got[v]} != {v // w}"
+
+
+def test_intersect_multiple_first_last_golden(spark):
+    """Reference doctest pyranges_main.py:5362-5413: intersect with
+    multiple='first'/'last'. 'last' pins the lexicographically-last
+    (Start, End) match — the executable doctest picks [28,32) over the
+    bigger-End [25,33)."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    r1 = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": ["chr1"] * 3, "Start": [5, 20, 40],
+         "End": [10, 30, 50], "ID": ["a", "b", "c"]})))
+    r2 = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": ["chr1"] * 4, "Start": [7, 18, 25, 28],
+         "End": [9, 22, 33, 32]})))
+
+    def rows(gr):
+        return sorted(map(tuple,
+            gr.df.select("Chromosome", "Start", "End", "ID").toPandas().values))
+
+    assert rows(r1.intersect_overlaps(r2)) == [
+        ("chr1", 7, 9, "a"), ("chr1", 20, 22, "b"),
+        ("chr1", 25, 30, "b"), ("chr1", 28, 30, "b")]
+    assert rows(r1.intersect_overlaps(r2, multiple="first")) == [
+        ("chr1", 7, 9, "a"), ("chr1", 20, 22, "b")]
+    assert rows(r1.intersect_overlaps(r2, multiple="last")) == [
+        ("chr1", 7, 9, "a"), ("chr1", 28, 30, "b")]
