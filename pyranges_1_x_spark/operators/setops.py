@@ -190,10 +190,17 @@ def set_union_overlaps(
 
 def set_intersect_overlaps(
     self: GenomicRanges, other: GenomicRanges, *, strand_behavior: str = "auto",
-    bin_size: int | None = None,
+    multiple: str = nm.OVERLAP_ALL, bin_size: int | None = None,
 ) -> GenomicRanges:
     """Intersection of the two merged interval sets
-    (reference pyranges_main.py:2617-2721)."""
+    (reference pyranges_main.py:2617-2721). ``multiple`` in {all, first,
+    last} keeps every / the smallest- / largest-(Start, End) other-island
+    match per merged self island (the doctest-pinned order — see the
+    OVERLAP_LAST note in plans/interval_join.py)."""
+    if multiple not in nm.VALID_OVERLAP_MODES:
+        raise ValueError(
+            f"multiple must be one of {nm.VALID_OVERLAP_MODES}, got {multiple!r}"
+        )
     odf, keys = self._binary_prepared(other, strand_behavior)
     bin_size = self.resolve_bin(bin_size)
     cols = [*keys, nm.START_COL, nm.END_COL]
@@ -208,6 +215,15 @@ def set_intersect_overlaps(
         a, b, keys=keys, right_keys=bkeys, how="inner", bin_size=bin_size,
         rstart="__bs__", rend="__be__",
     )
+    if multiple != nm.OVERLAP_ALL:
+        payload = F.struct(*[F.col(c) for c in pairs.columns])
+        order = F.struct(F.col("__bs__"), F.col("__be__"))
+        agg = (
+            F.min_by(payload, order)
+            if multiple == nm.OVERLAP_FIRST
+            else F.max_by(payload, order)
+        )
+        pairs = pairs.groupBy(_LID).agg(agg.alias("__p__")).select("__p__.*")
     out = pairs.select(
         *keys,
         F.greatest(F.col(nm.START_COL), F.col("__bs__")).alias(nm.START_COL),

@@ -210,3 +210,24 @@ def test_nearest_upstream_downstream(spark):
     up2 = f1.nearest_ranges(f3, direction="upstream", exclude_overlaps=True).df.toPandas()
     # only the '-' self row (5,7) can match same-strand; upstream of '-' = forward: 10 >= 7 ok
     assert sorted(zip(up2.Start, up2.Start_b, up2.Distance)) == [(5, 10, 4)]
+
+
+def test_set_intersect_multiple_first_last(spark):
+    """set_intersect multiple: per merged self island, keep only the
+    smallest/largest (Start, End) merged other island (doctest-pinned order,
+    see test_intersect_multiple_first_last_golden)."""
+    import pandas as pd
+
+    a = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": ["chr1"], "Start": [5], "End": [40]})))
+    b = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": ["chr1"] * 3, "Start": [7, 18, 30], "End": [9, 22, 50]})))
+
+    def rows(gr):
+        return sorted(map(tuple,
+            gr.df.select("Chromosome", "Start", "End").toPandas().values))
+
+    assert rows(a.set_intersect_overlaps(b)) == [
+        ("chr1", 7, 9), ("chr1", 18, 22), ("chr1", 30, 40)]
+    assert rows(a.set_intersect_overlaps(b, multiple="first")) == [("chr1", 7, 9)]
+    assert rows(a.set_intersect_overlaps(b, multiple="last")) == [("chr1", 30, 40)]
