@@ -1851,8 +1851,12 @@ def oracle_sql() -> dict[str, str]:
         "window_ranges": f"""
             {_AB}
             SELECT row_id, Chromosome,
-                   a.Start + t.i * 75 AS Start,
-                   LEAST(a.Start + (t.i + 1) * 75, a."End") AS "End",
+                   CASE WHEN Strand = '-'
+                        THEN GREATEST(a."End" - (t.i + 1) * 75, a.Start)
+                        ELSE a.Start + t.i * 75 END AS Start,
+                   CASE WHEN Strand = '-'
+                        THEN a."End" - t.i * 75
+                        ELSE LEAST(a.Start + (t.i + 1) * 75, a."End") END AS "End",
                    Strand, Score
             FROM a, UNNEST(generate_series(0, (a."End" - a.Start - 1) // 75)) AS t(i)
         """,

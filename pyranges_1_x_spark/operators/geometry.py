@@ -85,24 +85,68 @@ def tile_ranges(
     return GenomicRanges(out)
 
 
-def window_ranges(self: GenomicRanges, window_size: int) -> GenomicRanges:
-    """Chop each interval into chunks of ``window_size`` anchored at its Start
-    (reference pyranges_main.py:5073-5079; the strand-aware '-'-anchored
-    variant lands with the 5' family)."""
+def window_ranges(
+    self: GenomicRanges,
+    window_size: int,
+    use_strand="auto",
+    group_by=None,
+    *,
+    add_window_id: bool = False,
+) -> GenomicRanges:
+    """Chop each interval into chunks of ``window_size`` anchored at its 5'
+    end (reference pyranges_main.py:5028-5170): on the '-' strand windows
+    slice DESCENDING from End, so the short remainder window falls at the
+    far (left) end — doctest [600,787) w=100 => [687,787), [600,687). With
+    ``group_by``, the window axis is the SPLICED transcript: local cumsum
+    coordinates per group, windows of the local axis, each exon clipped to
+    each window it overlaps (a window spanning an intron yields
+    non-contiguous pieces sharing a ``window_id``). ``add_window_id``
+    emits the 0-based per-group (or per-row) window index.
+
+    All codegen: the ungrouped form is a per-row explode; the grouped form
+    adds the same 5'->3' cumsum window that slice_ranges/group_cumsum use,
+    then explodes each row over the local windows it spans.
+    """
+    from pyranges_1_x_spark.operators.local_coords import (
+        _five_prime_window,
+        _neg,
+    )
+
+    neg = _neg(self, use_strand)
     d = self.df
-    n = F.ceil((F.col(nm.END_COL) - F.col(nm.START_COL)) / F.lit(window_size)).cast("long")
-    d = d.withColumn("__w__", F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))))
-    ws = F.col(nm.START_COL) + F.col("__w__") * window_size
-    we = F.least(ws + window_size, F.col(nm.END_COL))
-    # compute into temp columns first: the second withColumn would otherwise
-    # see the already-replaced Start inside `we`
+    w = F.lit(window_size)
+    if group_by is None:
+        # per-row local axis [0, len)
+        ls, le = F.lit(0), F.col(nm.END_COL) - F.col(nm.START_COL)
+    else:
+        keys = [nm.CHROM_COL] + (
+            [group_by] if isinstance(group_by, str) else list(group_by)
+        )
+        win = _five_prime_window(keys, neg)
+        length = F.col(nm.END_COL) - F.col(nm.START_COL)
+        le_c = F.sum(length).over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        d = d.withColumn("__le__", le_c).withColumn("__ls__", F.col("__le__") - length)
+        ls, le = F.col("__ls__"), F.col("__le__")
+    lo_k = F.floor(ls / w).cast("long")
+    hi_k = F.greatest(F.ceil(le / w).cast("long") - 1, lo_k)
+    d = d.withColumn("__k__", F.explode(F.sequence(lo_k, hi_k)))
+    # piece of this row inside local window k, in local coordinates
+    plo = F.greatest(ls, F.col("__k__") * w)
+    phi = F.least(le, (F.col("__k__") + 1) * w)
+    off_lo, off_hi = plo - ls, phi - ls
+    gs = F.when(neg, F.col(nm.END_COL) - off_hi).otherwise(F.col(nm.START_COL) + off_lo)
+    ge = F.when(neg, F.col(nm.END_COL) - off_lo).otherwise(F.col(nm.START_COL) + off_hi)
     out = (
-        d.withColumn("__ws__", ws)
-        .withColumn("__we__", we)
+        d.withColumn("__ws__", gs)
+        .withColumn("__we__", ge)
         .withColumn(nm.START_COL, F.col("__ws__"))
         .withColumn(nm.END_COL, F.col("__we__"))
-        .drop("__w__", "__ws__", "__we__")
     )
+    if add_window_id:
+        out = out.withColumn("window_id", F.col("__k__"))
+    out = out.drop("__k__", "__ws__", "__we__", "__ls__", "__le__")
     return GenomicRanges(out)
 
 

@@ -164,3 +164,43 @@ def test_slice_ranges_ungrouped_per_row_golden(spark):
         map(tuple, g.slice_ranges(-10).df.select("Start", "End").toPandas().values)
     )
     assert last10 == [(1, 11), (10, 20), (50, 60), (70, 80), (142, 152)]
+
+
+def test_window_ranges_grouped_and_window_id(spark):
+    """Grouped windows run over the SPLICED transcript axis: a window
+    spanning an intron yields non-contiguous pieces sharing a window_id
+    (reference window_ranges group_by/add_window_id docs)."""
+    import pandas as pd
+
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["1", "1", "2"],
+            "Strand": ["+", "+", "-"],
+            "Start": [1, 40, 10],
+            "End": [11, 60, 25],
+            "transcript_id": ["t1", "t1", "t2"],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    out = (
+        g.window_ranges(15, group_by="transcript_id", add_window_id=True)
+        .df.select("Chromosome", "Start", "End", "window_id")
+        .toPandas()
+    )
+    got = sorted(map(tuple, out.values))
+    # t1 local axis: exon1 [0,10), exon2 [10,30); w=15 -> window0 covers
+    # [1,11) + [40,45), window1 covers [45,60).
+    # t2 '-' : local [0,15) -> window0 = whole exon reflected = [10,25).
+    assert got == [
+        ("1", 1, 11, 0),
+        ("1", 40, 45, 0),
+        ("1", 45, 60, 1),
+        ("2", 10, 25, 0),
+    ]
+    # ungrouped doctest (pyranges_main.py:5100): [800,1012) w=100
+    d2 = pd.DataFrame({"Chromosome": ["1"], "Start": [800], "End": [1012]})
+    g2 = GenomicRanges(spark.createDataFrame(d2))
+    got2 = sorted(
+        map(tuple, g2.window_ranges(100).df.select("Start", "End").toPandas().values)
+    )
+    assert got2 == [(800, 900), (900, 1000), (1000, 1012)]

@@ -356,8 +356,10 @@ def test_tile_ranges_matches_bruteforce(spark, rows, w):
 @_SETTINGS
 @given(rows=_frame, w=st.integers(min_value=1, max_value=9))
 def test_window_ranges_matches_bruteforce(spark, rows, w):
-    """Start-anchored chunks of width w, last clipped to End; zero-length
-    rows emit themselves."""
+    """5'-anchored chunks of width w (reference doctest
+    pyranges_main.py:5100-5140): '-' strand slices DESCENDING from End so
+    the short remainder lands at the left end; zero-length rows emit
+    themselves."""
     g = _to_gr(spark, rows)
     want = []
     for c, s, ln, st_, sc in rows:
@@ -365,10 +367,16 @@ def test_window_ranges_matches_bruteforce(spark, rows, w):
         if ln == 0:
             want.append((c, s, s))
             continue
-        p = s
-        while p < e:
-            want.append((c, p, min(p + w, e)))
-            p += w
+        if st_ == "-":
+            p = e
+            while p > s:
+                want.append((c, max(p - w, s), p))
+                p -= w
+        else:
+            p = s
+            while p < e:
+                want.append((c, p, min(p + w, e)))
+                p += w
     got = _rows(g.window_ranges(w))
     assert got == sorted(want)
 
