@@ -73,11 +73,41 @@ def overlap(
     strand_behavior: str = "auto",
     match_by=None,
     slack: int = 0,
+    multiple: bool = False,
     contained_intervals_only: bool = False,
+    invert: bool = False,
     bin_size: int | None = None,
 ) -> GenomicRanges:
     """Semi-join: rows of self overlapping at least one interval of other
-    (reference range_frame.py:539-607); each self row reported once."""
+    (reference pyranges_main.py:1154-1292); each self row reported once.
+    ``multiple=True`` reports a self row once PER overlapping other interval
+    (the reference's duplicate-index form) — an inner binned join projected
+    back to self's columns. ``invert=True`` returns the NON-overlapping rows
+    instead (the anti probe, honoring ``contained_intervals_only``)."""
+    if invert:
+        return GenomicRanges(
+            _exists(
+                self, other, strand_behavior, match_by, slack,
+                contained_intervals_only, bin_size, anti=True,
+            )
+        )
+    if multiple:
+        odf, keys = self._binary_prepared(other, strand_behavior, match_by)
+        bin_size = self.resolve_bin(bin_size)
+        right, rkeys = _right_coords(odf, keys)
+        joined = binned_join(
+            self.df,
+            right,
+            keys=keys,
+            right_keys=rkeys,
+            how="inner",
+            slack=slack,
+            contained=contained_intervals_only,
+            bin_size=bin_size,
+            rstart="__rs__",
+            rend="__re__",
+        )
+        return GenomicRanges(joined.select(*self.df.columns))
     return GenomicRanges(
         _exists(
             self, other, strand_behavior, match_by, slack, contained_intervals_only, bin_size,
@@ -197,11 +227,18 @@ def count_overlaps(
     strand_behavior: str = "auto",
     match_by=None,
     slack: int = 0,
-    count_col: str = "NumberOverlaps",
+    overlap_col: str = "Count",
+    count_col: str | None = None,
     bin_size: int | None = None,
 ) -> GenomicRanges:
     """Append the per-self-row count of overlapping other intervals, zero-filled
-    (reference range_frame.py:112-157): one left binned join + one hash agg."""
+    (reference range_frame.py:112-157): one left binned join + one hash agg.
+    ``overlap_col`` is the reference's parameter and default output name
+    (doctest pyranges_main.py:833 shows a ``Count`` column); ``count_col``
+    is this engine's pre-r7 spelling, kept as an overriding alias."""
+    if count_col is not None:
+        overlap_col = count_col
+    count_col = overlap_col
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
     right, rkeys = _right_coords(odf, keys)

@@ -108,7 +108,7 @@ def test_count_and_intersect(spark):
     a = gr(spark, [("chr1", 1, 10), ("chr1", 50, 60), ("chr2", 1, 5)])
     b = gr(spark, [("chr1", 5, 8), ("chr1", 9, 20), ("chr1", 55, 58)])
     counts = a.count_overlaps(b).df.toPandas().sort_values(["Chromosome", "Start"])
-    assert counts.NumberOverlaps.tolist() == [2, 1, 0]
+    assert counts.Count.tolist() == [2, 1, 0]  # reference default column name
     inter = a.intersect_overlaps(b).df.toPandas().sort_values("Start")
     assert list(map(tuple, inter[["Start", "End"]].values)) == [(5, 8), (9, 10), (55, 58)]
 
@@ -175,3 +175,16 @@ def test_intersect_multiple_first_last_golden(spark):
         ("chr1", 7, 9, "a"), ("chr1", 20, 22, "b")]
     assert rows(r1.intersect_overlaps(r2, multiple="last")) == [
         ("chr1", 7, 9, "a"), ("chr1", 28, 30, "b")]
+
+
+def test_overlap_multiple_and_invert(spark):
+    """Reference overlap params: multiple=True duplicates a self row once per
+    overlapping other interval; invert=True returns the non-overlapping rows."""
+    a = gr(spark, [("chr1", 5, 20), ("chr1", 100, 110)])
+    b = gr(spark, [("chr1", 4, 6), ("chr1", 10, 12), ("chr1", 300, 310)])
+    once = a.overlap(b).df.toPandas()
+    assert sorted(once.Start.tolist()) == [5]
+    multi = a.overlap(b, multiple=True).df.toPandas()
+    assert sorted(multi.Start.tolist()) == [5, 5]
+    inv = a.overlap(b, invert=True).df.toPandas()
+    assert sorted(inv.Start.tolist()) == [100]

@@ -144,7 +144,7 @@ def test_count_overlaps_matches_bruteforce(spark, a, b):
         (x[0], x[1], x[2], sum(1 for y in bt if _overlaps(x, y))) for x in at
     )
     out = ga.count_overlaps(gb, strand_behavior="ignore")
-    got = _rows(out, ("Chromosome", "Start", "End", "NumberOverlaps"))
+    got = _rows(out, ("Chromosome", "Start", "End", "Count"))
     assert [tuple(map(int, r[1:])) + () for r in got] == [
         tuple(map(int, r[1:])) for r in want
     ] and [r[0] for r in got] == [r[0] for r in want]
