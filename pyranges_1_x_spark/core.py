@@ -331,20 +331,20 @@ class GenomicRanges:
 
         return _m.cluster_overlaps(self, **kw)
 
-    def outer_ranges(self, **kw):
+    def outer_ranges(self, group_by=None, **kw):
         from pyranges_1_x_spark.operators import merge as _m
 
-        return _m.outer_ranges(self, **kw)
+        return _m.outer_ranges(self, group_by, **kw)
 
     def subtract_overlaps(self, other, **kw):
         from pyranges_1_x_spark.operators import setops as _s
 
         return _s.subtract_overlaps(self, other, **kw)
 
-    def complement_ranges(self, **kw):
+    def complement_ranges(self, group_by=None, **kw):
         from pyranges_1_x_spark.operators import setops as _s
 
-        return _s.complement_ranges(self, **kw)
+        return _s.complement_ranges(self, group_by, **kw)
 
     def set_union_overlaps(self, other, **kw):
         from pyranges_1_x_spark.operators import setops as _s
@@ -376,10 +376,10 @@ class GenomicRanges:
 
         return _c.coverage_ratio(self, **kw)
 
-    def sort_ranges(self, **kw):
+    def sort_ranges(self, by=None, **kw):
         from pyranges_1_x_spark.operators import sort as _srt
 
-        return _srt.sort_ranges(self, **kw)
+        return _srt.sort_ranges(self, by, **kw)
 
     def extend_ranges(self, **kw):
         from pyranges_1_x_spark.operators import geometry as _g
@@ -396,7 +396,7 @@ class GenomicRanges:
 
         return _g.window_ranges(self, window_size, **kw)
 
-    def clip_ranges(self, chromsizes, **kw):
+    def clip_ranges(self, chromsizes=None, **kw):
         from pyranges_1_x_spark.operators import geometry as _g
 
         return _g.clip_ranges(self, chromsizes, **kw)
@@ -473,10 +473,12 @@ class GenomicRanges:
 
         return GenomicRanges.wrap(_mx.compute_interval_metrics(self._df, metrics, **kw))
 
-    def combine_interval_columns(self, how="intersect"):
+    def combine_interval_columns(self, function="intersect", **kw):
         from pyranges_1_x_spark.functions import metrics as _mx
 
-        return GenomicRanges.wrap(_mx.combine_interval_columns(self._df, how))
+        return GenomicRanges.wrap(
+            _mx.combine_interval_columns(self._df, function, **kw)
+        )
 
     def extend_orfs(self, sequences, group_by=None, **kw):
         from pyranges_1_x_spark.operators import orfs as _orf

@@ -107,22 +107,46 @@ def compute_interval_metrics(df: DataFrame, metrics: list[str], **kw) -> DataFra
     return out
 
 
-def combine_interval_columns(df: DataFrame, how: str = "intersect") -> DataFrame:
-    """Replace Start/End with a combination of self+other coords after a join
-    (reference range_frame.py:159-214): intersect | union | swap."""
-    s, e, sb, eb = _cols()
-    if how == "intersect":
+def combine_interval_columns(
+    df: DataFrame,
+    function="intersect",
+    *,
+    start: str | None = None,
+    end: str | None = None,
+    start2: str | None = None,
+    end2: str | None = None,
+    drop_old_columns: bool = True,
+    how: str | None = None,
+) -> DataFrame:
+    """Replace Start/End with a combination of two interval column pairs
+    after a join (reference pyranges_main.py:5572-5604):
+    ``function`` in {intersect, union, swap} or a callable taking the four
+    coordinate Columns (start1, end1, start2, end2) and returning
+    (new_start, new_end) Columns — the Column-expression twin of the
+    reference's Series-based CombineIntervalColumnsOperation. ``start``/
+    ``end``/``start2``/``end2`` override the column names (defaults
+    Start/End/Start_b/End_b); ``drop_old_columns=False`` keeps the second
+    pair. ``how`` is this engine's pre-r7 name for ``function``."""
+    if how is not None:
+        function = how
+    s, e, sb, eb = _cols(start, end, start2, end2)
+    if callable(function):
+        ns, ne = function(s, e, sb, eb)
+    elif function == "intersect":
         ns, ne = F.greatest(s, sb), F.least(e, eb)
-    elif how == "union":
+    elif function == "union":
         ns, ne = F.least(s, sb), F.greatest(e, eb)
-    elif how == "swap":
+    elif function == "swap":
         ns, ne = sb, eb
     else:
-        raise ValueError("how must be intersect|union|swap")
-    return (
+        raise ValueError("function must be intersect|union|swap or a callable")
+    out = (
         df.withColumn("__ns__", ns)
         .withColumn("__ne__", ne)
-        .withColumn(_S, F.col("__ns__"))
-        .withColumn(_E, F.col("__ne__"))
-        .drop("__ns__", "__ne__", _SB, _EB)
+        .withColumn(start or _S, F.col("__ns__"))
+        .withColumn(end or _E, F.col("__ne__"))
+        .drop("__ns__", "__ne__")
     )
+    if drop_old_columns:
+        out = out.drop(start2 or _SB, end2 or _EB)
+    return out

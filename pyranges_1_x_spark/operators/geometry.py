@@ -63,13 +63,22 @@ def tile_ranges(
     self: GenomicRanges,
     tile_size: int,
     *,
+    use_strand="auto",
+    match_by=None,
     overlap_column: str | None = None,
 ) -> GenomicRanges:
     """Chop each interval into genome-aligned tiles of ``tile_size``
     (reference pyranges_main.py:3832-3837). ``overlap_column`` reports the
     number of covered positions in each tile (the reference reports the
     fraction; we emit the exact integer length — divide by tile_size for the
-    fraction — to keep the column float-exact)."""
+    fraction — to keep the column float-exact).
+
+    ``use_strand`` / ``match_by`` are accepted for reference API parity and
+    have no effect on the VALUE multiset by the reference's own
+    documentation (pyranges_main.py:3740-3751: tiles always come from the
+    fixed genomic grid; strand and grouping only affect row ITERATION
+    order, which a distributed engine does not define)."""
+    del use_strand, match_by
     d = self.df
     lo = floordiv(F.col(nm.START_COL), tile_size)
     hi = F.greatest(lo, floordiv(F.col(nm.END_COL) - 1, tile_size))
@@ -151,16 +160,44 @@ def window_ranges(
 
 
 def clip_ranges(
-    self: GenomicRanges, chromsizes: DataFrame, *, mode: str = "clip",
-    only_right: bool = False,
+    self: GenomicRanges, chromsizes=None, *, mode: str = "clip",
+    remove: bool = False, only_right: bool = False,
 ) -> GenomicRanges:
     """Clip to [0, chrom_size) or drop out-of-bounds rows
-    (reference genome_bounds, pyranges_main.py:6219-6226). ``chromsizes`` is a
-    small (Chromosome, End=size) DataFrame — broadcast by construction.
+    (reference genome_bounds, pyranges_main.py:6075-6233). ``chromsizes`` is
+    a small (Chromosome, End=size) DataFrame/GenomicRanges, a
+    {chrom: size} dict, or None — the reference's None fallback clips on
+    the LEFT only (it substitutes the global max End as every chromosome's
+    size, which makes the right clip vacuous; we skip the size join
+    entirely). Broadcast by construction.
 
+    ``remove=True`` is the reference's boolean spelling of
+    ``mode="remove"`` (drop rows even partially out of bounds).
     ``only_right`` (reference pyranges_main.py:6090-6094): act only on
     intervals out-of-bounds on the right (End > size); leave Start < 0
     untouched (clip) / un-dropped (remove)."""
+    if remove:
+        mode = "remove"
+    if chromsizes is None:
+        d0 = self.df
+        if mode == "clip":
+            if only_right:
+                return GenomicRanges(d0)
+            out0 = d0.withColumn(
+                nm.START_COL, F.greatest(F.col(nm.START_COL), F.lit(0))
+            ).filter(F.col(nm.START_COL) < F.col(nm.END_COL))
+            return GenomicRanges(out0)
+        if mode == "remove":
+            return GenomicRanges(
+                d0 if only_right else d0.filter(F.col(nm.START_COL) >= 0)
+            )
+        raise ValueError("mode must be 'clip' or 'remove'")
+    if isinstance(chromsizes, dict):
+        chromsizes = self.df.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in chromsizes.items()],
+            f"{nm.CHROM_COL} string, {nm.END_COL} long",
+        )
+    chromsizes = getattr(chromsizes, "df", chromsizes)
     sizes = chromsizes.select(
         F.col(nm.CHROM_COL), F.col(nm.END_COL).cast("long").alias("__size__")
     )

@@ -37,6 +37,7 @@ def map_to_global(
     local_on: str = nm.CHROM_COL,
     keep_id: bool = False,
     keep_loc: bool = False,
+    pep_to_cds: bool = False,
     tiebreak=None,
 ) -> GenomicRanges:
     """Lift intervals in transcript-local coordinates (``self``, whose
@@ -48,6 +49,16 @@ def map_to_global(
     local and exon strands agree, else '-' (reference map_to_global.py:64-67);
     with only the exon side stranded, the exon strand is reported.
     """
+    if pep_to_cds:
+        # reference pep_to_cds (pyranges_main.py map_to_global): self holds
+        # PEPTIDE coordinates; scale x3 to CDS space before lifting.
+        from pyranges_1_x_spark.core import GenomicRanges as _GR
+
+        self = _GR(
+            self.df.withColumn(nm.START_COL, F.col(nm.START_COL) * 3).withColumn(
+                nm.END_COL, F.col(nm.END_COL) * 3
+            )
+        )
     local_has_strand = self.has_strand
     global_has_strand = gr_global.has_strand
 

@@ -68,6 +68,7 @@ def cluster_overlaps(
 
 def outer_ranges(
     self: GenomicRanges,
+    group_by=None,
     *,
     use_strand="auto",
     match_by=None,
@@ -75,7 +76,9 @@ def outer_ranges(
 ) -> GenomicRanges:
     """Per-group span: (min Start, max End[, count]) — a pure hash aggregation
     (reference boundaries kernel, methods/boundaries.py:25-29)."""
-    keys = self.group_keys(use_strand, match_by)
+    # reference spelling: positional ``group_by`` (pyranges_main.py
+    # outer_ranges); match_by is this engine's uniform keyword.
+    keys = self.group_keys(use_strand, match_by if match_by is not None else group_by)
     aggs = [F.min(nm.START_COL).alias(nm.START_COL), F.max(nm.END_COL).alias(nm.END_COL)]
     if count_col is not None:
         aggs.append(F.count(F.lit(1)).alias(count_col))

@@ -83,11 +83,17 @@ def count_overlaps_matrix(
     return GenomicRanges(out)
 
 
-def summary(self: GenomicRanges, *, use_strand="auto") -> DataFrame:
+def summary(
+    self: GenomicRanges, *, use_strand="auto", return_df: bool = False
+) -> DataFrame:
     """Distribution stats of interval lengths and merged-coverage lengths,
     overall and per strand (reference methods/summary.py:17-57). Returns a
     small DataFrame: (scope, metric, count, mean, min, q25, median, q75, max,
-    sum)."""
+    sum). ``return_df`` mirrors the reference parameter; in a lazy engine
+    the table is returned either way (the reference's return_df=False PRINTS
+    eagerly — call ``.show()`` on the result for that), so the flag is
+    accepted for API compatibility and otherwise ignored."""
+    del return_df
 
     def describe(df: DataFrame, scope: str, metric: str) -> DataFrame:
         lens = df.select((F.col(nm.END_COL) - F.col(nm.START_COL)).alias("L"))

@@ -109,19 +109,36 @@ def subtract_overlaps(
 
 def complement_ranges(
     self: GenomicRanges,
+    group_by=None,
     *,
     use_strand="auto",
     match_by=None,
-    chromsizes: DataFrame | None = None,
+    chromsizes=None,
+    group_sizes_col: str = nm.CHROM_COL,
     include_first_interval: bool = False,
 ) -> GenomicRanges:
-    """Gaps between merged intervals per group (reference methods/complement.py:64-72).
+    """Gaps between merged intervals per group (reference
+    pyranges_main.py complement_ranges / methods/complement.py:64-72).
 
-    With ``chromsizes`` (a DataFrame of Chromosome, End=size), also emits the
-    leading gap [0, first_Start) and trailing gap [last_End, size); with
-    ``include_first_interval`` the leading gap is emitted even without sizes.
+    ``group_by`` is the reference's positional grouping parameter
+    (``match_by`` is this engine's uniform keyword — either works). With
+    ``chromsizes`` (a (Chromosome, End=size) DataFrame/GenomicRanges or a
+    {key: size} dict), also emits the leading gap [0, first_Start) and
+    trailing gap [last_End, size); ``group_sizes_col`` names the column the
+    sizes are keyed by (reference default: Chromosome — pass the group_by
+    column to bound each transcript group instead). With
+    ``include_first_interval`` the leading gap is emitted even without
+    sizes.
     """
+    if match_by is None:
+        match_by = group_by
     keys = self.group_keys(use_strand, match_by)
+    if isinstance(chromsizes, dict):
+        chromsizes = self.df.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in chromsizes.items()],
+            f"{group_sizes_col} string, {nm.END_COL} long",
+        )
+    chromsizes = getattr(chromsizes, "df", chromsizes)
     merged = island_agg(
         self.df.select(*keys, nm.START_COL, nm.END_COL),
         keys,
@@ -157,10 +174,10 @@ def complement_ranges(
         extras.append(lead_gap)
     if chromsizes is not None:
         sizes = chromsizes.select(
-            F.col(nm.CHROM_COL), F.col(nm.END_COL).cast("long").alias("__size__")
+            F.col(group_sizes_col), F.col(nm.END_COL).cast("long").alias("__size__")
         )
         tail_gap = (
-            spans.join(F.broadcast(sizes), on=nm.CHROM_COL, how="inner")
+            spans.join(F.broadcast(sizes), on=group_sizes_col, how="inner")
             .filter(F.col("__le__") < F.col("__size__"))
             .select(
                 *keys,

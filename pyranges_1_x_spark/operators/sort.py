@@ -29,10 +29,11 @@ def natkey(col: Column) -> Column:
 
 def sort_ranges(
     self: GenomicRanges,
-    *,
     by=None,
+    *,
     use_strand="auto",
-    natsorting: bool = True,
+    natsort: bool = True,
+    natsorting: bool | None = None,
     reverse: bool = False,
     rank_col: str | None = None,
 ) -> GenomicRanges:
@@ -45,6 +46,11 @@ def sort_ranges(
     5'-aware sorting (use_strand: '-' rows descending) follows in round 2 with
     the local-coordinate family.
     """
+    # reference spelling is ``natsort`` (pyranges_main.py sort_ranges);
+    # ``natsorting`` was this engine's pre-r7 name, kept as an alias.
+    if natsorting is not None:
+        natsort = natsorting
+    natsorting = natsort
     chrom_key = natkey(F.col(nm.CHROM_COL)) if natsorting else F.col(nm.CHROM_COL)
     part_cols = [nm.CHROM_COL] + ([nm.STRAND_COL] if self.has_strand else [])
     tail_keys = [F.col(nm.START_COL), F.col(nm.END_COL)] + [

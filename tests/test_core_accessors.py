@@ -233,3 +233,26 @@ def test_to_rle_and_to_bigwig_method(spark, tmp_path):
     back = read_bigwig(spark, p).df.toPandas().sort_values("Start")
     got2 = list(map(tuple, back[["Start", "End", "Value"]].values))
     assert got2 == [(3.0, 5.0, 1.0), (5.0, 6.0, 2.0), (6.0, 7.0, 1.0), (8.0, 9.0, 1.0)]
+
+
+def test_clip_ranges_reference_params(spark):
+    """Reference clip_ranges parameter surface: dict chromsizes,
+    remove=True boolean, and chromsizes=None (left-clip-only fallback,
+    pyranges_main.py:6189-6194)."""
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["chr1", "chr1", "chr1"],
+            "Start": [-5, 10, 90],
+            "End": [3, 20, 120],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+
+    def rows(r):
+        return sorted(map(tuple, r.df.select("Start", "End").toPandas().values))
+
+    assert rows(g.clip_ranges({"chr1": 100})) == [(0, 3), (10, 20), (90, 100)]
+    assert rows(g.clip_ranges({"chr1": 100}, remove=True)) == [(10, 20)]
+    # None: clip left only, Ends untouched
+    assert rows(g.clip_ranges()) == [(0, 3), (10, 20), (90, 120)]
+    assert rows(g.clip_ranges(remove=True)) == [(10, 20), (90, 120)]

@@ -231,3 +231,31 @@ def test_set_intersect_multiple_first_last(spark):
         ("chr1", 7, 9), ("chr1", 18, 22), ("chr1", 30, 40)]
     assert rows(a.set_intersect_overlaps(b, multiple="first")) == [("chr1", 7, 9)]
     assert rows(a.set_intersect_overlaps(b, multiple="last")) == [("chr1", 30, 40)]
+
+
+def test_complement_group_by_and_sizes_dict(spark):
+    """Reference complement_ranges params: positional group_by, dict
+    chromsizes keyed by group_sizes_col."""
+    import pandas as pd
+
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["chr1"] * 4,
+            "Start": [5, 30, 2, 20],
+            "End": [10, 40, 4, 25],
+            "tx": ["t1", "t1", "t2", "t2"],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    out = g.complement_ranges("tx").df.toPandas()
+    got = sorted(map(tuple, out[["tx", "Start", "End"]].values))
+    assert got == [("t1", 10, 30), ("t2", 4, 20)]
+    # sizes keyed by the grouping column: adds [0, first) and [last, size)
+    out2 = g.complement_ranges(
+        "tx", chromsizes={"t1": 50, "t2": 30}, group_sizes_col="tx"
+    ).df.toPandas()
+    got2 = sorted(map(tuple, out2[["tx", "Start", "End"]].values))
+    assert got2 == [
+        ("t1", 0, 5), ("t1", 10, 30), ("t1", 40, 50),
+        ("t2", 0, 2), ("t2", 4, 20), ("t2", 25, 30),
+    ]

@@ -344,3 +344,43 @@ def test_jaccard_f1_f2_reference_doctest(spark):
     assert (row["intersection_length"], row["union_length"]) == (1, 7)
     row2 = jaccard_statistic(f1(spark), f2(spark), strand_behavior="ignore").collect()[0]
     assert (row2["intersection_length"], row2["union_length"]) == (1, 6)
+
+
+def test_combine_interval_columns_full_surface(spark):
+    """Reference combine_interval_columns (pyranges_main.py:5572-5604):
+    string modes, a callable on the four coordinate columns, custom column
+    names, and drop_old_columns=False."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["chr1", "chr1"],
+            "Start": [10, 50],
+            "End": [20, 60],
+            "Start_b": [15, 40],
+            "End_b": [25, 55],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+
+    def rows(r):
+        return sorted(map(tuple, r.df.select("Start", "End").toPandas().values))
+
+    assert rows(g.combine_interval_columns("intersect")) == [(15, 20), (50, 55)]
+    assert rows(g.combine_interval_columns("union")) == [(10, 25), (40, 60)]
+    assert rows(g.combine_interval_columns("swap")) == [(15, 25), (40, 55)]
+    # legacy spelling still works
+    assert rows(g.combine_interval_columns(how="union")) == [(10, 25), (40, 60)]
+    # callable: midpoint-to-midpoint
+    mid = g.combine_interval_columns(
+        lambda s, e, s2, e2: ((s + e) / 2, (s2 + e2) / 2)
+    )
+    # midpoints: row1 (15, 20); row2 (55, 47) — applied verbatim, like the
+    # reference, even when the result is not a valid interval
+    assert rows(mid) == [(15, 20), (55, 47)]
+    # keep the old columns
+    kept = g.combine_interval_columns("intersect", drop_old_columns=False)
+    assert "Start_b" in kept.df.columns and "End_b" in kept.df.columns
