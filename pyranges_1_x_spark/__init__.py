@@ -15,9 +15,20 @@ from pyranges_1_x_spark.names import (
     START_COL,
     STRAND_COL,
 )
+from pyranges_1_x_spark.functions import seqs, stats  # noqa: F401  (pr.seqs / pr.stats)
+from pyranges_1_x_spark.operators import orfs  # noqa: F401  (pr.orfs)
 from pyranges_1_x_spark.operators.geometry import tile_genome
 from pyranges_1_x_spark.operators.multi import count_overlaps_matrix
+from pyranges_1_x_spark.sources import example_data  # noqa: F401  (pr.example_data)
+from pyranges_1_x_spark.sources.bed import read_bed
+from pyranges_1_x_spark.sources.binary import read_bam, read_bigwig
+from pyranges_1_x_spark.sources.gtf import read_gff3, read_gtf
 from pyranges_1_x_spark.sources.synthetic import empty, from_string, random
+
+#: Reference namespace name for the N-ary membership-count matrix
+#: (``pr.count_overlaps``, core/multioverlap.py) — the method of the same
+#: name on GenomicRanges is the binary per-row count.
+count_overlaps = count_overlaps_matrix
 
 __all__ = [
     "GenomicRanges",
@@ -29,10 +40,20 @@ __all__ = [
     "GENOME_LOC_COLS_WITH_STRAND",
     "tile_genome",
     "count_overlaps_matrix",
+    "count_overlaps",
     "concat",
     "random",
     "from_string",
     "empty",
+    "read_bed",
+    "read_gtf",
+    "read_gff3",
+    "read_bam",
+    "read_bigwig",
+    "example_data",
+    "orfs",
+    "seqs",
+    "stats",
 ]
 
 __version__ = "0.1.0"

@@ -110,3 +110,7 @@ def get_transcript_sequence(
         .agg(F.first(out_col).alias(out_col))
     )
     return out
+
+
+#: Reference spelling (ext/seqs.py:150 ``translate``) for ``translate_cds``.
+translate = translate_cds

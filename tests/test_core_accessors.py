@@ -256,3 +256,20 @@ def test_clip_ranges_reference_params(spark):
     # None: clip left only, Ends untouched
     assert rows(g.clip_ranges()) == [(0, 3), (10, 20), (90, 120)]
     assert rows(g.clip_ranges(remove=True)) == [(10, 20), (90, 120)]
+
+
+def test_namespace_exports_match_reference():
+    """Reference pyranges1/__init__.py exports (pr.read_*, pr.count_overlaps,
+    pr.concat, pr.random, pr.tile_genome, pr.example_data, pr.orfs/seqs/
+    stats) resolve at our package top level too."""
+    import pyranges_1_x_spark as prs
+
+    for name in (
+        "GenomicRanges", "concat", "random", "from_string", "empty",
+        "tile_genome", "count_overlaps", "read_bed", "read_gtf", "read_gff3",
+        "read_bam", "read_bigwig", "example_data", "orfs", "seqs", "stats",
+    ):
+        assert hasattr(prs, name), name
+    assert prs.count_overlaps is prs.count_overlaps_matrix
+    assert hasattr(prs.stats, "fdr") and hasattr(prs.seqs, "translate")
+    assert hasattr(prs.orfs, "extend_orfs")
