@@ -7,6 +7,7 @@ inherently sequential per group.
 """
 
 from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.range_frame import RangeFrame
 from pyranges_1_x_spark.names import (
     CHROM_COL,
     END_COL,
@@ -32,6 +33,7 @@ count_overlaps = count_overlaps_matrix
 
 __all__ = [
     "GenomicRanges",
+    "RangeFrame",
     "CHROM_COL",
     "START_COL",
     "END_COL",

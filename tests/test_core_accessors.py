@@ -273,3 +273,47 @@ def test_namespace_exports_match_reference():
     assert prs.count_overlaps is prs.count_overlaps_matrix
     assert hasattr(prs.stats, "fdr") and hasattr(prs.seqs, "translate")
     assert hasattr(prs.orfs, "extend_orfs")
+
+
+def test_range_frame_surface(spark):
+    """Reference RangeFrame (range_frame.py): interval kernels on bare
+    (Start, End) frames — no Chromosome required; grouping only via
+    match_by; a metadata column named Chromosome passes through untouched."""
+    import pandas as pd
+
+    from pyranges_1_x_spark import RangeFrame
+
+    a = RangeFrame(spark.createDataFrame(pd.DataFrame(
+        {"Start": [1, 4, 20], "End": [5, 9, 30], "tag": ["x", "y", "z"]})))
+    b = RangeFrame(spark.createDataFrame(pd.DataFrame(
+        {"Start": [8, 100], "End": [21, 110]})))
+
+    m = a.merge_overlaps().df.toPandas()
+    assert sorted(map(tuple, m[["Start", "End"]].values)) == [(1, 9), (20, 30)]
+
+    ov = a.overlap(b).df.toPandas()
+    assert sorted(ov.Start.tolist()) == [4, 20]
+
+    j = a.join_overlaps(b).df.toPandas()
+    assert sorted(map(tuple, j[["Start", "Start_b"]].values)) == [(4, 8), (20, 8)]
+
+    s = a.subtract_overlaps(b).df.toPandas()
+    assert sorted(map(tuple, s[["Start", "End"]].values)) == [(1, 5), (4, 8), (21, 30)]
+
+    n = a.nearest_ranges(b).df.toPandas()
+    assert len(n) == 3
+
+    c = a.count_overlaps(b).df.toPandas()
+    assert sorted(c.Count.tolist()) == [0, 1, 1]
+
+    # match_by grouping; metadata Chromosome column survives untouched
+    d = RangeFrame(spark.createDataFrame(pd.DataFrame(
+        {"Start": [0, 3, 0], "End": [5, 8, 5],
+         "g": ["a", "a", "b"], "Chromosome": ["meta1", "meta2", "meta3"]})))
+    mg = d.merge_overlaps(match_by="g").df.toPandas()
+    assert sorted(map(tuple, mg[["g", "Start", "End"]].values)) == [
+        ("a", 0, 8), ("b", 0, 5)]
+    assert "Chromosome" in d.overlap(d).df.columns
+
+    srt = a.sort_by_position().df.toPandas()
+    assert srt.Start.tolist() == [1, 4, 20]
