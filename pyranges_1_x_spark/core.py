@@ -485,7 +485,7 @@ class GenomicRanges:
 
         return _orf.extend_orfs(self, sequences, group_by, **kw)
 
-    def get_sequence(self, sequences, **kw):
+    def get_sequence(self, sequences=None, **kw):
         from pyranges_1_x_spark.functions import seqs as _sq
 
         return _sq.get_sequence(self, sequences, **kw)

@@ -62,15 +62,25 @@ def translate_cds(
 
 def get_sequence(
     self: GenomicRanges,
-    sequences: DataFrame,
+    sequences: DataFrame | None = None,
     *,
+    path: str | None = None,
     seq_col: str = "Sequence",
     out_col: str = "Seq",
     use_strand: str | bool = "auto",
 ) -> GenomicRanges:
     """Fetch the subsequence of each interval from a per-chromosome sequence
     table (the pyfaidx stand-in, reference pyranges_main.py:5898-6073);
-    '-' strand rows are reverse-complemented."""
+    '-' strand rows are reverse-complemented. ``path`` is the reference's
+    FASTA-file spelling: the file is parsed by the native distributed FASTA
+    reader (sources/fasta.py; .gz supported) into the broadcast sequence
+    table."""
+    if sequences is None:
+        if path is None:
+            raise ValueError("get_sequence needs a sequences table or a path")
+        from pyranges_1_x_spark.sources.fasta import read_fasta_native
+
+        sequences = read_fasta_native(self.df.sparkSession, path)
     seqs = sequences.select(F.col(nm.CHROM_COL), F.col(seq_col).alias("__chromseq__"))
     d = self.df.join(F.broadcast(seqs), on=nm.CHROM_COL, how="left")
     sub = F.substring(

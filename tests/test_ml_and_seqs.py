@@ -705,3 +705,32 @@ def test_netpbm_real_resize(spark):
         got = decode_netpbm(bytes(out[row["media_id"]]["payload"]))
         assert got is not None and np.array_equal(got, expected)
         assert out[row["media_id"]]["width"] == 2 and out[row["media_id"]]["height"] == 2
+
+
+def test_get_sequence_from_fasta_path(spark, tmp_path):
+    """Reference get_sequence(path=...) spelling: parse the FASTA natively
+    and fetch subsequences (strand-aware)."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.sources.fasta import write_fasta
+
+    p = str(tmp_path / "g.fa")
+    write_fasta(p, [("chr1", "ACGTACGTAC"), ("chr2", "TTTTGGGG")], width=4)
+    d = pd.DataFrame(
+        {
+            "Chromosome": ["chr1", "chr1", "chr2"],
+            "Start": [0, 2, 4],
+            "End": [4, 6, 8],
+            "Strand": ["+", "-", "+"],
+        }
+    )
+    g = GenomicRanges(spark.createDataFrame(d))
+    out = {
+        (r.Chromosome, r.Start): r.Seq
+        for r in g.get_sequence(path=p).df.collect()
+    }
+    assert out[("chr1", 0)] == "ACGT"
+    # [2,6) = GTAC; '-' strand -> reverse complement, which for GTAC is GTAC
+    assert out[("chr1", 2)] == "GTAC"
+    assert out[("chr2", 4)] == "GGGG"
