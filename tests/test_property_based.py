@@ -640,3 +640,57 @@ def test_join_left_padding_matches_bruteforce(spark, a, b):
     )
     key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
     assert got == sorted(want, key=key) or sorted(got, key=key) == sorted(want, key=key)
+
+
+@_SETTINGS
+@given(a=_frame, b=_frame, k=st.integers(min_value=1, max_value=3))
+def test_nearest_k_and_directions_match_bruteforce(spark, a, b, k):
+    """k-nearest distance multisets per self row, and the forward/backward
+    restricted variants (k=1), vs brute force."""
+    ga, gb = _to_gr(spark, a), _to_gr(spark, b)
+    bt = [(c, s, s + ln) for (c, s, ln, _, _) in b]
+
+    def dist(x, y):
+        if _overlaps(x, y):
+            return 0
+        if y[1] >= x[2]:
+            return y[1] - x[2] + 1
+        return x[1] - y[2] + 1
+
+    # k nearest: per self row the k smallest candidate distances (multiset)
+    want_k = []
+    for c, s, ln, _, _ in a:
+        x = (c, s, s + ln)
+        ds = sorted(dist(x, y) for y in bt if y[0] == c)[:k]
+        for d in ds:
+            want_k.append((c, s, s + ln, d))
+    out = ga.nearest_ranges(gb, strand_behavior="ignore", k=k).df
+    got_k = sorted(
+        map(
+            tuple,
+            out.select("Chromosome", "Start", "End", "Distance").toPandas().values,
+        )
+    )
+    assert got_k == sorted(want_k)
+
+    # forward: candidates with Start >= self End; backward: End <= self Start
+    want_f, want_b = [], []
+    for c, s, ln, _, _ in a:
+        x = (c, s, s + ln)
+        f = [y[1] - x[2] + 1 for y in bt if y[0] == c and y[1] >= x[2]]
+        bb = [x[1] - y[2] + 1 for y in bt if y[0] == c and y[2] <= x[1]]
+        if f:
+            want_f.append((c, s, s + ln, min(f)))
+        if bb:
+            want_b.append((c, s, s + ln, min(bb)))
+    for direction, want in (("forward", want_f), ("backward", want_b)):
+        o = ga.nearest_ranges(
+            gb, strand_behavior="ignore", direction=direction, exclude_overlaps=True
+        ).df
+        got = sorted(
+            map(
+                tuple,
+                o.select("Chromosome", "Start", "End", "Distance").toPandas().values,
+            )
+        )
+        assert got == sorted(want), direction
