@@ -694,3 +694,33 @@ def test_nearest_k_and_directions_match_bruteforce(spark, a, b, k):
             )
         )
         assert got == sorted(want), direction
+
+
+@_SETTINGS
+@given(rows=_frame, slack=st.integers(min_value=1, max_value=6))
+def test_merge_overlaps_slack_matches_bruteforce(spark, rows, slack):
+    """slack>0 widens the island rule: rows join when within slack of each
+    other (Start < other End + slack, pairwise-transitively)."""
+    ivs = [(c, s, s + ln) for (c, s, ln, _, _) in rows]
+    parent = list(range(len(ivs)))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(len(ivs)):
+        for j in range(i + 1, len(ivs)):
+            x, y = ivs[i], ivs[j]
+            if x[0] == y[0] and x[1] < y[2] + slack and y[1] < x[2] + slack:
+                parent[find(i)] = find(j)
+    comps = {}
+    for i, iv in enumerate(ivs):
+        comps.setdefault(find(i), []).append(iv)
+    want = sorted(
+        (g[0][0], min(x[1] for x in g), max(x[2] for x in g))
+        for g in comps.values()
+    )
+    merged = _to_gr(spark, rows).merge_overlaps(use_strand=False, slack=slack)
+    assert _rows(merged) == want
