@@ -724,3 +724,33 @@ def test_merge_overlaps_slack_matches_bruteforce(spark, rows, slack):
     )
     merged = _to_gr(spark, rows).merge_overlaps(use_strand=False, slack=slack)
     assert _rows(merged) == want
+
+
+@_SETTINGS
+@given(a=_frame, b=_frame)
+def test_join_outer_padding_matches_bruteforce(spark, a, b):
+    """how='outer': inner pairs + one null-padded row per matchless LEFT row
+    + one per matchless RIGHT row (right-only rows have null key columns,
+    like the reference's outer doctest)."""
+    ga, gb = _to_gr(spark, a), _to_gr(spark, b)
+    at = [(c, s, s + ln) for (c, s, ln, _, _) in a]
+    bt = [(c, s, s + ln) for (c, s, ln, _, _) in b]
+    want = []
+    for x in at:
+        hits = [y for y in bt if _overlaps(x, y)]
+        if hits:
+            want.extend((x[0], x[1], x[2], y[1], y[2]) for y in hits)
+        else:
+            want.append((x[0], x[1], x[2], None, None))
+    for y in bt:
+        if not any(_overlaps(x, y) for x in at):
+            want.append((None, None, None, y[1], y[2]))
+    out = ga.join_overlaps(gb, strand_behavior="ignore", join_type="outer").df
+    pdf = out.select("Chromosome", "Start", "End", "Start_b", "End_b").toPandas()
+
+    def cell(v):
+        return None if pd.isna(v) else (int(v) if not isinstance(v, str) else v)
+
+    got = [tuple(cell(v) for v in row) for row in pdf.values]
+    key = lambda t: tuple((x is None, x) for x in t)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
