@@ -170,8 +170,14 @@ def _gr_a(spark: SparkSession, sf_dir: str):
 def _gr_b(spark: SparkSession, sf_dir: str):
     from pyranges_1_x_spark.core import GenomicRanges
 
+    # NOT widened: b is the small side (orders, 150k rows at sf0.1) and its
+    # scan-stage work is light; A/B measured the extra exchange as a pure
+    # loss (join_first 3.0-9.6s widened vs 1.6-2.6s natural, join-all
+    # 1.7-2.9 vs 1.3-1.6). The wide side a keeps the repartition — with
+    # both sides natural the 1-split scan serialized the join map stages
+    # (join_first 14s).
     _load(spark, sf_dir, ["orders"])
-    return GenomicRanges(_widen(spark.sql(_sp(_B_SQL))), bin_size=1000)
+    return GenomicRanges(spark.sql(_sp(_B_SQL)), bin_size=1000)
 
 
 # ----------------------------------------------------------------------------
