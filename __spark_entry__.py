@@ -33,15 +33,19 @@ TABLES = [
 # is verified UNIQUE at every shipped sf (scripts: distinct-count == count),
 # so a positional-radix combine of those columns is a collision-free id
 # computed row-locally inside the scan projection — the same content-derived
-# id discipline the engine itself uses (plans/ids.py). Radix bounds
-# (linenumber<8, partkey<32768, suppkey<1024, floor(qty)<64) hold through
-# sf1-scale TPC-H data; max id ~2.6e15 << 2^63. Ids are sparse, not dense —
+# id discipline the engine itself uses (plans/ids.py). Radix bounds (r8,
+# ADVICE fix: the old 32768/1024 slots overflowed past ~sf0.16): linenumber
+# < 2^3, partkey < 2^18, suppkey < 2^14, floor(qty) < 2^6, orderkey < 2^22
+# — 63 bits total, covering real-TPC-H column ranges through ~sf0.7 and
+# this generator's (orderkey ~1.5M·sf, partkey 200k·sf) past sf1; `_gr_a`
+# additionally scan-checks the actual maxima once per sf dir and raises
+# before any silent duplicate id can form. Ids are sparse, not dense —
 # consumers use only equality/ordering/modulus, all order-preserved.
 _A_SQL = """
 SELECT
   CAST(
-    (((CAST(l_orderkey AS BIGINT) * 8 + l_linenumber) * 32768 + l_partkey)
-       * 1024 + l_suppkey) * 64 + CAST(FLOOR(l_quantity) AS BIGINT)
+    (((CAST(l_orderkey AS BIGINT) * 8 + l_linenumber) * 262144 + l_partkey)
+       * 16384 + l_suppkey) * 64 + CAST(FLOOR(l_quantity) AS BIGINT)
   AS BIGINT) AS row_id,
   CASE CAST(l_partkey % 5 AS INTEGER)
     WHEN 0 THEN 'chr1' WHEN 1 THEN 'chr2' WHEN 2 THEN 'chr3'
@@ -160,10 +164,39 @@ def _widen(df):
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+_RADIX_OK: set = set()
+
+
+def _check_radix(spark: SparkSession, sf_dir: str) -> None:
+    """One scan-only aggregate per sf dir proving the row_id radix slots
+    cannot overflow (ADVICE r7: overflow would silently duplicate ids and
+    the shared-SQL oracle could not catch it). Raises instead of falling
+    back — a Spark-side-only fallback id would desync from the DuckDB
+    oracle, which builds ids from the same SQL text."""
+    if sf_dir in _RADIX_OK:
+        return
+    mx = spark.sql(
+        "SELECT max(l_orderkey) o, max(l_linenumber) l, max(l_partkey) p, "
+        "max(l_suppkey) s, max(CAST(FLOOR(l_quantity) AS BIGINT)) q "
+        "FROM lineitem"
+    ).first()
+    bounds = {"l_orderkey": (mx.o, 2**22), "l_linenumber": (mx.l, 8),
+              "l_partkey": (mx.p, 262144), "l_suppkey": (mx.s, 16384),
+              "floor(l_quantity)": (mx.q, 64)}
+    bad = {k: v for k, (v, lim) in bounds.items() if v is not None and v >= lim}
+    if bad:
+        raise ValueError(
+            f"row_id radix slot overflow for {sf_dir}: {bad} — widen the "
+            "radix in _A_SQL (and this guard) before trusting row_id"
+        )
+    _RADIX_OK.add(sf_dir)
+
+
 def _gr_a(spark: SparkSession, sf_dir: str):
     from pyranges_1_x_spark.core import GenomicRanges
 
     _load(spark, sf_dir, ["lineitem"])
+    _check_radix(spark, sf_dir)
     return GenomicRanges(_widen(spark.sql(_sp(_A_SQL))), bin_size=1000)
 
 
@@ -667,7 +700,7 @@ def q_fisher(spark, sf_dir):
     _load(spark, sf_dir, ["documents"])
     d = spark.table("documents")
     longf = F.length("text") >= 400
-    evenw = F.size(F.split(F.trim(F.col("text")), " ")) % 2 == 0
+    evenw = F.size(F.split(F.trim(F.col("text")), r"\s+")) % 2 == 0
     counts = d.groupBy("source").agg(
         F.sum((longf & evenw).cast("long")).alias("TP"),
         F.sum((longf & ~evenw).cast("long")).alias("FP"),
@@ -1768,10 +1801,10 @@ def oracle_sql() -> dict[str, str]:
         "fisher": """
             WITH c AS (
               SELECT source,
-                CAST(SUM(CASE WHEN len(text) >= 400 AND len(string_split(trim(text),' ')) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS TP,
-                CAST(SUM(CASE WHEN len(text) >= 400 AND len(string_split(trim(text),' ')) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS FP,
-                CAST(SUM(CASE WHEN len(text) < 400 AND len(string_split(trim(text),' ')) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS FN,
-                CAST(SUM(CASE WHEN len(text) < 400 AND len(string_split(trim(text),' ')) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS TN
+                CAST(SUM(CASE WHEN len(text) >= 400 AND len(regexp_split_to_array(trim(text), '\s+')) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS TP,
+                CAST(SUM(CASE WHEN len(text) >= 400 AND len(regexp_split_to_array(trim(text), '\s+')) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS FP,
+                CAST(SUM(CASE WHEN len(text) < 400 AND len(regexp_split_to_array(trim(text), '\s+')) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS FN,
+                CAST(SUM(CASE WHEN len(text) < 400 AND len(regexp_split_to_array(trim(text), '\s+')) % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS TN
               FROM documents GROUP BY source
             ),
             ext AS (SELECT *, TP+FP+FN+TN AS m, TP+FP AS r1, TP+FN AS c1 FROM c),

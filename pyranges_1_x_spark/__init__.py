@@ -26,6 +26,11 @@ from pyranges_1_x_spark.sources.binary import read_bam, read_bigwig
 from pyranges_1_x_spark.sources.gtf import read_gff3, read_gtf
 from pyranges_1_x_spark.sources.synthetic import empty, from_string, random
 
+#: Reference alias (``/root/reference/pyranges1/__init__.py:19``): GFF2 is
+#: GTF's syntax, so ``read_gff`` is the GTF reader under the name a GFF
+#: user types first.
+read_gff = read_gtf
+
 #: Reference namespace name for the N-ary membership-count matrix
 #: (``pr.count_overlaps``, core/multioverlap.py) — the method of the same
 #: name on GenomicRanges is the binary per-row count.
@@ -49,6 +54,7 @@ __all__ = [
     "empty",
     "read_bed",
     "read_gtf",
+    "read_gff",
     "read_gff3",
     "read_bam",
     "read_bigwig",

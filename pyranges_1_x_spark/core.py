@@ -282,8 +282,9 @@ class GenomicRanges:
         """Reference ``.copy()`` (pyranges_main.py:753). Spark plans are
         immutable, so this is a new wrapper over the same logical plan — the
         reference needs a deep copy because pandas mutates in place; here
-        every operator already returns a fresh plan."""
-        return GenomicRanges(self._df)
+        every operator already returns a fresh plan. Preserves the
+        instance's bin_size so binned-join plan shapes survive the copy."""
+        return GenomicRanges(self._df, bin_size=self._bin_size)
 
     def group_by(self, *cols) -> "GenomicRangesGroupBy":
         """``df.groupBy`` that re-wraps results keeping the location contract

@@ -453,9 +453,14 @@ def connected_components(
     # the neighbor MIN aggregate (duplicate-insensitive) and the node-set
     # distinct below, so deduping edges would buy nothing and cost a full
     # shuffle of 2|E| rows before the first round.
+    # Null ids never join (equi-join semantics drop them on the distributed
+    # path); filter them up front so the driver union-find fast path below —
+    # which compares ids with Python `<` and would raise TypeError on None —
+    # sees the exact same edge set (ADVICE r7: path-divergence fix).
     ed = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
         .persist()
     )
     if max_iter < 1:

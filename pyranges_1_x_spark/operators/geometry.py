@@ -193,9 +193,12 @@ def clip_ranges(
             )
         raise ValueError("mode must be 'clip' or 'remove'")
     if isinstance(chromsizes, dict):
+        # Match the frame's own Chromosome type rather than assuming string
+        # (same divergence class as setops.complement_ranges, ADVICE r7).
+        key_t = self.df.schema[nm.CHROM_COL].dataType.simpleString()
         chromsizes = self.df.sparkSession.createDataFrame(
             [(k, int(v)) for k, v in chromsizes.items()],
-            f"{nm.CHROM_COL} string, {nm.END_COL} long",
+            f"{nm.CHROM_COL} {key_t}, {nm.END_COL} long",
         )
     chromsizes = getattr(chromsizes, "df", chromsizes)
     sizes = chromsizes.select(

@@ -84,6 +84,11 @@ def overlap(
     (the reference's duplicate-index form) — an inner binned join projected
     back to self's columns. ``invert=True`` returns the NON-overlapping rows
     instead (the anti probe, honoring ``contained_intervals_only``)."""
+    if invert and multiple:
+        raise ValueError(
+            "overlap(invert=True, multiple=True) is contradictory: invert "
+            "returns rows with NO overlap, so there is no per-match fan-out"
+        )
     if invert:
         return GenomicRanges(
             _exists(

@@ -134,9 +134,17 @@ def complement_ranges(
         match_by = group_by
     keys = self.group_keys(use_strand, match_by)
     if isinstance(chromsizes, dict):
+        # Key column type must match the frame's own column (ADVICE r7:
+        # a numeric transcript id keyed against a hardcoded string side
+        # silently matches nothing), so derive it from the schema.
+        key_t = (
+            self.df.schema[group_sizes_col].dataType.simpleString()
+            if group_sizes_col in self.df.columns
+            else "string"
+        )
         chromsizes = self.df.sparkSession.createDataFrame(
             [(k, int(v)) for k, v in chromsizes.items()],
-            f"{group_sizes_col} string, {nm.END_COL} long",
+            f"`{group_sizes_col}` {key_t}, {nm.END_COL} long",
         )
     chromsizes = getattr(chromsizes, "df", chromsizes)
     merged = island_agg(

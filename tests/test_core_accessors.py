@@ -271,6 +271,9 @@ def test_namespace_exports_match_reference():
     ):
         assert hasattr(prs, name), name
     assert prs.count_overlaps is prs.count_overlaps_matrix
+    # read_gff is the GTF reader under the GFF2 name (reference
+    # __init__.py:19 `read_gff = read_gtf`).
+    assert prs.read_gff is prs.read_gtf
     assert hasattr(prs.stats, "fdr") and hasattr(prs.seqs, "translate")
     assert hasattr(prs.orfs, "extend_orfs")
 

@@ -188,3 +188,12 @@ def test_overlap_multiple_and_invert(spark):
     assert sorted(multi.Start.tolist()) == [5, 5]
     inv = a.overlap(b, invert=True).df.toPandas()
     assert sorted(inv.Start.tolist()) == [100]
+    # invert + multiple is contradictory — explicit error, not silent
+    # precedence (ADVICE r7).
+    with pytest.raises(ValueError, match="contradictory"):
+        a.overlap(b, invert=True, multiple=True)
+    # copy() keeps the instance bin_size (ADVICE r7: it reverted to the
+    # default, silently changing binned-join plan granularity).
+    g1k = GenomicRanges(a.df, bin_size=1000)
+    assert g1k.copy()._bin_size == 1000
+    assert g1k.copy().resolve_bin(None) == 1000

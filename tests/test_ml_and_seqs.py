@@ -314,6 +314,22 @@ def test_connected_components_path_graph_converges(spark):
     assert {r["component"] for r in out} == {"p00"}
 
 
+def test_connected_components_null_ids_both_paths(spark):
+    """NULL endpoint rows are dropped identically by both paths (ADVICE r7:
+    the driver union-find raised TypeError on None comparison while the
+    distributed path silently dropped them via equi-join semantics)."""
+    from pyranges_1_x_spark.ml.dedup import connected_components
+
+    edges = [("a", "b"), ("b", None), (None, "c"), (None, None), ("c", "d")]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    for thr in (0, 10**6):  # distributed path, then driver union-find path
+        got = {
+            r["node"]: r["component"]
+            for r in connected_components(df, driver_threshold=thr).collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}, thr
+
+
 def test_dedup_clusters_singletons_and_groups(spark):
     from pyranges_1_x_spark.ml.dedup import dedup_clusters
 
