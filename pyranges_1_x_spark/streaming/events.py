@@ -259,7 +259,12 @@ def streaming_dedup(
     watermark passes its first-seen event time, so state is bounded by
     (keys per watermark window), not by all keys ever seen —
     ``dropDuplicates`` on a stream would grow without bound. On a batch
-    DataFrame the same call degrades to plain semantics for parity testing.
+    DataFrame ``dropDuplicatesWithinWatermark`` is rejected by the
+    analyzer, so the batch path degrades to plain ``dropDuplicates`` —
+    same key set, arbitrary (not first-arrival) row kept; parity tests
+    must pin assertions to the key columns.
     """
     keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not stream.isStreaming:
+        return stream.dropDuplicates(keys)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

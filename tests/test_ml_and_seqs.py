@@ -574,6 +574,47 @@ def test_connected_components_property_multi_seed(spark, seed):
     assert small == expected
 
 
+def test_xxh64_module_matches_spark(spark):
+    """The pure-Python/numpy Spark-xxhash64 twin (ml/xxh64.py) — which the
+    DuckDB oracle registers as a scalar UDF to make the ``minhash_lsh``
+    registry row hash-exact — must agree bit-for-bit with live
+    ``F.xxhash64`` on strings (seed 42) and on the (string, int-literal)
+    fold, across empty/short/31/32/33-byte/multibyte-unicode inputs."""
+    import random
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.xxh64 import (
+        hash_int_seeded,
+        spark_xxhash64_str,
+        spark_xxhash64_str_seeded,
+    )
+
+    rng = random.Random(7)
+    strs = ["", "a", "hello world", "x" * 31, "y" * 32, "z" * 33, "w" * 100,
+            "é漢字🎉 test", " multi  word shingle "] + [
+        "".join(rng.choice("abcdefg hij") for _ in range(rng.randint(0, 80)))
+        for _ in range(30)
+    ]
+    seeds = (0, 1, 5, 31)
+    rows = (
+        spark.createDataFrame([(x,) for x in strs], "s string")
+        .select(
+            "s",
+            F.xxhash64("s").alias("h"),
+            *[F.xxhash64("s", F.lit(i)).alias(f"h{i}") for i in seeds],
+        )
+        .collect()
+    )
+    for r in rows:
+        assert spark_xxhash64_str(r["s"]) == r["h"], repr(r["s"])
+        base = np.array([spark_xxhash64_str(r["s"])], dtype=np.int64)
+        for i in seeds:
+            assert spark_xxhash64_str_seeded(r["s"], i) == r[f"h{i}"]
+            assert int(hash_int_seeded(np.array([i]), base)[0]) == r[f"h{i}"]
+
+
 def test_minhash_lsh_exact_python_twin(spark):
     """Exact pair-set equality between minhash_lsh_candidates (the xxhash64
     path the driver can only rows-check — DuckDB has no xxhash64) and a
