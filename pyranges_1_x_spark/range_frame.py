@@ -12,6 +12,14 @@ GenomicRanges implementation, and strip the key from results. A
 pre-existing metadata column literally named ``Chromosome`` is shielded by
 renaming it around the delegation — in the reference such a column is
 plain metadata for RangeFrame ops, and that holds here too.
+
+Scale note (measured, SCALING.md r8): the constant key is NOT a
+serialization hazard — the island/join planners parallelize on
+(key, bucket), so a single synthetic key still fans out across all
+buckets. RangeFrame.merge over a 600k-row frame ran 8.66s vs 9.21s for
+the same rows forced onto one chromosome through GenomicRanges and 3.73s
+spread over five chromosomes: a bounded ~2.5× single-key premium (the
+final boundary stitch), not the ~10–30× a key-serialized plan would show.
 """
 
 from __future__ import annotations
