@@ -26,6 +26,10 @@ from pyranges_1_x_spark.sources.binary import read_bam, read_bigwig
 from pyranges_1_x_spark.sources.gtf import read_gff3, read_gtf
 from pyranges_1_x_spark.sources.synthetic import empty, from_string, random
 
+#: Reference display-option manager (``pr.options``,
+#: ``pyranges1/core/options.py``) driving the ``tostring`` bounded repr.
+from pyranges_1_x_spark.options import options  # noqa: E402,F401
+
 #: Reference alias (``/root/reference/pyranges1/__init__.py:19``): GFF2 is
 #: GTF's syntax, so ``read_gff`` is the GTF reader under the name a GFF
 #: user types first.
@@ -55,6 +59,7 @@ __all__ = [
     "read_bed",
     "read_gtf",
     "read_gff",
+    "options",
     "read_gff3",
     "read_bam",
     "read_bigwig",

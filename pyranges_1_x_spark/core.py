@@ -100,6 +100,26 @@ class GenomicRanges:
         core/tostring.py — here a direct ``df.show`` delegate)."""
         self._df.show(n, truncate=truncate)
 
+    def tostring(
+        self,
+        max_col_width: int | None = None,
+        max_total_width: int | None = None,
+        count_rows: bool = False,
+    ) -> str:
+        """Reference-style bounded table repr (core/tostring.py:57), driven
+        by ``pr.options`` — the explicit opt-in that runs a ``take(n+1)``
+        job; ``__repr__`` stays job-free (see tostring.py module docstring
+        for the lazy-engine deviations)."""
+        from pyranges_1_x_spark.tostring import tostring as _ts
+
+        return _ts(
+            self._df,
+            class_name=type(self).__name__,
+            max_col_width=max_col_width,
+            max_total_width=max_total_width,
+            count_rows=count_rows,
+        )
+
     def head(self, n: int = 8):
         """First ``n`` rows as pandas (reference inherits pandas ``head``)."""
         return self._df.limit(n).toPandas()

@@ -50,6 +50,12 @@ class RangeFrame:
         cols = ", ".join(f"{c}:{t}" for c, t in self._df.dtypes)
         return f"RangeFrame[{cols}] (lazy)"
 
+    def tostring(self, **kw) -> str:
+        """Bounded table repr (see core.GenomicRanges.tostring)."""
+        from pyranges_1_x_spark.tostring import tostring as _ts
+
+        return _ts(self._df, class_name="RangeFrame", **kw)
+
     # -- delegation plumbing ------------------------------------------------
     def _lift(self) -> GenomicRanges:
         d = self._df

@@ -268,6 +268,7 @@ def test_namespace_exports_match_reference():
         "GenomicRanges", "concat", "random", "from_string", "empty",
         "tile_genome", "count_overlaps", "read_bed", "read_gtf", "read_gff3",
         "read_bam", "read_bigwig", "example_data", "orfs", "seqs", "stats",
+        "options",
     ):
         assert hasattr(prs, name), name
     assert prs.count_overlaps is prs.count_overlaps_matrix
@@ -320,3 +321,71 @@ def test_range_frame_surface(spark):
 
     srt = a.sort_by_position().df.toPandas()
     assert srt.Start.tolist() == [1, 4, 20]
+
+
+def test_options_manager_reference_semantics():
+    """pr.options (reference core/options.py): same option names/defaults,
+    set/get/reset round-trip, unknown names raise, display_options aligns
+    name : value (description) lines."""
+    import pyranges_1_x_spark as prs
+
+    o = prs.options
+    o.reset_options()
+    assert o.get_option("max_rows_to_show") == 8
+    assert o.get_option("max_column_names_to_show") == 3
+    assert o.get_option("console_width") is None
+    assert o.get_option("html_max_cols") == 20
+    assert o.get_option("html_max_rows") is None
+    o.set_option("max_rows_to_show", 10)
+    assert o.get_option("max_rows_to_show") == 10
+    o.reset_options()
+    assert o.get_option("max_rows_to_show") == 8
+    with pytest.raises(ValueError, match="not recognized"):
+        o.get_option("nope")
+    with pytest.raises(ValueError, match="not recognized"):
+        o.set_option("nope", 1)
+    disp = o.display_options()
+    assert "max_rows_to_show" in disp and "(the max number of rows" in disp
+    assert repr(o) == disp
+
+
+def test_tostring_bounded_repr(spark):
+    """tostring(): max_rows window + '...' probe row, dtype line, console-
+    width column truncation with the hidden-columns note, job-free __repr__."""
+    import pyranges_1_x_spark as prs
+
+    prs.options.reset_options()
+    rows = [("chr1", i, i + 5, "+", i * 2, f"meta{i}") for i in range(12)]
+    g = GenomicRanges(spark.createDataFrame(
+        rows, "Chromosome string, Start long, End long, Strand string, "
+              "Score long, note string"))
+    s = g.tostring(max_total_width=200)
+    lines = s.splitlines()
+    # header + dtype + rule + 8 rows + '...' + footer
+    assert lines[0].split()[:3] == ["Chromosome", "Start", "End"]
+    assert "bigint" in lines[1] and "string" in lines[1]
+    assert lines[-2].strip().startswith("...")
+    assert "at least 8 rows" in lines[-1] and "6 columns" in lines[-1]
+    # exact count on demand
+    assert "12 rows" in g.tostring(max_total_width=200, count_rows=True)
+    # small frame: exact rows, no probe row
+    small = GenomicRanges(spark.createDataFrame(
+        rows[:3], "Chromosome string, Start long, End long, Strand string, "
+                  "Score long, note string"))
+    st = small.tostring(max_total_width=200)
+    assert "3 rows" in st and "..." not in st
+    # narrow console: columns drop, note lists hidden names
+    narrow = g.tostring(max_total_width=30)
+    assert "columns not shown" in narrow
+    # per-cell truncation
+    wide = GenomicRanges(spark.createDataFrame(
+        [("chr1", 0, 1, "x" * 50)],
+        "Chromosome string, Start long, End long, blob string"))
+    assert "..." in wide.tostring(max_col_width=10, max_total_width=200)
+    # __repr__ stays schema-only (no Spark job): mentions types, not values
+    assert "lazy" in repr(g)
+    # RangeFrame delegation
+    from pyranges_1_x_spark import RangeFrame
+
+    rf = RangeFrame(spark.createDataFrame([(1, 5)], "Start long, End long"))
+    assert "RangeFrame with 1 rows" in rf.tostring(max_total_width=100)
