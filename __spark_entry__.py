@@ -276,7 +276,11 @@ def _gr_cached(spark: SparkSession, sf_dir: str, side: str):
 
     from pyranges_1_x_spark.core import GenomicRanges
 
-    key = (id(spark), sf_dir, side)
+    # Keyed by the session OBJECT, not id(spark): a stopped session's id can
+    # be reused after GC, which would hand a new session a cached DataFrame
+    # bound to the dead one. Holding the session ref is fine — a process has
+    # a handful of sessions, and the entry dies with the process.
+    key = (spark, sf_dir, side)
     g = _GR_CACHE.get(key)
     if g is not None:
         return g
