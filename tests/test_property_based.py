@@ -912,3 +912,68 @@ def test_map_global_local_roundtrip_coverage(spark, world):
         for p in range(s, e):
             got[(tx, p)] += 1
     assert got == want
+
+
+@_SETTINGS
+@given(rows=_frame, drop_zero=st.booleans())
+def test_to_coverage_matches_bruteforce(spark, rows, drop_zero):
+    """Exact structural oracle, engine-pinned by hypothesis shrinks: the
+    sweep emits one run per consecutive pair of DISTINCT interval
+    endpoints (zero-length and bookend endpoints included — their net
+    delta is 0 but they remain sweep points, so equal-valued neighbors
+    are legal), each carrying the depth of its span; drop_zero then
+    filters depth-0 runs. The oracle-gated DuckDB twin shares this
+    formulation."""
+    gr = _to_gr(spark, rows)
+    out = gr.to_coverage(use_strand=False, drop_zero=drop_zero).df
+    got = sorted(
+        map(tuple, out.select("Chromosome", "Start", "End", "Value").toPandas().values)
+    )
+    ivs = [(c, s, s + ln) for (c, s, ln, _, _) in rows]
+
+    def depth(c, p):
+        return sum(1 for cc, s, e in ivs if cc == c and s <= p < e)
+
+    want = []
+    for c in sorted({c for c, _, _ in ivs}):
+        pts = sorted({p for cc, s, e in ivs if cc == c for p in (s, e)})
+        for p1, p2 in zip(pts, pts[1:]):
+            v = depth(c, p1)
+            if not drop_zero or v != 0:
+                want.append((c, p1, p2, v))
+    assert got == sorted(want)
+
+
+@_SETTINGS
+@given(world=st.data())
+def test_calculate_frame_matches_bruteforce(spark, world):
+    """Frame = (sum of 5'-preceding exon lengths) mod 3 per transcript,
+    walking Start-asc on '+' and Start-desc on '-' (reference
+    ext/orfs.py:42-129). Exons per transcript are disjoint with unique
+    Starts so the tiebreak never decides."""
+    n_tx = world.draw(st.integers(min_value=1, max_value=3))
+    rows = []
+    for t in range(n_tx):
+        strand = world.draw(st.sampled_from(["+", "-"]))
+        pos = 0
+        for _ in range(world.draw(st.integers(min_value=1, max_value=5))):
+            pos += world.draw(st.integers(min_value=1, max_value=4))
+            ln = world.draw(st.integers(min_value=1, max_value=7))
+            rows.append(("chr1", pos, pos + ln, strand, f"t{t}"))
+            pos += ln
+    pdf = pd.DataFrame(rows, columns=["Chromosome", "Start", "End", "Strand", "tx"])
+    gr = GenomicRanges(spark.createDataFrame(pdf))
+    out = gr.calculate_frame(group_by="tx").df.select("tx", "Start", "Frame").toPandas()
+    got = {(r.tx, r.Start): r.Frame for r in out.itertuples()}
+    by_tx: dict = {}
+    for c, s, e, strand, tx in rows:
+        by_tx.setdefault(tx, []).append((s, e, strand))
+    want = {}
+    for tx, exons in by_tx.items():
+        neg = exons[0][2] == "-"
+        ordered = sorted(exons, key=lambda x: x[0], reverse=neg)
+        cum = 0
+        for s, e, _ in ordered:
+            want[(tx, s)] = cum % 3
+            cum += e - s
+    assert got == want
