@@ -1410,6 +1410,53 @@ def q_streaming_dedup(spark, sf_dir):
     return sink.groupBy("event_type").agg(F.count("*").alias("n_users"))
 
 
+def q_windowed_coverage(spark, sf_dir):
+    """Watermarked event-time interval-coverage rollup
+    (streaming/intervals.py windowed_interval_coverage) run as an ACTUAL
+    stream: the `a` intervals get a deterministic event time spanning two
+    hours (epoch + row_id % 7200 s), stream through the windowed
+    aggregation, and drain via a memory sink in COMPLETE mode — correct
+    here, unlike annotate's pair stream, because the result is the bounded
+    aggregate (windows × chromosomes × touched bins), the same cardinality
+    any dashboard sink of this query must hold; a file sink cannot carry
+    complete-mode windowed aggregates and append mode would withhold the
+    final (unexpired) windows."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.streaming.intervals import windowed_interval_coverage
+
+    import os
+    import tempfile
+
+    a = _gr_a(spark, sf_dir)
+    staged = a.df.withColumn(
+        "ts", F.timestamp_seconds(F.lit(1767225600) + F.col("row_id") % 7200)
+    )
+    tag = _stream_tag(sf_dir)
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_wcov_{tag}")
+    staged.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(staged.schema).parquet(d)
+    out = windowed_interval_coverage(
+        stream, window_duration="1 hour", bin_size=1000, watermark="2 hours"
+    )
+    name = f"wcov_sink_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name).select(
+        F.col("window_start").cast("long").alias("epoch_start"),
+        "Chromosome",
+        "Start",
+        "End",
+        "n_intervals",
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over the deterministic
     synthetic media table (ml/multimodal.py). The fake decode kernel's 8
@@ -1702,7 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile": q_tile,
         "extend_orfs": q_extend_orfs,
         "sort_rank": q_sort_rank,
-        "map_to_global": q_map_to_global,
+        "windowed_coverage": q_windowed_coverage,
         # Iterative-session queries (localCheckpoint/persist state) run LAST
         # inside the driver's 50-row gate window: if a memory-tight harness
         # session ever dies here, only these rows are lost instead of every
@@ -1713,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- past the 50-row driver window: r7-driver-green, local gate only ---
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
+        "map_to_global": q_map_to_global,
         "map_to_local": q_map_to_local,
         "count_matrix": q_count_matrix,
         "token_jaccard": q_token_jaccard,
@@ -3010,6 +3058,31 @@ def oracle_sql() -> dict[str, str]:
             -- surviving key set per event_type is the distinct user count.
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "windowed_coverage": f"""
+            -- Epoch-aligned 1h windows over the synthesized event time
+            -- (epoch + row_id % 7200), one row per (window, Chromosome,
+            -- touched 1kb bin) — Spark's F.window aligns to epoch hours,
+            -- so the window start is pure integer arithmetic here.
+            {_AB}
+            , ev AS (
+              SELECT Chromosome,
+                     (1767225600 + row_id % 7200)
+                       - (1767225600 + row_id % 7200) % 3600 AS epoch_start,
+                     Start // 1000 AS lo,
+                     GREATEST(Start // 1000, ("End" - 1) // 1000) AS hi
+              FROM a
+            ),
+            ex AS (
+              SELECT epoch_start, Chromosome,
+                     unnest(generate_series(lo, hi)) AS b
+              FROM ev
+            )
+            SELECT epoch_start, Chromosome,
+                   b * 1000 AS Start, b * 1000 + 1000 AS "End",
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM ex
+            GROUP BY epoch_start, Chromosome, b
         """,
         "running_anomalies": """
             -- Prefix-window twin of the sequential Welford fold: each event
