@@ -55,19 +55,16 @@ r4 rewrite):
    cost more than the scans themselves (7.3s -> 4.7s at sf0.1 for the bench
    row once removed).
 
-Where the remaining bench seconds go (r7 irreducibility note, VERDICT r6
-#3; noop-sink full materialization at sf0.1, warm): the bench row's ~5.7s
-decomposed as ~2.9s building the INPUT fixture (registry cost paid
-identically by every interval query; later in r7 the fixture's ranking
-window was replaced by a window-free arithmetic row id + sort-free
-repartition, see __spark_entry__._A_SQL) + ~1.4s base (tile broadcast
-joins + the one window-slice projection — both up/down slices already
-fuse into a single Project, the r6-suggested fusion) + ~1.3-1.7s per scan
-direction (down-only 4.3s, up-only 4.7s, both 5.7s end-to-end). The
-per-direction marginal cost is the anchored regex codon scan itself over
-<=max_scan_nt-char windows x 60k rows — the work the operator exists to
-do; the three faster-looking designs already tried and measured slower
-are items 1-3 above.
+Cost history (re-measured r8 after the registry fixture became a cached
+persist): with the fixture at ~0.1s, directions profiled down-only 4.76s /
+up-only 4.8s / both 4.89s — i.e. the regex scans were ~0.1s MARGINAL and
+the r7 "per-direction scan cost" attribution was wrong; nearly all the
+base was the tile BUILD, whose per-tile substr-from-origin is O(position)
+per call = O(len^2/stride) per chromosome (~3.6s at 5 x 500 kb, hopeless
+at 250 Mb). r8 replaced it with the one-pass \G-split + lead() pad build
+(0.33s, identical tiles): the bench row fell 5.3s -> 2.4s warm. The three
+faster-looking SCAN designs tried and measured slower remain items 1-3
+above.
 """
 
 from __future__ import annotations
@@ -253,22 +250,33 @@ def extend_orfs(
         seq0 = sequences.select(
             F.col(nm.CHROM_COL), F.col(seq_col).alias(_SEQ)
         ).withColumn("__seqlen__", F.length(_SEQ).cast("long"))
-        n_tiles = F.greatest(
-            F.ceil(F.col("__seqlen__") / stride).cast("long"), F.lit(1)
-        )
-        tiles = seq0.select(
+        # ONE O(len) pass per chromosome: \G-anchored regex split into
+        # stride-sized chunks, then each tile borrows its pad from the next
+        # chunk via lead(). The obvious per-tile
+        # substr(seq, tid*stride+1, ...) is O(position) per call on
+        # UTF8String, i.e. O(len^2/stride) per chromosome — measured 3.61s
+        # vs 0.33s here at 5 x 500 kb (and hopeless at 250 Mb); tile rows
+        # verified identical. The per-chromosome window runs over one row
+        # per TILE (~len/1024), not per base — a bounded relation.
+        from pyspark.sql import Window as _W
+
+        chunks = seq0.select(
             nm.CHROM_COL,
             "__seqlen__",
-            F.explode(F.sequence(F.lit(0).cast("long"), n_tiles - 1)).alias("__tid__"),
-            F.col(_SEQ),
-        ).select(
-            nm.CHROM_COL,
-            "__seqlen__",
-            "__tid__",
-            F.col(_SEQ)
-            .substr((F.col("__tid__") * stride + 1).cast("int"), F.lit(stride + pad))
-            .alias("__tile__"),
-        )
+            F.posexplode(F.split(_SEQ, r"(?<=\G.{" + str(stride) + r"})")).alias(
+                "__tid__", "__chunk__"
+            ),
+        ).filter(F.length("__chunk__") > 0)
+        _tw = _W.partitionBy(nm.CHROM_COL).orderBy("__tid__")
+        tiles = chunks.withColumn(
+            "__tile__",
+            F.concat(
+                F.col("__chunk__"),
+                F.coalesce(
+                    F.substring(F.lead("__chunk__").over(_tw), 1, pad), F.lit("")
+                ),
+            ),
+        ).select(nm.CHROM_COL, "__seqlen__", "__tid__", "__tile__")
         cap = F.lit(cap_c).cast("long")
         m_left = F.least(F.floor(gs / 3).cast("long"), cap)  # codons before Start
         ws_l = gs - 3 * m_left + 1  # 1-based left-window start
