@@ -60,6 +60,11 @@ def translate_cds(
     return F.when(F.length(seq) >= 3, F.concat_ws("", aa)).otherwise(F.lit(""))
 
 
+#: Auto-switch to the tiled plan above this many total sequence bytes.
+_TILE_THRESHOLD = 32 << 20
+_TILE_SIZE = 16384
+
+
 def get_sequence(
     self: GenomicRanges,
     sequences: DataFrame | None = None,
@@ -68,13 +73,27 @@ def get_sequence(
     seq_col: str = "Sequence",
     out_col: str = "Seq",
     use_strand: str | bool = "auto",
+    tile_size: int | None = None,
 ) -> GenomicRanges:
     """Fetch the subsequence of each interval from a per-chromosome sequence
     table (the pyfaidx stand-in, reference pyranges_main.py:5898-6073);
     '-' strand rows are reverse-complemented. ``path`` is the reference's
     FASTA-file spelling: the file is parsed by the native distributed FASTA
-    reader (sources/fasta.py; .gz supported) into the broadcast sequence
-    table."""
+    reader (sources/fasta.py; .gz supported) into the sequence table.
+
+    Two plans (r8): small sequence tables broadcast whole-chromosome
+    strings and slice per row. That shape has TWO scale cliffs — the
+    broadcast itself (a 3 GB genome cannot ship to every task), and
+    per-row ``substring(chromseq, Start, ...)`` being O(Start) on
+    UTF8String, i.e. O(rows × chromosome_length) of byte-scanning (the
+    same hidden quadratic the r8 extend_orfs fix removed). Above
+    ``_TILE_THRESHOLD`` total bytes (or with an explicit ``tile_size``)
+    the chromosome splits into fixed tiles with ONE O(len) \\G-regex pass,
+    each interval equi-joins the tiles it covers, fragments slice
+    in-tile (O(fragment)), and per-row assembly is an array_sort over the
+    covered-tile structs — per-row state bounded by interval_length/tile,
+    never the chromosome. Cross-branch row identity uses the stable
+    content id (plans/ids.py), not monotonically_increasing_id."""
     if sequences is None:
         if path is None:
             raise ValueError("get_sequence needs a sequences table or a path")
@@ -82,16 +101,90 @@ def get_sequence(
 
         sequences = read_fasta_native(self.df.sparkSession, path)
     seqs = sequences.select(F.col(nm.CHROM_COL), F.col(seq_col).alias("__chromseq__"))
-    d = self.df.join(F.broadcast(seqs), on=nm.CHROM_COL, how="left")
-    sub = F.substring(
-        F.col("__chromseq__"),
-        (F.col(nm.START_COL) + 1).cast("int"),
-        (F.col(nm.END_COL) - F.col(nm.START_COL)).cast("int"),
-    )
     stranded = self.has_strand and (use_strand is True or use_strand == "auto")
-    if stranded:
-        sub = F.when(F.col(nm.STRAND_COL) == "-", reverse_complement(sub)).otherwise(sub)
-    return GenomicRanges(d.withColumn(out_col, sub).drop("__chromseq__"))
+
+    def _rc_out(d, col):
+        if stranded:
+            rc = F.when(
+                F.col(nm.STRAND_COL) == "-", reverse_complement(F.col(col))
+            ).otherwise(F.col(col))
+            return d.withColumn(col, rc)
+        return d
+
+    if tile_size is None:
+        total = seqs.select(F.sum(F.length("__chromseq__"))).first()[0] or 0
+        if total <= _TILE_THRESHOLD:
+            d = self.df.join(F.broadcast(seqs), on=nm.CHROM_COL, how="left")
+            sub = F.substring(
+                F.col("__chromseq__"),
+                (F.col(nm.START_COL) + 1).cast("int"),
+                (F.col(nm.END_COL) - F.col(nm.START_COL)).cast("int"),
+            )
+            return GenomicRanges(
+                _rc_out(d.withColumn(out_col, sub), out_col).drop("__chromseq__")
+            )
+        tile_size = _TILE_SIZE
+
+    from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id
+
+    s = int(tile_size)
+    chunks = seqs.select(
+        nm.CHROM_COL,
+        F.posexplode(
+            F.split("__chromseq__", r"(?<=\G.{" + str(s) + r"})")
+        ).alias("__tid__", "__chunk__"),
+    ).filter(F.length("__chunk__") > 0)
+    d0 = with_stable_id(self.df)
+    start, end = F.col(nm.START_COL), F.col(nm.END_COL)
+    spans = (
+        d0.select(nm.CHROM_COL, nm.START_COL, nm.END_COL, *STABLE_ID_COLS)
+        .filter(end > start)
+        .select(
+            nm.CHROM_COL,
+            nm.START_COL,
+            nm.END_COL,
+            *STABLE_ID_COLS,
+            F.explode(
+                F.sequence(
+                    F.floor(start / s).cast("long"),
+                    F.floor((end - 1) / s).cast("long"),
+                )
+            ).alias("__tid__"),
+        )
+    )
+    tlo = F.col("__tid__") * s
+    frag = F.substring(
+        F.col("__chunk__"),
+        (F.greatest(start - tlo, F.lit(0)) + 1).cast("int"),
+        (F.least(end, tlo + s) - F.greatest(start, tlo)).cast("int"),
+    )
+    frags = spans.join(chunks, on=[nm.CHROM_COL, "__tid__"], how="inner").select(
+        *STABLE_ID_COLS, F.col("__tid__"), frag.alias("__frag__")
+    )
+    asm = frags.groupBy(*STABLE_ID_COLS).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__tid__", "__frag__"))),
+                lambda st: st["__frag__"],
+            ),
+        ).alias("__asm__")
+    )
+    have = F.broadcast(
+        seqs.select(nm.CHROM_COL).distinct().withColumn("__has__", F.lit(True))
+    )
+    out = (
+        d0.join(have, on=nm.CHROM_COL, how="left")
+        .join(asm, on=STABLE_ID_COLS, how="left")
+        .withColumn(
+            out_col,
+            F.when(F.col("__has__").isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("__asm__"), F.lit(""))
+            ),
+        )
+        .drop("__has__", "__asm__", *STABLE_ID_COLS)
+    )
+    return GenomicRanges(_rc_out(out, out_col))
 
 
 def get_transcript_sequence(

@@ -791,3 +791,51 @@ def test_get_sequence_from_fasta_path(spark, tmp_path):
     # [2,6) = GTAC; '-' strand -> reverse complement, which for GTAC is GTAC
     assert out[("chr1", 2)] == "GTAC"
     assert out[("chr2", 4)] == "GGGG"
+
+
+def test_get_sequence_tiled_path_matches_broadcast(spark):
+    """The tiled scale plan (forced tile_size=7, so every interval spans
+    multiple tiles) must reproduce the whole-string broadcast plan exactly:
+    multi-tile spans, tile-boundary-aligned intervals, zero-length
+    intervals (''), spans past the sequence end (truncated), missing
+    chromosomes (null), duplicate rows (stable-id discipline keeps both),
+    and '-' strand reverse complement after assembly."""
+    import random
+
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    rng = random.Random(99)
+    seq1 = "".join(rng.choice("ACGT") for _ in range(53))
+    seq2 = "".join(rng.choice("ACGT") for _ in range(20))
+    seqs = spark.createDataFrame(
+        [("chr1", seq1), ("chr2", seq2)], "Chromosome string, Sequence string"
+    )
+    rows = []
+    for _ in range(25):
+        c = rng.choice(["chr1", "chr2", "chrX"])
+        s = rng.randrange(0, 60)
+        e = s + rng.choice([0, 1, 3, 8, 15, 40])
+        rows.append((c, s, e, rng.choice(["+", "-"])))
+    rows += [("chr1", 7, 14, "+"),   # exactly one tile at size 7
+             ("chr1", 0, 53, "-"),   # whole sequence, reverse complement
+             ("chr1", 0, 53, "-")]   # duplicate row
+    gr = GenomicRanges(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["Chromosome", "Start", "End", "Strand"])))
+
+    def key(df):
+        pdf = df.toPandas()
+        return sorted(
+            (r.Chromosome, r.Start, r.End, r.Strand,
+             None if pd.isna(r.Seq) else r.Seq)
+            for r in pdf.itertuples()
+        )
+
+    broad = key(gr.get_sequence(seqs).df)
+    tiled = key(gr.get_sequence(seqs, tile_size=7).df)
+    assert tiled == broad
+    # sanity against pure-Python slicing on a known row
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    rc = "".join(comp[b] for b in reversed(seq1))
+    assert ("chr1", 0, 53, "-", rc) in tiled
