@@ -138,6 +138,14 @@ def winnow_fingerprints(
     # a ~1.1-1.2x warm win (interleaved A/B, values bit-equal), but the
     # exploded relation here is (id, pos, long) regardless of doc length,
     # which is the shape that survives book-length documents.
+    # NOTE (r8, measured): per-position F.substring is O(position) on
+    # UTF8String, so this stage is O(len^2) per doc — negligible at this
+    # corpus's ~300-char docs (2.1s total at sf0.1). A chunked rewrite in
+    # the extend_orfs-tile style (\G-split + per-chunk grams via nested
+    # transform/element_at lambdas) measured 55s — 25x SLOWER: nested
+    # array lambdas re-evaluate the split array per element. If book-length
+    # docs ever land here, chunk at the ROW level (posexplode chunks with a
+    # k-1 pad, then per-chunk arrays) instead of inside one expression.
     h_arr = F.transform(
         F.sequence(F.lit(0), n_grams - 1),
         lambda i: hash_fn(F.substring(t, i + 1, k)),
