@@ -45,7 +45,15 @@ def translate_cds(
 
     ``code`` accepts any NCBI table id the reference accepts (int or str,
     incl. '+U' selenocysteine variants) or a custom {codon: aa} dict —
-    see functions/genetic_codes.py."""
+    see functions/genetic_codes.py.
+
+    Scale note: per-codon ``substring(seq, i*3+1, 3)`` is O(position) on
+    UTF8String, so translation is O(len^2/3) per row — immaterial for
+    typical CDS (<= a few kb) but ~1e9 char ops for a 100 kb outlier. The
+    fix, if such rows ever matter, is ROW-level chunking (posexplode
+    codon-aligned chunks, translate per chunk, reassemble) — NOT nested
+    array lambdas, which re-evaluate the chunk array per element
+    (measured 25x slower in the winnow experiment, ml/text.py)."""
     from pyranges_1_x_spark.functions.genetic_codes import get_genetic_code
 
     code = get_genetic_code(code) if code is not None else STANDARD_CODE
