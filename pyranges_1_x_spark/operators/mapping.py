@@ -84,11 +84,20 @@ def map_to_global(
 
     joined = self.df.join(ex, F.col(local_on) == F.col("__g_tx__"), "inner")
 
-    # Clip the local interval to each exon's local span.
+    # Clip the local interval to each exon's local span. Pair-emission uses
+    # the STRICT-OVERLAP predicate (ls < ce AND cs < le), not lo < hi: the
+    # two are equivalent for non-degenerate intervals, but a zero-length
+    # local interval [p, p) strictly inside an exon's span is an insertion
+    # point and maps to a zero-length genomic row — exactly what
+    # map_to_local emits in the inverse direction through the shared binned
+    # join (r8: a 25-example random hypothesis run caught the two
+    # directions disagreeing on this). At an exon junction (p == ce == next
+    # cs) the strict predicate maps it nowhere, matching the overlap
+    # family's bookend rule.
     lo = F.greatest(F.col(nm.START_COL), F.col(_CS))
     hi = F.least(F.col(nm.END_COL), F.col(_CE))
     joined = joined.withColumn("__lo__", lo).withColumn("__hi__", hi).filter(
-        F.col("__lo__") < F.col("__hi__")
+        (F.col(nm.START_COL) < F.col(_CE)) & (F.col(_CS) < F.col(nm.END_COL))
     )
 
     fwd = F.col("__g_strand__") != "-" if global_has_strand else F.lit(True)

@@ -37,13 +37,17 @@ _interval = st.tuples(
 
 _frame = st.lists(_interval, min_size=0, max_size=12)
 
+#: Deep-hunt switch: SPARK_GRAFT_HYP_EXPLORE=N runs N RANDOM examples per
+#: test instead of the pinned 8 (derandomize=True would otherwise ignore
+#: any seed). The default stays reproducible so the CI gate can't flake on
+#: a genuinely-new falsifying example; the explore mode is how new bugs
+#: get hunted between rounds (r7 found 4 real ones this way).
+_EXPLORE = int(__import__("os").environ.get("SPARK_GRAFT_HYP_EXPLORE", "0"))
+
 _SETTINGS = settings(
-    max_examples=8,
+    max_examples=_EXPLORE or 8,
     deadline=None,
-    # Reproducible example stream: an unpinned RNG would make the CI gate
-    # flaky on a genuinely-new falsifying example. Explore freshly with
-    # `python -m pytest tests/test_property_based.py --hypothesis-seed=random`.
-    derandomize=True,
+    derandomize=not _EXPLORE,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 
@@ -815,25 +819,32 @@ def _tx_exons_5p(anns):
 def _map_global_py(anns, locs):
     """Brute-force map_to_global: clip the local interval to each exon's
     local span, lift forward/reflected, strand = '+' iff local strand ==
-    exon strand (reference methods/map_to_global.py:64-67)."""
+    exon strand (reference methods/map_to_global.py:64-67). Pair emission
+    is the STRICT-OVERLAP predicate — a zero-length local interval strictly
+    inside an exon's span maps to a zero-length genomic row (engine-pinned
+    r8, symmetric with map_to_local's binned join)."""
     exmap = _tx_exons_5p(anns)
     out = []
     for tx, ls, le, lstrand in locs:
         for chrom, gs, ge, strand, cs, ce in exmap[tx]:
+            if not (ls < ce and cs < le):
+                continue
             lo, hi = max(ls, cs), min(le, ce)
-            if lo < hi:
-                if strand == "-":
-                    seg = (ge - (hi - cs), ge - (lo - cs))
-                else:
-                    seg = (gs + (lo - cs), gs + (hi - cs))
-                out.append((chrom, seg[0], seg[1], "+" if lstrand == strand else "-"))
+            if strand == "-":
+                seg = (ge - (hi - cs), ge - (lo - cs))
+            else:
+                seg = (gs + (lo - cs), gs + (hi - cs))
+            out.append((chrom, seg[0], seg[1], "+" if lstrand == strand else "-"))
     return sorted(out)
 
 
 def _map_local_py(anns, givs):
     """Brute-force map_to_local: genomic intersect per exon, then the
     reference reflection (methods/map_to_local.py:76-115: on '-' exons
-    start,end = exon_end - e + cs, exon_end - s + cs)."""
+    start,end = exon_end - e + cs, exon_end - s + cs). Strict-overlap
+    emission: a zero-length genomic query strictly inside an exon yields a
+    zero-length local row (the binned join's convention — the r8 random
+    hypothesis run caught the old lo<hi oracle missing it)."""
     exmap = _tx_exons_5p(anns)
     out = []
     for chrom, s, e, qstrand in givs:
@@ -841,15 +852,16 @@ def _map_local_py(anns, givs):
             for achrom, gs, ge, astrand, cs, ce in rows:
                 if achrom != chrom:
                     continue
+                if not (s < ge and gs < e):
+                    continue
                 lo, hi = max(s, gs), min(e, ge)
-                if lo < hi:
-                    if astrand == "-":
-                        seg = (ge - hi + cs, ge - lo + cs)
-                    else:
-                        seg = (lo - gs + cs, hi - gs + cs)
-                    out.append(
-                        (tx, seg[0], seg[1], "+" if qstrand == astrand else "-")
-                    )
+                if astrand == "-":
+                    seg = (ge - hi + cs, ge - lo + cs)
+                else:
+                    seg = (lo - gs + cs, hi - gs + cs)
+                out.append(
+                    (tx, seg[0], seg[1], "+" if qstrand == astrand else "-")
+                )
     return sorted(out)
 
 
