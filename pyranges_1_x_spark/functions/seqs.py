@@ -69,7 +69,13 @@ def translate_cds(
 
 
 #: Auto-switch to the tiled plan above this many total sequence bytes.
-_TILE_THRESHOLD = 32 << 20
+#: Deliberately tight: the broadcast plan's per-row substring costs
+#: O(Start) — ~170M chars/s measured — so even a 1 MB genome burns ~0.5M
+#: char-ops per row and the break-even against the tiled plan's two
+#: row-relation shuffles arrives within a few thousand rows. Above this
+#: size tiled wins for any realistic row count; below it (test-sized
+#: sequence tables) the broadcast plan avoids shuffles entirely.
+_TILE_THRESHOLD = 1 << 20
 _TILE_SIZE = 16384
 
 
