@@ -126,9 +126,16 @@ def nearest_distance(
     """Self rows + the distance to the nearest other interval (no other columns
     appended — the tie-ambiguity-free core of nearest_ranges). Rows with no
     eligible neighbor are dropped (reference behavior)."""
+    from pyspark import StorageLevel
+
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
-    left = with_stable_id(self.df)
+    # The stable-id relation feeds up to FOUR plan branches (forward sweep,
+    # backward sweep, overlap join, final join-back); persist it so the id
+    # shuffle + input scan run once instead of per branch (A/B at sf0.1:
+    # 3.34s -> 2.68s). ContextCleaner unpersists once the returned plan is
+    # dropped, so a long gate session does not accumulate blocks.
+    left = with_stable_id(self.df).persist(StorageLevel.MEMORY_AND_DISK)
     right = odf.select(*keys, nm.START_COL, nm.END_COL)
 
     cands = []
@@ -214,11 +221,14 @@ def nearest_ranges(
         d1 = r1.df if isinstance(r1, GenomicRanges) else r1
         d2 = r2.df if isinstance(r2, GenomicRanges) else r2
         return GenomicRanges.wrap(d1.unionByName(d2))
+    from pyspark import StorageLevel
+
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
-    left = with_stable_id(self.df)
+    # Same multi-branch persist rationale as nearest_distance above.
+    left = with_stable_id(self.df).persist(StorageLevel.MEMORY_AND_DISK)
     rsid = ["__rid1__", "__rid2__", "__rdr__"]
-    right = with_stable_id(odf)
+    right = with_stable_id(odf).persist(StorageLevel.MEMORY_AND_DISK)
     for a, b in zip(STABLE_ID_COLS, rsid):
         right = right.withColumnRenamed(a, b)
     rcoords = right.select(
