@@ -139,6 +139,8 @@ def get_sequence(
             )
         tile_size = _TILE_SIZE
 
+    from pyspark import StorageLevel
+
     from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id
 
     s = int(tile_size)
@@ -148,7 +150,10 @@ def get_sequence(
             F.split("__chromseq__", r"(?<=\G.{" + str(s) + r"})")
         ).alias("__tid__", "__chunk__"),
     ).filter(F.length("__chunk__") > 0)
-    d0 = with_stable_id(self.df)
+    # d0 feeds two branches (tile spans + the final join-back) — persist so
+    # the id shuffle runs once (same discipline as operators/nearest.py;
+    # ContextCleaner reclaims the blocks with the plan).
+    d0 = with_stable_id(self.df).persist(StorageLevel.MEMORY_AND_DISK)
     start, end = F.col(nm.START_COL), F.col(nm.END_COL)
     spans = (
         d0.select(nm.CHROM_COL, nm.START_COL, nm.END_COL, *STABLE_ID_COLS)
