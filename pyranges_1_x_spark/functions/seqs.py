@@ -88,6 +88,7 @@ def get_sequence(
     out_col: str = "Seq",
     use_strand: str | bool = "auto",
     tile_size: int | None = None,
+    tiled_sequences: DataFrame | None = None,
 ) -> GenomicRanges:
     """Fetch the subsequence of each interval from a per-chromosome sequence
     table (the pyfaidx stand-in, reference pyranges_main.py:5898-6073);
@@ -107,7 +108,27 @@ def get_sequence(
     in-tile (O(fragment)), and per-row assembly is an array_sort over the
     covered-tile structs — per-row state bounded by interval_length/tile,
     never the chromosome. Cross-branch row identity uses the stable
-    content id (plans/ids.py), not monotonically_increasing_id."""
+    content id (plans/ids.py), not monotonically_increasing_id.
+
+    ``tiled_sequences`` accepts a PRE-TILED table
+    ``(Chromosome, tile_id, tile)`` (``read_fasta_tiles`` output,
+    typically persisted as parquet at ingest) with its ``tile_size`` —
+    the per-call chunk split, the tiled plan's dominant fixed cost, is
+    then skipped entirely."""
+    if tiled_sequences is not None:
+        if tile_size is None:
+            raise ValueError("tiled_sequences requires tile_size")
+        return _get_sequence_tiled(
+            self,
+            tiled_sequences.select(
+                F.col(nm.CHROM_COL),
+                F.col("tile_id").alias("__tid__"),
+                F.col("tile").alias("__chunk__"),
+            ),
+            int(tile_size),
+            out_col,
+            use_strand,
+        )
     if sequences is None:
         if path is None:
             raise ValueError("get_sequence needs a sequences table or a path")
@@ -139,17 +160,44 @@ def get_sequence(
             )
         tile_size = _TILE_SIZE
 
+    return _get_sequence_tiled(
+        self,
+        seqs.select(
+            nm.CHROM_COL,
+            F.posexplode(
+                F.split("__chromseq__", r"(?<=\G.{" + str(int(tile_size)) + r"})")
+            ).alias("__tid__", "__chunk__"),
+        ).filter(F.length("__chunk__") > 0),
+        int(tile_size),
+        out_col,
+        use_strand,
+    )
+
+
+def _get_sequence_tiled(
+    self: GenomicRanges,
+    chunks: DataFrame,
+    tile_size: int,
+    out_col: str,
+    use_strand,
+) -> GenomicRanges:
+    """Tiled slice-and-assemble over a (Chromosome, __tid__, __chunk__)
+    relation — see get_sequence's docstring for the plan shape."""
     from pyspark import StorageLevel
 
     from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id
 
+    stranded = self.has_strand and (use_strand is True or use_strand == "auto")
+
+    def _rc_out(d, col):
+        if stranded:
+            rc = F.when(
+                F.col(nm.STRAND_COL) == "-", reverse_complement(F.col(col))
+            ).otherwise(F.col(col))
+            return d.withColumn(col, rc)
+        return d
+
     s = int(tile_size)
-    chunks = seqs.select(
-        nm.CHROM_COL,
-        F.posexplode(
-            F.split("__chromseq__", r"(?<=\G.{" + str(s) + r"})")
-        ).alias("__tid__", "__chunk__"),
-    ).filter(F.length("__chunk__") > 0)
     # d0 feeds two branches (tile spans + the final join-back) — persist so
     # the id shuffle runs once (same discipline as operators/nearest.py;
     # ContextCleaner reclaims the blocks with the plan).
@@ -190,7 +238,7 @@ def get_sequence(
         ).alias("__asm__")
     )
     have = F.broadcast(
-        seqs.select(nm.CHROM_COL).distinct().withColumn("__has__", F.lit(True))
+        chunks.select(nm.CHROM_COL).distinct().withColumn("__has__", F.lit(True))
     )
     out = (
         d0.join(have, on=nm.CHROM_COL, how="left")

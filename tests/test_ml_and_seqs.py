@@ -839,3 +839,51 @@ def test_get_sequence_tiled_path_matches_broadcast(spark):
     comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
     rc = "".join(comp[b] for b in reversed(seq1))
     assert ("chr1", 0, 53, "-", rc) in tiled
+
+
+def test_read_fasta_tiles_and_pretiled_get_sequence(spark, tmp_path):
+    """read_fasta_tiles emits (Chromosome, tile_id, tile) chunks that
+    reassemble to the exact sequences, and get_sequence(tiled_sequences=...)
+    skips the per-call split while matching the broadcast plan exactly."""
+    import random
+
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.sources.fasta import read_fasta_tiles, write_fasta
+
+    rng = random.Random(5)
+    seq1 = "".join(rng.choice("ACGT") for _ in range(41))
+    seq2 = "".join(rng.choice("ACGT") for _ in range(16))
+    p = str(tmp_path / "g.fa")
+    write_fasta(p, [("chr1", seq1), ("chr2", seq2)], width=10)
+
+    tiles = read_fasta_tiles(spark, p, tile_size=8).toPandas()
+    rebuilt = {
+        c: "".join(g.sort_values("tile_id").tile)
+        for c, g in tiles.groupby("Chromosome")
+    }
+    assert rebuilt == {"chr1": seq1, "chr2": seq2}
+    assert (tiles.tile.str.len() <= 8).all()
+
+    rows = [("chr1", 3, 30, "+"), ("chr1", 7, 9, "-"), ("chr2", 0, 16, "-"),
+            ("chr1", 38, 41, "+"), ("chrX", 0, 5, "+")]
+    gr = GenomicRanges(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["Chromosome", "Start", "End", "Strand"])))
+    seqs = spark.createDataFrame(
+        [("chr1", seq1), ("chr2", seq2)], "Chromosome string, Sequence string")
+    tiled_df = read_fasta_tiles(spark, p, tile_size=8)
+
+    def key(df):
+        pdf = df.toPandas()
+        return sorted(
+            (r.Chromosome, r.Start, r.End,
+             None if pd.isna(r.Seq) else r.Seq)
+            for r in pdf.itertuples()
+        )
+
+    assert key(gr.get_sequence(tiled_sequences=tiled_df, tile_size=8).df) == key(
+        gr.get_sequence(seqs).df
+    )
+    with pytest.raises(ValueError, match="requires tile_size"):
+        gr.get_sequence(tiled_sequences=tiled_df)
