@@ -120,6 +120,17 @@ class GenomicRanges:
             count_rows=count_rows,
         )
 
+    def to_html(self) -> str:
+        """HTML table repr honoring ``pr.options``' html_max_rows/
+        html_max_cols (reference tostring HTML path); same lazy
+        ``take(n+1)`` bound as ``tostring``. Also wired as
+        ``_repr_html_`` is deliberately NOT done — a notebook auto-repr
+        that submits Spark jobs is the same hazard as a job-running
+        ``__repr__``; call this explicitly."""
+        from pyranges_1_x_spark.tostring import to_html as _th
+
+        return _th(self._df, class_name=type(self).__name__)
+
     def head(self, n: int = 8):
         """First ``n`` rows as pandas (reference inherits pandas ``head``)."""
         return self._df.limit(n).toPandas()

@@ -116,3 +116,49 @@ def tostring(
             f" ({len(hidden)} columns not shown: {', '.join(names)})."
         )
     return "\n".join([*out_lines, footer])
+
+
+def to_html(df, class_name: str = "GenomicRanges") -> str:
+    """HTML table repr (Jupyter), honoring the reference's ``html_max_rows``
+    (falling back to ``max_rows_to_show``) and ``html_max_cols`` options —
+    the same ``take(n+1)`` lazy bound as ``tostring``."""
+    import html as _html
+
+    from pyranges_1_x_spark.options import options
+
+    n = options.get_option("html_max_rows") or options.get_option(
+        "max_rows_to_show"
+    )
+    max_cols = options.get_option("html_max_cols")
+    rows = df.take(n + 1)
+    has_more = len(rows) > n
+    shown = rows[:n]
+    headers = list(df.columns)
+    vis = headers if max_cols is None else headers[:max_cols]
+    trunc_cols = len(vis) < len(headers)
+
+    def esc(v) -> str:
+        return _html.escape("nan" if v is None else str(v))
+
+    dtypes = dict(df.dtypes)
+    parts = ["<table border='1'>", "<thead><tr>"]
+    parts += [f"<th>{esc(h)}<br/><em>{esc(dtypes[h])}</em></th>" for h in vis]
+    if trunc_cols:
+        parts.append("<th>...</th>")
+    parts.append("</tr></thead><tbody>")
+    for r in shown:
+        cells = "".join(f"<td>{esc(r[h])}</td>" for h in vis)
+        parts.append(f"<tr>{cells}{'<td>...</td>' if trunc_cols else ''}</tr>")
+    if has_more:
+        pad = len(vis) + (1 if trunc_cols else 0)
+        parts.append("<tr>" + "<td>...</td>" * pad + "</tr>")
+    parts.append("</tbody></table>")
+    shape0 = (
+        f"at least {n} rows (lazy; first {n} shown)" if has_more
+        else f"{len(shown)} rows"
+    )
+    note = f" ({len(headers) - len(vis)} columns hidden)" if trunc_cols else ""
+    parts.append(
+        f"<p>{esc(class_name)} with {shape0} and {len(headers)} columns{note}.</p>"
+    )
+    return "".join(parts)

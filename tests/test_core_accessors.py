@@ -389,3 +389,26 @@ def test_tostring_bounded_repr(spark):
 
     rf = RangeFrame(spark.createDataFrame([(1, 5)], "Start long, End long"))
     assert "RangeFrame with 1 rows" in rf.tostring(max_total_width=100)
+
+
+def test_to_html_honors_html_options(spark):
+    """to_html(): html_max_rows/html_max_cols drive the bound, cells are
+    escaped, and the lazy more-rows probe renders an ellipsis row."""
+    import pyranges_1_x_spark as prs
+
+    prs.options.reset_options()
+    rows = [("chr1", i, i + 1, f"<b&{i}>") for i in range(12)]
+    g = GenomicRanges(spark.createDataFrame(
+        rows, "Chromosome string, Start long, End long, note string"))
+    h = g.to_html()
+    assert h.count("<tr>") == 1 + 8 + 1  # header + 8 rows + ellipsis row
+    assert "&lt;b&amp;0&gt;" in h and "<b&" not in h
+    assert "at least 8 rows" in h
+    try:
+        prs.options.set_option("html_max_rows", 3)
+        prs.options.set_option("html_max_cols", 2)
+        h2 = g.to_html()
+        assert h2.count("<tr>") == 1 + 3 + 1
+        assert "2 columns hidden" in h2 and "<th>...</th>" in h2
+    finally:
+        prs.options.reset_options()
