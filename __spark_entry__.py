@@ -1692,9 +1692,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows past position 50 stay covered every round by the local full-registry
     gate (scripts/check_oracle.py).
 
-    r8 window = the 32 queries ungated in CORRECTNESS_r07.json + 18 fills
-    from this round's changed code paths (NEW streaming gates:
-    annotate_stream/streaming_dedup; fisher tokenizer unified to \\s+;
+    r8 window = the 32 queries ungated in CORRECTNESS_r07.json + 3 NEW
+    streaming gates (annotate_stream/streaming_dedup/windowed_coverage)
+    + 15 fills from this round's changed code paths (fisher tokenizer
+    unified to \\s+;
     minhash_lsh oracle upgraded to hash-exact via a DuckDB xxhash64 UDF;
     connected-components null-edge filter: dedup_clusters/semantic_dedup;
     dict-chromsizes key typing: clip/complement; widened row_id radix:
