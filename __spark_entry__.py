@@ -1367,9 +1367,11 @@ def q_annotate_stream(spark, sf_dir):
     """Stream-static interval annotate (streaming/intervals.py:29) run as an
     ACTUAL micro-batch stream, not a batch twin: the `a` intervals are staged
     to parquet, read back with ``readStream``, overlap-joined against the
-    static (broadcast) `b` annotation, and drained through a memory sink.
-    Stateless — stream-static inner joins need no state store — so the
-    result set equals the batch overlap join the oracle expresses."""
+    static (broadcast) `b` annotation, and drained through ``_run_stream``'s
+    parquet FILE sink (a memory sink collects to the driver and died on
+    spark.driver.maxResultSize at sf0.1). Stateless — stream-static inner
+    joins need no state store — so the result set equals the batch overlap
+    join the oracle expresses."""
     import os
     import tempfile
 
@@ -1390,7 +1392,13 @@ def q_streaming_dedup(spark, sf_dir):
     events table, keyed on (event_type, user_id). Which arrival survives is
     processing-order dependent, so the gate projects the deterministic part:
     the deduped key-set rolled up per event_type — exactly DuckDB's
-    COUNT(DISTINCT user_id)."""
+    COUNT(DISTINCT user_id). The rollup uses countDistinct rather than
+    count(*) on the sink: dropDuplicatesWithinWatermark only guarantees
+    dedup for duplicates arriving within the watermark — if the staged
+    parquet ever split into micro-batches with a key's duplicates >1h apart
+    in event time, expired state would let both rows through, and a raw
+    count(*) gate would flake while the operator behaved as specced
+    (ADVICE r8)."""
     import os
     import tempfile
 
@@ -1407,7 +1415,9 @@ def q_streaming_dedup(spark, sf_dir):
         stream, ["event_type", "user_id"], ts_col="ts", watermark="1 hour"
     )
     sink = _run_stream(spark, out, f"dedup_sink_{tag}")
-    return sink.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    return sink.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
 
 
 def q_windowed_coverage(spark, sf_dir):

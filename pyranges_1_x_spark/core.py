@@ -105,11 +105,13 @@ class GenomicRanges:
         max_col_width: int | None = None,
         max_total_width: int | None = None,
         count_rows: bool = False,
+        tail: bool = False,
     ) -> str:
         """Reference-style bounded table repr (core/tostring.py:57), driven
         by ``pr.options`` — the explicit opt-in that runs a ``take(n+1)``
         job; ``__repr__`` stays job-free (see tostring.py module docstring
-        for the lazy-engine deviations)."""
+        for the lazy-engine deviations). ``tail=True`` buys the reference's
+        exact head+tail split for two extra jobs."""
         from pyranges_1_x_spark.tostring import tostring as _ts
 
         return _ts(
@@ -118,6 +120,7 @@ class GenomicRanges:
             max_col_width=max_col_width,
             max_total_width=max_total_width,
             count_rows=count_rows,
+            tail=tail,
         )
 
     def to_html(self) -> str:

@@ -78,6 +78,31 @@ def translate_cds(
 _TILE_THRESHOLD = 1 << 20
 _TILE_SIZE = 16384
 
+#: Plan-sizing cache: (session id, sequences plan semanticHash) -> total
+#: sequence bytes. With ``tile_size`` unset, get_sequence runs a
+#: sum(length) job to pick broadcast-vs-tiled; for ``path=`` input that job
+#: re-parses the whole FASTA once PER CALL (ADVICE r8). The same logical
+#: plan sizes identically, so memoize on Spark's semanticHash — a driver-
+#:-side plan hash, no job. A (astronomically unlikely) hash collision or a
+#: file mutated between calls can only mis-pick the PLAN, never the answer;
+#: pass tile_size/tiled_sequences explicitly to skip sizing entirely.
+_SIZE_CACHE: dict[tuple[int, int], int] = {}
+
+
+def _total_seq_bytes(seqs: DataFrame) -> int:
+    try:
+        key = (id(seqs.sparkSession), seqs.semanticHash())
+    except Exception:  # semanticHash is best-effort; fall back to sizing
+        key = None
+    if key is not None and key in _SIZE_CACHE:
+        return _SIZE_CACHE[key]
+    total = seqs.select(F.sum(F.length("__chromseq__"))).first()[0] or 0
+    if key is not None:
+        if len(_SIZE_CACHE) > 256:  # bounded; this is a per-session memo
+            _SIZE_CACHE.clear()
+        _SIZE_CACHE[key] = total
+    return total
+
 
 def get_sequence(
     self: GenomicRanges,
@@ -147,7 +172,7 @@ def get_sequence(
         return d
 
     if tile_size is None:
-        total = seqs.select(F.sum(F.length("__chromseq__"))).first()[0] or 0
+        total = _total_seq_bytes(seqs)
         if total <= _TILE_THRESHOLD:
             d = self.df.join(F.broadcast(seqs), on=nm.CHROM_COL, how="left")
             sub = F.substring(
@@ -182,7 +207,16 @@ def _get_sequence_tiled(
     use_strand,
 ) -> GenomicRanges:
     """Tiled slice-and-assemble over a (Chromosome, __tid__, __chunk__)
-    relation — see get_sequence's docstring for the plan shape."""
+    relation — see get_sequence's docstring for the plan shape.
+
+    Per-row assembly state is bounded by interval_length / tile_size — so a
+    deliberately chromosome-SPANNING interval collects the whole chromosome
+    into one output row (~200k tile structs for a 3 Gb chromosome). That is
+    inherent to the requested output (the row IS the chromosome string, and
+    any engine must materialize it somewhere); the bound protects against
+    many-rows × long-chromosome blowup, not against a single row whose
+    answer is itself chromosome-sized (same caveat class as
+    get_transcript_sequence's per-transcript collect_list note)."""
     from pyspark import StorageLevel
 
     from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id

@@ -1,4 +1,4 @@
-"""extend_orfs — grow CDS intervals to complete open reading frames.
+r"""extend_orfs — grow CDS intervals to complete open reading frames.
 
 Reference: ``ext/orfs.py:132-520`` (pyfaidx + numpy chunk loop). Semantics
 reproduced from its doctests:

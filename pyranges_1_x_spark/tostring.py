@@ -9,12 +9,14 @@ footer.
 
 Deliberate deviations for a lazy distributed engine, each load-bearing:
 
-* The row window is ``take(max_rows_to_show + 1)`` — the FIRST n rows plus
-  a one-row probe. The reference shows a head+tail split and an exact row
-  count; both require a full scan (``tail``/``len``) that an interactive
-  repr must never trigger against 100 TB. When the probe shows more rows
-  exist, the table ends with a ``...`` row and the footer reports
-  ``at least N rows``; pass ``count_rows=True`` to pay for the exact count.
+* The default row window is ``take(max_rows_to_show + 1)`` — the FIRST n
+  rows plus a one-row probe. The reference shows a head+tail split and an
+  exact row count; both require a full scan (``tail``/``len``) that an
+  interactive repr must never trigger against 100 TB. When the probe shows
+  more rows exist, the table ends with a ``...`` row and the footer
+  reports ``more than N rows``; pass ``count_rows=True`` to pay for the
+  exact count, or ``tail=True`` to pay for the reference's full head+tail
+  split (exact count + last-rows scan).
 * ``__repr__`` on the frame classes stays job-free (schema only);
   ``tostring()``/``print(gr.tostring())`` is the explicit opt-in that runs
   the bounded job. A repr that silently submits cluster jobs turns every
@@ -48,19 +50,42 @@ def tostring(
     max_col_width: int | None = None,
     max_total_width: int | None = None,
     count_rows: bool = False,
+    tail: bool = False,
 ) -> str:
-    """Render a Spark DataFrame as the reference-style bounded table."""
+    """Render a Spark DataFrame as the reference-style bounded table.
+
+    ``tail=True`` opts into the reference's exact head+tail split
+    (``core/tostring.py:72-89``: ``head(n//2)`` + ``...`` marker row +
+    ``tail(n//2)`` + an exact row count in the footer). It costs two extra
+    jobs (a ``count()`` and a ``tail(n//2)``, the latter a full scan of the
+    final partition chain) — the default first-``n`` window stays the lazy
+    path an interactive repr should take against 100 TB.
+    """
     from pyranges_1_x_spark.options import options
 
     n = options.get_option("max_rows_to_show")
     max_names = options.get_option("max_column_names_to_show")
     width_budget = _console_width(max_total_width)
 
-    rows = df.take(n + 1)
-    has_more = len(rows) > n
-    shown = rows[:n]
     headers = list(df.columns)
     dtypes = dict(df.dtypes)
+
+    total: int | None = None
+    split_at: int | None = None  # row index before which the "..." row goes
+    if tail:
+        total = df.count()
+        half = n // 2
+        if total > n:
+            shown = list(df.take(half)) + list(df.tail(half))
+            split_at = half
+            has_more = True
+        else:
+            shown = df.take(n)
+            has_more = False
+    else:
+        rows = df.take(n + 1)
+        has_more = len(rows) > n
+        shown = rows[:n]
 
     cols = [
         [_cell(h, max_col_width)]
@@ -81,7 +106,6 @@ def tostring(
         included += 1
     included = max(included, 1)
 
-    ell = ["..."] if has_more else []
     out_lines = []
     widths = [max(len(x) for x in col) for col in cols[:included]]
     trunc_cols = included < len(headers)
@@ -96,14 +120,20 @@ def tostring(
     out_lines.append(fmt([c[1] for c in cols[:included]]))
     out_lines.append(fmt(["-" * w for w in widths], "-" * 3))
     for i in range(len(shown)):
+        if split_at is not None and i == split_at:
+            out_lines.append(fmt(["..." for _ in range(included)]))
         out_lines.append(fmt([c[2 + i] for c in cols[:included]]))
-    if has_more:
+    if has_more and split_at is None:
         out_lines.append(fmt(["..." for _ in range(included)]))
 
-    if count_rows:
+    if total is not None:
+        shape0 = f"{total} rows"
+    elif count_rows:
         shape0 = f"{df.count()} rows"
     elif has_more:
-        shape0 = f"at least {n} rows (lazy; first {n} shown)"
+        # The take(n+1) probe already saw row n+1, so the tight observed
+        # bound is "more than n", not "at least n".
+        shape0 = f"more than {n} rows (lazy; first {n} shown)"
     else:
         shape0 = f"{len(shown)} rows"
     footer = f"{class_name} with {shape0} and {len(headers)} columns."
@@ -154,7 +184,7 @@ def to_html(df, class_name: str = "GenomicRanges") -> str:
         parts.append("<tr>" + "<td>...</td>" * pad + "</tr>")
     parts.append("</tbody></table>")
     shape0 = (
-        f"at least {n} rows (lazy; first {n} shown)" if has_more
+        f"more than {n} rows (lazy; first {n} shown)" if has_more
         else f"{len(shown)} rows"
     )
     note = f" ({len(headers) - len(vis)} columns hidden)" if trunc_cols else ""

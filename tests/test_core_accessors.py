@@ -365,9 +365,23 @@ def test_tostring_bounded_repr(spark):
     assert lines[0].split()[:3] == ["Chromosome", "Start", "End"]
     assert "bigint" in lines[1] and "string" in lines[1]
     assert lines[-2].strip().startswith("...")
-    assert "at least 8 rows" in lines[-1] and "6 columns" in lines[-1]
+    assert "more than 8 rows" in lines[-1] and "6 columns" in lines[-1]
     # exact count on demand
     assert "12 rows" in g.tostring(max_total_width=200, count_rows=True)
+    # tail=True: the reference's exact head+tail split (core/tostring.py:72)
+    # — head(n//2), a '...' marker row, tail(n//2), exact count footer.
+    ts = g.tostring(max_total_width=200, tail=True)
+    tl = ts.splitlines()
+    # header + dtype + rule + 4 head + '...' + 4 tail + footer = 13 lines
+    assert len(tl) == 13
+    assert tl[3].split()[1] == "0" and tl[6].split()[1] == "3"  # head Starts
+    assert tl[7].strip().startswith("...")
+    assert tl[8].split()[1] == "8" and tl[11].split()[1] == "11"  # tail Starts
+    assert "12 rows" in tl[-1] and "more than" not in tl[-1]
+    # tail=True on a frame smaller than the window: no split, exact count
+    small3 = g.df.limit(3)
+    ts3 = GenomicRanges(small3).tostring(max_total_width=200, tail=True)
+    assert "3 rows" in ts3 and "..." not in ts3
     # small frame: exact rows, no probe row
     small = GenomicRanges(spark.createDataFrame(
         rows[:3], "Chromosome string, Start long, End long, Strand string, "
@@ -403,7 +417,7 @@ def test_to_html_honors_html_options(spark):
     h = g.to_html()
     assert h.count("<tr>") == 1 + 8 + 1  # header + 8 rows + ellipsis row
     assert "&lt;b&amp;0&gt;" in h and "<b&" not in h
-    assert "at least 8 rows" in h
+    assert "more than 8 rows" in h
     try:
         prs.options.set_option("html_max_rows", 3)
         prs.options.set_option("html_max_cols", 2)
