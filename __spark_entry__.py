@@ -1142,6 +1142,56 @@ def q_fasta_roundtrip(spark, sf_dir):
     )
 
 
+#: Deterministic per-position base picker shared verbatim by the Spark
+#: generator and the DuckDB oracle (q_get_sequence_tiled). (i*i) % 1000003
+#: is locally aperiodic — a period-4 LCG-mod-4 pattern would make any
+#: multiple-of-4 coordinate shift invisible to the md5 gate. All values fit
+#: int64: i < 5e5 -> i*i < 2.5e11, *131 after the mod < 1.4e8.
+#: (Spark's sequence() yields INT elements, so i*i at i~5e5 would overflow
+#: int32 under ANSI mode — the first operand is cast up; DuckDB's
+#: generate_series is already BIGINT and the cast is a no-op there.)
+_SEQ_BASE_EXPR = (
+    "substring('ACGT', CAST(((CAST(i AS BIGINT) * i) % 1000003 * 131"
+    " + i * 7) % 4 AS INT) + 1, 1)"
+)
+_SEQ_LEN = 500_000
+_SEQ_CHROMS = "('chr1'),('chr2'),('chr3'),('chr10'),('chrM')"
+
+
+def q_get_sequence_tiled(spark, sf_dir):
+    """get_sequence's TILED plan under a driver gate (VERDICT r8 #5): both
+    prior sequence gates (fasta_roundtrip, extend_orfs) ride the broadcast
+    plan at gate scale, so the r8 tile-equi-join path was pytest/SCALING
+    covered only. Here an explicit ``tile_size`` forces the tiled plan —
+    the \\G-split chunk relation, per-interval covered-tile explode, in-tile
+    fragment slicing, and array_sort assembly (functions/seqs.py
+    _get_sequence_tiled) — over the full fixture `a`, with '-' rows
+    reverse-complemented. The 5 x 500 kb chromosome sequences are generated
+    from _SEQ_BASE_EXPR, character-identical in DuckDB; intervals ending
+    past 500 kb exercise the clamped-tail path on both engines. Output is
+    md5 + length per row so the value hash pins every base without shipping
+    120 MB of strings through the gate."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.functions.seqs import get_sequence
+
+    a = _gr_a(spark, sf_dir)
+    seqs = spark.sql(
+        f"""
+        SELECT Chromosome,
+               concat_ws('', transform(sequence(0, {_SEQ_LEN - 1}),
+                                       i -> {_SEQ_BASE_EXPR})) AS Sequence
+        FROM VALUES {_SEQ_CHROMS} AS t(Chromosome)
+        """
+    )
+    out = get_sequence(a, seqs, tile_size=16384)
+    return out.df.select(
+        "row_id",
+        F.length("Seq").cast("long").alias("n_chars"),
+        F.md5("Seq").alias("seq_md5"),
+    )
+
+
 def q_sessions(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1702,73 +1752,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows past position 50 stay covered every round by the local full-registry
     gate (scripts/check_oracle.py).
 
-    r8 window = the 32 queries ungated in CORRECTNESS_r07.json + 3 NEW
-    streaming gates (annotate_stream/streaming_dedup/windowed_coverage)
-    + 15 fills from this round's changed code paths (fisher tokenizer
-    unified to \\s+;
-    minhash_lsh oracle upgraded to hash-exact via a DuckDB xxhash64 UDF;
-    connected-components null-edge filter: dedup_clusters/semantic_dedup;
-    dict-chromsizes key typing: clip/complement; widened row_id radix:
-    the interval-join/merge family)."""
+    r9 window = the 35 queries ungated in CORRECTNESS_r08.json (r8 registry
+    positions 51-85, events_hourly..forbes_stat) + 1 NEW gate
+    (get_sequence_tiled — the tiled plan's first driver gate, VERDICT r8 #5)
+    + 14 fills from this round's changed code paths (streaming_dedup gate
+    hardened to countDistinct; annotate_stream/windowed_coverage stream-vs-
+    batch-twin property tests; get_sequence sizing memo: fasta_roundtrip,
+    extend_orfs; CC round-count instrumentation: dedup_clusters,
+    semantic_dedup; minhash_lsh interleaved re-measure; and the five
+    pair-heavy queries value-checked at 10x density by
+    scripts/check_oracle_scaled.py: join_inner, count_overlaps, subtract,
+    nearest, coverage — plus merge_stranded, same binned-join planner)."""
     return {
-        # --- not driver-gated in r7 (registry positions 51-82 last round) ---
-        "upstream_flank": q_upstream_flank,
-        "downstream_flank": q_downstream_flank,
-        "join_first": q_join_first,
-        "join_contained": q_join_contained,
-        "overlap_slack": q_overlap_slack,
-        "dedup_exact": q_dedup_exact,
-        "extend_group": q_extend_group,
-        "window_sliding": q_window_sliding,
-        "multimodal_features": q_multimodal_features,
-        "fdr": q_fdr,
-        "reldist": q_reldist,
-        "ivf_topk": q_ivf_topk,
-        "winnow": q_winnow,
-        "running_anomalies": q_running_anomalies,
-        "bam_roundtrip": q_bam_roundtrip,
-        "bigwig_roundtrip": q_bigwig_roundtrip,
-        "slice_introns": q_slice_introns,
-        "kmeans": q_kmeans,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "fasta_roundtrip": q_fasta_roundtrip,
-        "shuffle_rank": q_shuffle,
-        "bpe_tokens": q_bpe_tokens,
-        "corpus_filter": q_corpus_filter,
-        "kmv_vocab": q_kmv_vocab,
-        "normalize_dedup": q_normalize_dedup,
-        "overlap_anti": q_overlap_anti,
-        "join_left": q_join_left,
-        "join_same_strand": q_join_same_strand,
-        "intersect": q_intersect,
-        "coverage": q_coverage,
-        "coverage_ratio": q_coverage_ratio,
-        # --- r8-changed code paths (fills to slot 50) ---
-        "annotate_stream": q_annotate_stream,
-        "streaming_dedup": q_streaming_dedup,
-        "fisher": q_fisher,
-        "minhash_lsh": q_minhash_lsh,  # hash-exact as of r8 (DuckDB xxhash64 UDF)
-        "clip": q_clip,
-        "complement": q_complement,
-        "overlap_semi": q_overlap_semi,
-        "join_inner": q_join_inner,
-        "nearest": q_nearest,
-        "merge_stranded": q_merge_stranded,
-        "subtract": q_subtract,
-        "count_overlaps": q_count_overlaps,
-        "tile": q_tile,
-        "extend_orfs": q_extend_orfs,
-        "sort_rank": q_sort_rank,
-        "windowed_coverage": q_windowed_coverage,
-        # Iterative-session queries (localCheckpoint/persist state) run LAST
-        # inside the driver's 50-row gate window: if a memory-tight harness
-        # session ever dies here, only these rows are lost instead of every
-        # row after them (observed failure shape in the local gate before
-        # the 8g fix).
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        # --- past the 50-row driver window: r7-driver-green, local gate only ---
+        # --- not driver-gated in r8 (registry positions 51-85 last round) ---
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "map_to_global": q_map_to_global,
@@ -1804,6 +1800,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_disjoint": q_max_disjoint,
         "jaccard_stat": q_jaccard_stat,
         "forbes_stat": q_forbes_stat,
+        # --- NEW r9 gate + r9-changed code paths (fills to slot 50) ---
+        "get_sequence_tiled": q_get_sequence_tiled,
+        "streaming_dedup": q_streaming_dedup,
+        "annotate_stream": q_annotate_stream,
+        "windowed_coverage": q_windowed_coverage,
+        "fasta_roundtrip": q_fasta_roundtrip,
+        "extend_orfs": q_extend_orfs,
+        "minhash_lsh": q_minhash_lsh,  # hash-exact as of r8 (DuckDB xxhash64 UDF)
+        "join_inner": q_join_inner,
+        "count_overlaps": q_count_overlaps,
+        "subtract": q_subtract,
+        "nearest": q_nearest,
+        "coverage": q_coverage,
+        "merge_stranded": q_merge_stranded,
+        # Iterative-session queries (localCheckpoint/persist state) run LAST
+        # inside the driver's 50-row gate window: if a memory-tight harness
+        # session ever dies here, only these rows are lost instead of every
+        # row after them (observed failure shape in the local gate before
+        # the 8g fix).
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        # --- past the 50-row driver window: r8-driver-green, local gate only ---
+        "upstream_flank": q_upstream_flank,
+        "downstream_flank": q_downstream_flank,
+        "join_first": q_join_first,
+        "join_contained": q_join_contained,
+        "overlap_slack": q_overlap_slack,
+        "dedup_exact": q_dedup_exact,
+        "extend_group": q_extend_group,
+        "window_sliding": q_window_sliding,
+        "multimodal_features": q_multimodal_features,
+        "fdr": q_fdr,
+        "reldist": q_reldist,
+        "ivf_topk": q_ivf_topk,
+        "winnow": q_winnow,
+        "running_anomalies": q_running_anomalies,
+        "bam_roundtrip": q_bam_roundtrip,
+        "bigwig_roundtrip": q_bigwig_roundtrip,
+        "slice_introns": q_slice_introns,
+        "kmeans": q_kmeans,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "shuffle_rank": q_shuffle,
+        "bpe_tokens": q_bpe_tokens,
+        "corpus_filter": q_corpus_filter,
+        "kmv_vocab": q_kmv_vocab,
+        "normalize_dedup": q_normalize_dedup,
+        "overlap_anti": q_overlap_anti,
+        "join_left": q_join_left,
+        "join_same_strand": q_join_same_strand,
+        "intersect": q_intersect,
+        "coverage_ratio": q_coverage_ratio,
+        "fisher": q_fisher,
+        "clip": q_clip,
+        "complement": q_complement,
+        "overlap_semi": q_overlap_semi,
+        "tile": q_tile,
+        "sort_rank": q_sort_rank,
     }
 
 
@@ -3044,6 +3098,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(4 * (5 + (f * 17 + i) % 40) AS BIGINT) AS n_chars,
                    md5(repeat('ACGT', CAST(5 + (f * 17 + i) % 40 AS INTEGER))) AS seq_md5
             FROM r
+        """,
+        "get_sequence_tiled": f"""
+            -- Character-identical twin of q_get_sequence_tiled's generated
+            -- chromosomes (_SEQ_BASE_EXPR shared verbatim); substr clamps
+            -- past-the-end reads exactly like Spark's in-tile substring, so
+            -- the md5 pins the tiled slice-and-assemble base for base.
+            -- MATERIALIZED: the seqs CTE must build its 2.5 MB once (DuckDB
+            -- default inlining re-evaluates a CTE per reference).
+            {_AB}
+            , seqs AS MATERIALIZED (
+              SELECT Chromosome,
+                     string_agg({_SEQ_BASE_EXPR}, '' ORDER BY i) AS chromseq
+              FROM (VALUES {_SEQ_CHROMS}) c(Chromosome),
+                   generate_series(0, {_SEQ_LEN - 1}) g(i)
+              GROUP BY Chromosome
+            ),
+            sub AS (
+              SELECT a.row_id, a.Strand,
+                     substring(s.chromseq, CAST(a.Start AS INT) + 1,
+                               CAST(a."End" - a.Start AS INT)) AS raw
+              FROM a JOIN seqs s ON a.Chromosome = s.Chromosome
+            )
+            SELECT row_id, CAST(length(raw) AS BIGINT) AS n_chars,
+                   md5(CASE WHEN Strand = '-'
+                            THEN reverse(translate(raw, 'ACGTacgt', 'TGCAtgca'))
+                            ELSE raw END) AS seq_md5
+            FROM sub
         """,
         "bigwig_roundtrip": """
             -- Twin of q_bigwig_roundtrip's 500 value runs; k/8 values are
