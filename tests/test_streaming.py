@@ -215,6 +215,119 @@ def test_running_anomalies_batch_twin_matches_streaming_fold(spark, tmp_path):
     pd.testing.assert_frame_equal(b, s)
 
 
+def _twin_input(spark, tmp_path, name):
+    """Deterministic 200-row interval+event input staged to parquet: two
+    chromosomes, varying widths, ts spread over 3 hours with duplicates —
+    the same frame drives a readStream run and its batch twin."""
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "Chromosome": ["chr1" if i % 3 else "chr2" for i in range(n)],
+            "Start": [(i * 97) % 5000 for i in range(n)],
+            "End": [(i * 97) % 5000 + 1 + (i * 13) % 400 for i in range(n)],
+            "read_id": list(range(n)),
+            "ts": [
+                pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=(i * 7) % 180)
+                for i in range(n)
+            ],
+        }
+    )
+    d = str(tmp_path / name)
+    spark.createDataFrame(pdf, SCHEMA).coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_annotate_stream_batch_twin_parity(spark, tmp_path):
+    """VERDICT r8 #6: run the SAME staged input through the availableNow
+    stream AND the batch twin of annotate_stream; the pair sets must be
+    row-identical (the operator is stateless, so parity is exact — the r7
+    streaming_dedup branch divergence would have failed a test like this at
+    build time)."""
+    d = _twin_input(spark, tmp_path, "annot_twin_in")
+    ann = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "Chromosome": ["chr1", "chr1", "chr2"],
+                    "Start": [100, 2000, 0],
+                    "End": [1200, 2600, 4000],
+                    "gene": ["gA", "gB", "gC"],
+                }
+            )
+        )
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(d)
+    streamed = run_stream(spark, annotate_stream(stream, ann, bin_size=512),
+                          "annot_twin_sink")
+    batch = annotate_stream(spark.read.parquet(d), ann, bin_size=512).toPandas()
+    key = sorted(batch.columns)
+    assert len(batch) > 0
+    pd.testing.assert_frame_equal(
+        batch[key].sort_values(key).reset_index(drop=True),
+        streamed[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_windowed_coverage_batch_twin_parity(spark, tmp_path):
+    """Same input through the COMPLETE-mode stream and the batch twin of
+    windowed_interval_coverage: every (window, Chromosome, bin) count equal."""
+    d = _twin_input(spark, tmp_path, "wcov_twin_in")
+    stream = spark.readStream.schema(SCHEMA).parquet(d)
+    out = windowed_interval_coverage(
+        stream, window_duration="1 hour", bin_size=1000, watermark="4 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wcov_twin_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.table("wcov_twin_sink").toPandas()
+    batch = windowed_interval_coverage(
+        spark.read.parquet(d), window_duration="1 hour", bin_size=1000
+    ).toPandas()
+    key = sorted(batch.columns)
+    assert len(batch) > 0
+    pd.testing.assert_frame_equal(
+        batch[key].sort_values(key).reset_index(drop=True),
+        streamed[key].sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_streaming_dedup_batch_twin_key_parity(spark, tmp_path):
+    """streaming_dedup's batch branch (dropDuplicates) and its stream run
+    keep the SAME key set — only the key columns are deterministic across
+    the two modes (which arrival survives differs), so parity pins exactly
+    the projected-deterministic columns."""
+    from pyranges_1_x_spark.streaming.events import streaming_dedup
+
+    n = 120
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i % 37}" for i in range(n)],
+            "payload": list(range(n)),
+            "ts": [
+                pd.Timestamp("2026-01-01") + pd.Timedelta(minutes=(i * 3) % 50)
+                for i in range(n)
+            ],
+        }
+    )
+    d = str(tmp_path / "dedup_twin_in")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+    schema = "doc_id string, payload long, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(d)
+    streamed = run_stream(
+        spark, streaming_dedup(stream, "doc_id", watermark="2 hours"),
+        "dedup_twin_sink",
+    )
+    batch = streaming_dedup(spark.read.parquet(d), "doc_id").toPandas()
+    assert not batch.empty
+    assert sorted(streamed["doc_id"]) == sorted(batch["doc_id"])
+    assert len(streamed) == len(set(streamed["doc_id"]))
+
+
 def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     """File-source stream with duplicated keys: only the first arrival of
     each key survives; state is watermark-bounded (see docstring)."""
