@@ -18,6 +18,14 @@ from pyspark.sql import types as T
 
 from pyranges_1_x_spark.ml.text import bow_signature, fingerprint
 
+#: Diagnostics from the LAST connected_components call in this process:
+#: {"path": "driver"|"distributed", "edges": 2|E| (bidirectional rows),
+#:  "rounds": distributed label rounds run (0 on the driver path)}.
+#: Written so a regression in dedup_clusters' wall time can be attributed
+#: to round count vs per-round cost without re-deriving either (VERDICT r8
+#: #8); read-only telemetry, never consulted by the algorithm.
+CC_LAST_STATS: dict = {}
+
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Group identical documents: (fingerprint, n_docs, min doc id). One shuffle."""
@@ -478,7 +486,12 @@ def connected_components(
     # the downstream canonical join. Measured at sf0.1 (256 edges): CC
     # 5.9s -> 0.4s, full dedup_clusters 8.4s -> ~4s. Graphs past the
     # threshold take the iterative path unchanged.
-    if ed.count() <= 2 * driver_threshold:
+    n_edge_rows = ed.count()
+    CC_LAST_STATS.clear()
+    CC_LAST_STATS.update(
+        {"edges": n_edge_rows, "path": "driver", "rounds": 0}
+    )
+    if n_edge_rows <= 2 * driver_threshold:
         try:
             pairs = ed.collect()
         finally:
@@ -541,7 +554,9 @@ def connected_components(
             )
             .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
+        CC_LAST_STATS.update({"path": "distributed", "rounds": 1})
         for _ in range(1, max_iter):
+            CC_LAST_STATS["rounds"] += 1
             # Neighbor-min as a LEFT join against the per-node neighbor
             # aggregate (not a union+groupBy): keeps the node's previous
             # label in the same row, so the convergence count below is a
@@ -621,6 +636,18 @@ def dedup_clusters(
     ``minhash_lsh_candidates(...)`` output (verified via
     ``ngram_jaccard_pairs``) to trade exact recall for the banded-LSH
     shuffle shape.
+
+    Cost attribution at sf0.1, measured r9 (local[32], warm; see
+    CC_LAST_STATS for live telemetry): the verified graph is 256 pairs, so
+    CC takes the DRIVER union-find path (0 distributed rounds, ~0.4s) and
+    the wall is dominated by candidate GENERATION — the exact Jaccard join
+    (shingle relation + prefix filter) is ~85% of the query. Forcing the
+    distributed path (driver_threshold=0) on the same graph converges in
+    2 label rounds at a per-round floor of ~0.8-1.0s (max_iter=1 probe:
+    one DISK_ONLY checkpoint + two shuffle joins + the convergence count).
+    A future wall regression here should therefore be triaged against the
+    candidate join first; CC round count only matters past the 200k-edge
+    dial, where rounds x ~1s/round sets the floor.
     """
     if candidate_pairs is None:
         candidate_pairs = jaccard_similarity_join(docs, text_col, id_col, k, threshold)

@@ -1,0 +1,153 @@
+"""Correctness at SCALE shapes, not just timing (VERDICT r8 #3).
+
+The driver's oracle gate runs at sf0.01 and SCALING.md's grid is a TIMING
+grid — nothing asserted VALUES on the 10x-density replica shapes. This
+script closes that: it re-runs the registry's pair-heavy queries with the
+fixtures replaced by their 10x-DENSITY replicas (ten copies of every
+interval at the SAME coordinates, distinct row_id = row_id*16+rep — the
+exact construction scripts/scale_probe.py times), and compares against the
+SAME oracle_sql() strings with the shared ``WITH a AS (...), b AS (...)``
+prefix swapped for a replicated twin. Both engines derive the replicas from
+the same parquet + the same arithmetic, so the value-hash discipline of
+check_oracle.py carries over unchanged.
+
+Default queries are the five the r8 verdict named (join_inner,
+count_overlaps, subtract, nearest, coverage) + merge_stranded (same binned
+planner family). Density multiplies PAIR outputs ~100x, so the default sf
+is 0.01: join_inner emits ~4.4M pairs there (vs ~406M at sf0.1 — a frame
+compare at that size proves nothing extra and swamps pandas).
+
+Usage: python scripts/check_oracle_scaled.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_oracle import normalize  # noqa: E402  (shared canonicalizer)
+
+DEFAULT_QUERIES = [
+    "join_inner",
+    "count_overlaps",
+    "subtract",
+    "nearest",
+    "coverage",
+    "merge_stranded",
+]
+N_REPS = 10
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or DEFAULT_QUERIES
+
+    import __spark_entry__ as em
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+
+    # --- Spark side: swap the fixtures for their 10x-density replicas. The
+    # q_ functions only reach the fixtures through em._gr_a/_gr_b, so a
+    # wrapper replica keeps every query's own plan untouched.
+    orig_a, orig_b = em._gr_a, em._gr_b
+
+    def _densify(g):
+        reps = spark.range(N_REPS).select(F.col("id").alias("rep"))
+        df = (
+            g.df.crossJoin(F.broadcast(reps))
+            .withColumn("row_id", F.col("row_id") * 16 + F.col("rep"))
+            .drop("rep")
+        )
+        return GenomicRanges(df, bin_size=g._bin_size)
+
+    em._gr_a = lambda s, d: _densify(orig_a(s, d))
+    em._gr_b = lambda s, d: _densify(orig_b(s, d))
+
+    # --- DuckDB side: same replication, same SQL text discipline. The
+    # oracle strings embed em._AB verbatim (asserted below), so swapping the
+    # prefix replicates a/b without touching any query's own SQL.
+    ab_scaled = (
+        f"WITH a0 AS ({em._A_SQL}), b0 AS ({em._B_SQL}),"
+        f" reps AS (SELECT * FROM generate_series(0, {N_REPS - 1}) t(rep)),"
+        ' a AS (SELECT row_id * 16 + rep AS row_id, Chromosome, Start,'
+        ' "End", Strand, Score FROM a0, reps),'
+        ' b AS (SELECT row_id * 16 + rep AS row_id, Chromosome, Start,'
+        ' "End", Strand, Score FROM b0, reps)'
+    )
+
+    con = duckdb.connect()
+    for t in em.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    failures = []
+    for name in only:
+        if em._AB not in oracles[name]:
+            print(f"FAIL {name}: oracle does not embed the shared a/b CTE prefix")
+            failures.append(name)
+            continue
+        t0 = time.time()
+        try:
+            got = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        try:
+            exp = con.execute(oracles[name].replace(em._AB, ab_scaled)).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        t_duck = time.time() - t0
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
+            failures.append(name)
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rowcount {len(got)} vs {len(exp)}")
+            failures.append(name)
+            continue
+        g, e = normalize(got), normalize(exp)
+        try:
+            pd.testing.assert_frame_equal(g, e, check_exact=True)
+            print(
+                f"PASS {name} @10x-density: rows={len(got)}"
+                f" [spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
+            )
+        except AssertionError as ex:
+            print(f"FAIL {name}: values differ: {str(ex)[:400]}")
+            failures.append(name)
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nALL PASS (10x-density)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
