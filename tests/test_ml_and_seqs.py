@@ -145,6 +145,47 @@ def test_get_sequence(spark):
     assert out[out.Strand == "-"].Seq.iloc[0] == "CGT"
 
 
+def test_get_sequence_sizing_memo_consulted(spark):
+    """ADVICE r8: with tile_size unset, the broadcast-vs-tiled sizing job is
+    memoized per (session, sequences plan semanticHash). Prove the memo is
+    actually CONSULTED (not just populated): poison the cached size past the
+    tile threshold and the next identical call must pick the tiled plan
+    (\\G-split Generate in the plan); clearing the memo restores broadcast."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.functions import seqs as S
+
+    gr = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [("chr1", 1, 4, "+")],
+                columns=["Chromosome", "Start", "End", "Strand"],
+            )
+        )
+    )
+    seqs = spark.createDataFrame(
+        [("chr1", "AACGTTAC")], "Chromosome string, Sequence string"
+    )
+
+    def plan_of(g):
+        return g.df._jdf.queryExecution().executedPlan().toString()
+
+    S._SIZE_CACHE.clear()
+    out1 = gr.get_sequence(seqs)
+    assert "\\G" not in plan_of(out1)  # tiny table -> broadcast plan
+    assert len(S._SIZE_CACHE) == 1 and list(S._SIZE_CACHE.values()) == [8]
+    key = next(iter(S._SIZE_CACHE))
+    S._SIZE_CACHE[key] = S._TILE_THRESHOLD + 1  # poison: pretend it's huge
+    out2 = gr.get_sequence(seqs)
+    assert "\\G" in plan_of(out2)  # memo consulted -> tiled plan, no re-size
+    assert S._SIZE_CACHE[key] == S._TILE_THRESHOLD + 1  # no re-measure
+    S._SIZE_CACHE.clear()
+    out3 = gr.get_sequence(seqs)
+    assert "\\G" not in plan_of(out3)
+    assert out3.df.collect()[0]["Seq"] == "ACG"
+
+
 def test_genetic_code_tables():
     from pyranges_1_x_spark.functions.genetic_codes import (
         GENETIC_CODES,
