@@ -30,6 +30,11 @@ from pyranges_1_x_spark.sources.synthetic import empty, from_string, random
 #: ``pyranges1/core/options.py``) driving the ``tostring`` bounded repr.
 from pyranges_1_x_spark.options import options  # noqa: E402,F401
 
+#: Reference AI-assistant priming helper (``pr.assistant``,
+#: ``pyranges1/core/assistant.py``) — prompt + docs-blob builder, pure
+#: local text (no model endpoint involved; implemented r9).
+from pyranges_1_x_spark.assistant import assistant  # noqa: E402,F401
+
 #: Reference alias (``/root/reference/pyranges1/__init__.py:19``): GFF2 is
 #: GTF's syntax, so ``read_gff`` is the GTF reader under the name a GFF
 #: user types first.
@@ -60,6 +65,7 @@ __all__ = [
     "read_gtf",
     "read_gff",
     "options",
+    "assistant",
     "read_gff3",
     "read_bam",
     "read_bigwig",

@@ -268,7 +268,7 @@ def test_namespace_exports_match_reference():
         "GenomicRanges", "concat", "random", "from_string", "empty",
         "tile_genome", "count_overlaps", "read_bed", "read_gtf", "read_gff3",
         "read_bam", "read_bigwig", "example_data", "orfs", "seqs", "stats",
-        "options",
+        "options", "assistant",
     ):
         assert hasattr(prs, name), name
     assert prs.count_overlaps is prs.count_overlaps_matrix
@@ -277,6 +277,41 @@ def test_namespace_exports_match_reference():
     assert prs.read_gff is prs.read_gtf
     assert hasattr(prs.stats, "fdr") and hasattr(prs.seqs, "translate")
     assert hasattr(prs.orfs, "extend_orfs")
+
+
+def test_assistant_prompt_and_export_docs(tmp_path):
+    """pr.assistant (reference core/assistant.py): prompt() returns the
+    priming text (longer with concise=False vs +suffix with concise=True),
+    to_file writes instead of returning, and export_docs() introspects the
+    REAL public surface — no network anywhere."""
+    import pyranges_1_x_spark as prs
+
+    p = prs.assistant.prompt()
+    assert "pyranges_1_x_spark" in p and "join_overlaps" in p
+    pc = prs.assistant.prompt(concise=True)
+    assert pc.startswith(p) and len(pc) > len(p)
+    f = tmp_path / "prompt.txt"
+    assert prs.assistant.prompt(to_file=f) is None
+    assert f.read_text(encoding="utf-8") == p
+    assert "prime" in repr(prs.assistant)
+
+    docs = prs.assistant.export_docs()
+    # the blob carries real docstrings from across the package
+    for needle in (
+        "GenomicRanges.join_overlaps",
+        "GenomicRanges.merge_overlaps",
+        "RangeFrame.merge_overlaps",
+        "pyranges_1_x_spark.functions.stats.fdr",
+        "pyranges_1_x_spark.ml.dedup.dedup_clusters",
+    ):
+        assert needle in docs, needle
+    # inherited-method dial: GenomicRanges re-exposes RangeFrame methods
+    # only under include_inherited
+    bigger = prs.assistant.export_docs(include_inherited=True)
+    assert len(bigger) > len(docs)
+    df = tmp_path / "docs.txt"
+    assert prs.assistant.export_docs(to_file=df) is None
+    assert df.read_text(encoding="utf-8") == docs
 
 
 def test_range_frame_surface(spark):
