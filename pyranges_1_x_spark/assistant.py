@@ -14,9 +14,16 @@ Deliberate deviations, each load-bearing:
   DataFrames, ``pyranges_1_x_spark`` names) rather than the reference's
   pandas subclass — a prompt describing eager pandas semantics would prime
   the assistant to write code that collects 100 TB to the driver.
-* ``export_docs(include_df=...)`` becomes ``include_inherited=`` (there is
-  no pandas base class here; the analogous noise is methods inherited from
-  ``RangeFrame`` unchanged onto ``GenomicRanges``).
+* ``export_docs(include_df=...)`` becomes ``include_inherited=``. There is
+  no pandas base class here and nothing is literally inherited —
+  ``GenomicRanges``/``RangeFrame`` are pure composition whose public
+  methods are thin delegators to kernel functions in ``operators/`` etc.,
+  where the real docstrings live (and are exported once, under their home
+  module). The dial's composition analogue of "inherited docs": with
+  ``include_inherited=True`` each class method whose own docstring is
+  empty *inherits* the docstring of the same-named kernel function into
+  its class entry, making the class section self-contained at the cost of
+  duplicating kernel text; the default keeps each doc in one place.
 """
 
 from __future__ import annotations
@@ -71,22 +78,30 @@ def _format_doc(header: str, obj) -> str:
     return f"{rule}\n{header}\n{'#' * max(len(header), 1)}\n{doc}\n"
 
 
-def _class_methods(cls, *, include_inherited: bool):
+def _class_methods(cls):
     for name, obj in inspect.getmembers(cls):
         if name.startswith("_") or not callable(obj):
             continue
-        if include_inherited or name in cls.__dict__:
-            yield name, obj
+        yield name, obj
 
 
 def _export_docs(*, include_inherited: bool = False) -> str:
     """One blob: package docstring, every public module's public functions/
     classes, and every public method of the two frame classes. Pure
     introspection — importable modules only, silently skipping anything
-    whose import fails (mirrors the reference's tolerant walker)."""
+    whose import fails (mirrors the reference's tolerant walker).
+
+    ``include_inherited=True`` additionally copies the docstring of the
+    same-named kernel function into each class-method entry whose own
+    docstring is empty (the composition analogue of inherited docs — see
+    module docstring)."""
     parts: list[str] = []
     root = importlib.import_module(_PKG)
     parts.append(_format_doc(_PKG, root))
+
+    # name -> (home module, doc) for every public function; the longest doc
+    # wins a name collision (e.g. thin re-wrappers of the same kernel).
+    kernel_docs: dict[str, tuple[str, str]] = {}
 
     modnames = [_PKG]
     for _, subname, _ in pkgutil.walk_packages(root.__path__, f"{_PKG}."):
@@ -107,17 +122,32 @@ def _export_docs(*, include_inherited: bool = False) -> str:
                 except (TypeError, ValueError):
                     sig = ""
                 parts.append(_format_doc(f"{modname}.{name}{sig}", obj))
+                doc = inspect.getdoc(obj) or ""
+                if inspect.isfunction(obj) and len(doc) > len(
+                    kernel_docs.get(name, ("", ""))[1]
+                ):
+                    kernel_docs[name] = (modname, doc)
 
     from pyranges_1_x_spark.core import GenomicRanges
     from pyranges_1_x_spark.range_frame import RangeFrame
 
     for cls in (GenomicRanges, RangeFrame):
-        for name, obj in _class_methods(cls, include_inherited=include_inherited):
+        for name, obj in _class_methods(cls):
             try:
                 sig = str(inspect.signature(obj))
             except (TypeError, ValueError):
                 sig = ""
-            parts.append(_format_doc(f"{cls.__name__}.{name}{sig}", obj))
+            header = f"{cls.__name__}.{name}{sig}"
+            if include_inherited and not (inspect.getdoc(obj) or "").strip():
+                home, doc = kernel_docs.get(name, ("", ""))
+                if doc:
+                    rule = "#" * 100
+                    parts.append(
+                        f"{rule}\n{header}\n{'#' * len(header)}\n"
+                        f"(docstring inherited from {home}.{name})\n{doc}\n"
+                    )
+                    continue
+            parts.append(_format_doc(header, obj))
     return "\n".join(parts)
 
 
@@ -144,7 +174,9 @@ class Assistant:
         """Full public-docstring blob; written to ``to_file`` if given
         (returns None then), else returned (reference
         assistant.export_docs; ``include_inherited`` replaces the
-        reference's ``include_df`` — see module docstring)."""
+        reference's ``include_df``: True copies each same-named kernel
+        function's docstring into empty class-method entries — see
+        module docstring)."""
         blob = _export_docs(include_inherited=include_inherited)
         if to_file is not None:
             Path(to_file).write_text(blob, encoding="utf-8")

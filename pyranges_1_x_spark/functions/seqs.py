@@ -86,12 +86,16 @@ _TILE_SIZE = 16384
 #:-side plan hash, no job. A (astronomically unlikely) hash collision or a
 #: file mutated between calls can only mis-pick the PLAN, never the answer;
 #: pass tile_size/tiled_sequences explicitly to skip sizing entirely.
-_SIZE_CACHE: dict[tuple[int, int], int] = {}
+#: Keyed on the session OBJECT (not id()) for the same reason as
+#: __spark_entry__._gr_cached: a stopped session's id can be reused after
+#: GC, and a recycled id + matching semanticHash would hand a new session
+#: a stale size.
+_SIZE_CACHE: dict[tuple[object, int], int] = {}
 
 
 def _total_seq_bytes(seqs: DataFrame) -> int:
     try:
-        key = (id(seqs.sparkSession), seqs.semanticHash())
+        key = (seqs.sparkSession, seqs.semanticHash())
     except Exception:  # semanticHash is best-effort; fall back to sizing
         key = None
     if key is not None and key in _SIZE_CACHE:
@@ -155,6 +159,7 @@ def get_sequence(
             use_strand,
             have=tiled_sequences.select(nm.CHROM_COL).distinct(),
         )
+    from_path = sequences is None
     if sequences is None:
         if path is None:
             raise ValueError("get_sequence needs a sequences table or a path")
@@ -197,10 +202,17 @@ def get_sequence(
         int(tile_size),
         out_col,
         use_strand,
-        # Column-pruned: the Sequence column never evaluates in this branch,
-        # so the present-chromosome probe costs a key scan, not a second
-        # full chunk split (measured ~1s/call at 2.5 MB, r9).
-        have=seqs.select(nm.CHROM_COL).distinct(),
+        # Present-chromosome probe. For path= input the Sequence column
+        # never evaluates (our FASTA parser cannot emit a NULL sequence), so
+        # the probe stays column-pruned: a key scan, not a second full chunk
+        # split (measured ~1s/call at 2.5 MB, r9). A user-SUPPLIED table can
+        # carry NULL sequences, and a bare key probe would mark those
+        # chromosomes present (split(NULL) -> zero chunks -> Seq ''), where
+        # the broadcast plan yields NULL (substring of NULL) — so there the
+        # probe filters nulls, matching broadcast exactly (ADVICE r9).
+        have=(
+            seqs if from_path else seqs.filter(F.col("__chromseq__").isNotNull())
+        ).select(nm.CHROM_COL).distinct(),
     )
 
 

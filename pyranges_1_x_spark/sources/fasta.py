@@ -107,6 +107,11 @@ def read_fasta_tiles(
                 rows = []
                 for chrom, seq in zip(whole["Chromosome"], whole["Sequence"]):
                     if not seq:
+                        # a sequence-less header is still a PRESENT
+                        # chromosome: keep one empty tile so the pre-tiled
+                        # get_sequence probe yields Seq='' (matching the
+                        # broadcast plan), not null-for-absent
+                        rows.append((chrom, 0, ""))
                         continue
                     for tid in range(0, (len(seq) + s - 1) // s):
                         rows.append((chrom, tid, seq[tid * s : (tid + 1) * s]))

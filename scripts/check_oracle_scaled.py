@@ -70,6 +70,19 @@ def main() -> int:
     # wrapper replica keeps every query's own plan untouched.
     orig_a, orig_b = em._gr_a, em._gr_b
 
+    def _assert_headroom(g, side):
+        # row_id*16+rep adds 4 bits on top of the fixture's 63-bit radix id.
+        # Past ~2^59 (sf ~0.18+) the multiply overflows int64 — DuckDB errors
+        # loudly but non-ANSI Spark WRAPS silently, so fail here with a clear
+        # message instead of an engine-dependent one (ADVICE r9).
+        hi = g.df.select(F.max("row_id")).first()[0] or 0
+        if hi >= 1 << 59:
+            raise SystemExit(
+                f"fixture {side}: max(row_id)={hi} >= 2^59; the {N_REPS}x"
+                " densify (row_id*16+rep) would overflow int64 — run at a"
+                " smaller sf"
+            )
+
     def _densify(g):
         reps = spark.range(N_REPS).select(F.col("id").alias("rep"))
         df = (
@@ -79,8 +92,20 @@ def main() -> int:
         )
         return GenomicRanges(df, bin_size=g._bin_size)
 
-    em._gr_a = lambda s, d: _densify(orig_a(s, d))
-    em._gr_b = lambda s, d: _densify(orig_b(s, d))
+    _checked: set = set()
+
+    def _wrap(orig, side):
+        def inner(s, d):
+            g = orig(s, d)
+            if side not in _checked:  # one max() job per side, not per query
+                _assert_headroom(g, side)
+                _checked.add(side)
+            return _densify(g)
+
+        return inner
+
+    em._gr_a = _wrap(orig_a, "a")
+    em._gr_b = _wrap(orig_b, "b")
 
     # --- DuckDB side: same replication, same SQL text discipline. The
     # oracle strings embed em._AB verbatim (asserted below), so swapping the

@@ -305,10 +305,14 @@ def test_assistant_prompt_and_export_docs(tmp_path):
         "pyranges_1_x_spark.ml.dedup.dedup_clusters",
     ):
         assert needle in docs, needle
-    # inherited-method dial: GenomicRanges re-exposes RangeFrame methods
-    # only under include_inherited
+    # inherited-docs dial: include_inherited=True copies each same-named
+    # kernel function's docstring into empty class-method delegator entries
+    # (assistant.py module docstring), so the blob must grow and carry the
+    # provenance marker.
     bigger = prs.assistant.export_docs(include_inherited=True)
     assert len(bigger) > len(docs)
+    assert "(docstring inherited from pyranges_1_x_spark.operators.merge.merge_overlaps)" in bigger
+    assert "(docstring inherited from" not in docs
     df = tmp_path / "docs.txt"
     assert prs.assistant.export_docs(to_file=df) is None
     assert df.read_text(encoding="utf-8") == docs

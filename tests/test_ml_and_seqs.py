@@ -928,3 +928,57 @@ def test_read_fasta_tiles_and_pretiled_get_sequence(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="requires tile_size"):
         gr.get_sequence(tiled_sequences=tiled_df)
+
+
+def test_get_sequence_empty_and_null_chromosome_all_plans(spark, tmp_path):
+    """Pin the present-vs-absent probe contract (seqs.py `have=`, commit
+    048c3d9 + r9 ADVICE): a chromosome PRESENT with an EMPTY sequence
+    yields Seq='' in every plan (broadcast, per-call tiled, pre-tiled),
+    a chromosome present with a NULL sequence yields Seq=NULL (matching
+    broadcast's substring-of-NULL) in every user-supplied-table plan, and
+    an absent chromosome yields NULL everywhere."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.sources.fasta import read_fasta_tiles, write_fasta
+
+    seqs = spark.createDataFrame(
+        [("chr1", "ACGTACGTAC"), ("chrE", ""), ("chrN", None)],
+        "Chromosome string, Sequence string",
+    )
+    rows = [
+        ("chr1", 2, 6),   # ordinary slice: GTAC
+        ("chrE", 0, 0),   # zero-length on the empty chromosome
+        ("chrE", 0, 5),   # past-the-end on the empty chromosome
+        ("chrN", 0, 5),   # NULL-sequence chromosome
+        ("chrX", 0, 5),   # absent chromosome
+    ]
+    gr = GenomicRanges(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["Chromosome", "Start", "End"])))
+    want = [
+        ("chr1", 2, 6, "GTAC"),
+        ("chrE", 0, 0, ""),
+        ("chrE", 0, 5, ""),
+        ("chrN", 0, 5, None),
+        ("chrX", 0, 5, None),
+    ]
+
+    def key(df):
+        pdf = df.toPandas()
+        return sorted(
+            (r.Chromosome, r.Start, r.End, None if pd.isna(r.Seq) else r.Seq)
+            for r in pdf.itertuples()
+        )
+
+    assert key(gr.get_sequence(seqs).df) == sorted(want)               # broadcast
+    assert key(gr.get_sequence(seqs, tile_size=4).df) == sorted(want)  # tiled
+
+    # pre-tiled: a FASTA round-trip keeps chrE as a sequence-less header
+    # (FASTA cannot carry NULL, so chrN is out of scope on this plan)
+    p = str(tmp_path / "g.fa")
+    write_fasta(p, [("chr1", "ACGTACGTAC"), ("chrE", "")], width=4)
+    tiled_df = read_fasta_tiles(spark, p, tile_size=4)
+    want_fa = [w for w in want if w[0] != "chrN"] + [("chrN", 0, 5, None)]
+    assert key(gr.get_sequence(tiled_sequences=tiled_df, tile_size=4).df) == sorted(
+        want_fa
+    )
