@@ -366,6 +366,23 @@ def q_merge_stranded(spark, sf_dir):
     return a.merge_overlaps(use_strand=True, count_col="n_intervals").df
 
 
+def q_bucketed_merge(spark, sf_dir):
+    """write_bucketed/read_bucketed registry gate (VERDICT r9 #7): persist
+    the a-fixture bucketed by Chromosome (sorted by Start,End) into the
+    session warehouse, read it back through the catalog, and run the
+    unstranded island merge on it. Bucketing is a LAYOUT contract, not a
+    semantic one — values must match the plain-relation oracle exactly;
+    the exchange-free aggregation plan over the bucketed scan is asserted
+    in tests/test_io_and_ratio.py and visible to plan_audit."""
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    a = _gr_a(spark, sf_dir)
+    write_bucketed(a.df, "sg_bucketed_a", buckets=8)
+    g = GenomicRanges(read_bucketed(spark, "sg_bucketed_a"))
+    return g.merge_overlaps(use_strand=False, count_col="n_intervals").df
+
+
 def q_cluster(spark, sf_dir):
     a = _gr_a(spark, sf_dir)
     return a.cluster_overlaps(use_strand=False).df
@@ -1752,76 +1769,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows past position 50 stay covered every round by the local full-registry
     gate (scripts/check_oracle.py).
 
-    r9 window = the 35 queries ungated in CORRECTNESS_r08.json (r8 registry
-    positions 51-85, events_hourly..forbes_stat) + 1 NEW gate
-    (get_sequence_tiled — the tiled plan's first driver gate, VERDICT r8 #5)
-    + 14 fills from this round's changed code paths (streaming_dedup gate
-    hardened to countDistinct; annotate_stream/windowed_coverage stream-vs-
-    batch-twin property tests; get_sequence sizing memo: fasta_roundtrip,
-    extend_orfs; CC round-count instrumentation: dedup_clusters,
-    semantic_dedup; minhash_lsh interleaved re-measure; and the five
-    pair-heavy queries value-checked at 10x density by
-    scripts/check_oracle_scaled.py: join_inner, count_overlaps, subtract,
-    nearest, coverage — plus merge_stranded, same binned-join planner)."""
+    r10 window = the 36 queries ungated in CORRECTNESS_r09.json (r9 registry
+    positions 51-86, upstream_flank..sort_rank) + 1 NEW gate
+    (bucketed_merge — write_bucketed/read_bucketed's first driver gate,
+    VERDICT r9 #7) + 13 fills from this round's changed code paths
+    (get_sequence probe/sizing-memo + read_fasta_tiles empty-tile fix:
+    get_sequence_tiled, fasta_roundtrip, extend_orfs; streaming SCALING
+    rows: annotate_stream, windowed_coverage; scripts/check_oracle_scaled
+    radix-guard change re-runs its six defaults: join_inner,
+    count_overlaps, subtract, nearest, coverage, merge_stranded; plus the
+    two iterative-session queries last-in-window: dedup_clusters,
+    semantic_dedup)."""
     return {
-        # --- not driver-gated in r8 (registry positions 51-85 last round) ---
-        "events_hourly": q_events_hourly,
-        "sessions": q_sessions,
-        "map_to_global": q_map_to_global,
-        "map_to_local": q_map_to_local,
-        "count_matrix": q_count_matrix,
-        "token_jaccard": q_token_jaccard,
-        "doc_signature_dedup": q_doc_signature_dedup,
-        "doc_quality": q_doc_quality,
-        "doc_langid": q_doc_langid,
-        "ann_topk": q_ann_topk,
-        "lsh_topk": q_lsh_topk,
-        "simhash": q_simhash,
-        "tpch_pricing": q_tpch_pricing,
-        "extend": q_extend,
-        "window_ranges": q_window_ranges,
-        "group_cumsum": q_group_cumsum,
-        "five_end": q_five_end,
-        "three_end": q_three_end,
-        "slice_10_60": q_slice_10_60,
-        "calc_frame": q_calc_frame,
-        "tile_genome": q_tile_genome,
-        "summary_stats": q_summary_stats,
-        "simes": q_simes,
-        "mcc": q_mcc,
-        "spearman_rows": q_spearman_rows,
-        "minhash_lsh_md5": q_minhash_lsh_md5,
-        "cosine_simjoin": q_cosine_simjoin,
-        "cluster": q_cluster,
-        "split": q_split,
-        "set_union": q_set_union,
-        "set_intersect": q_set_intersect,
-        "boundary": q_boundary,
-        "max_disjoint": q_max_disjoint,
-        "jaccard_stat": q_jaccard_stat,
-        "forbes_stat": q_forbes_stat,
-        # --- NEW r9 gate + r9-changed code paths (fills to slot 50) ---
-        "get_sequence_tiled": q_get_sequence_tiled,
-        "streaming_dedup": q_streaming_dedup,
-        "annotate_stream": q_annotate_stream,
-        "windowed_coverage": q_windowed_coverage,
-        "fasta_roundtrip": q_fasta_roundtrip,
-        "extend_orfs": q_extend_orfs,
-        "minhash_lsh": q_minhash_lsh,  # hash-exact as of r8 (DuckDB xxhash64 UDF)
-        "join_inner": q_join_inner,
-        "count_overlaps": q_count_overlaps,
-        "subtract": q_subtract,
-        "nearest": q_nearest,
-        "coverage": q_coverage,
-        "merge_stranded": q_merge_stranded,
-        # Iterative-session queries (localCheckpoint/persist state) run LAST
-        # inside the driver's 50-row gate window: if a memory-tight harness
-        # session ever dies here, only these rows are lost instead of every
-        # row after them (observed failure shape in the local gate before
-        # the 8g fix).
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        # --- past the 50-row driver window: r8-driver-green, local gate only ---
+        # --- not driver-gated in r9 (registry positions 51-86 last round) ---
         "upstream_flank": q_upstream_flank,
         "downstream_flank": q_downstream_flank,
         "join_first": q_join_first,
@@ -1858,6 +1818,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "overlap_semi": q_overlap_semi,
         "tile": q_tile,
         "sort_rank": q_sort_rank,
+        # --- NEW r10 gate + r10-changed code paths (fills to slot 50) ---
+        "bucketed_merge": q_bucketed_merge,
+        "get_sequence_tiled": q_get_sequence_tiled,
+        "fasta_roundtrip": q_fasta_roundtrip,
+        "extend_orfs": q_extend_orfs,
+        "annotate_stream": q_annotate_stream,
+        "windowed_coverage": q_windowed_coverage,
+        "join_inner": q_join_inner,
+        "count_overlaps": q_count_overlaps,
+        "subtract": q_subtract,
+        "nearest": q_nearest,
+        "coverage": q_coverage,
+        "merge_stranded": q_merge_stranded,
+        # Iterative-session queries (localCheckpoint/persist state) run LAST
+        # inside the driver's 50-row gate window: if a memory-tight harness
+        # session ever dies here, only these rows are lost instead of every
+        # row after them (observed failure shape in the local gate before
+        # the 8g fix).
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        # --- past the 50-row driver window: r9-driver-green, local gate only ---
+        "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
+        "map_to_global": q_map_to_global,
+        "map_to_local": q_map_to_local,
+        "count_matrix": q_count_matrix,
+        "token_jaccard": q_token_jaccard,
+        "doc_signature_dedup": q_doc_signature_dedup,
+        "doc_quality": q_doc_quality,
+        "doc_langid": q_doc_langid,
+        "ann_topk": q_ann_topk,
+        "lsh_topk": q_lsh_topk,
+        "simhash": q_simhash,
+        "tpch_pricing": q_tpch_pricing,
+        "extend": q_extend,
+        "window_ranges": q_window_ranges,
+        "group_cumsum": q_group_cumsum,
+        "five_end": q_five_end,
+        "three_end": q_three_end,
+        "slice_10_60": q_slice_10_60,
+        "calc_frame": q_calc_frame,
+        "tile_genome": q_tile_genome,
+        "summary_stats": q_summary_stats,
+        "simes": q_simes,
+        "mcc": q_mcc,
+        "spearman_rows": q_spearman_rows,
+        "minhash_lsh": q_minhash_lsh,  # hash-exact as of r8 (DuckDB xxhash64 UDF)
+        "minhash_lsh_md5": q_minhash_lsh_md5,
+        "cosine_simjoin": q_cosine_simjoin,
+        "cluster": q_cluster,
+        "split": q_split,
+        "set_union": q_set_union,
+        "set_intersect": q_set_intersect,
+        "boundary": q_boundary,
+        "max_disjoint": q_max_disjoint,
+        "jaccard_stat": q_jaccard_stat,
+        "forbes_stat": q_forbes_stat,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -1909,6 +1927,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(b.row_id) AS BIGINT) AS n_overlaps
             FROM a LEFT JOIN b ON {ov_ab}
             GROUP BY a.row_id, a.Chromosome, a.Start, a."End", a.Strand, a.Score
+        """,
+        "bucketed_merge": f"""
+            {_AB},
+            {_merged_runs("a", ["Chromosome"], "bmr")}
+            SELECT r.Chromosome, r.s AS Start, r.e AS "End",
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals
+            FROM bmr r JOIN a
+              ON a.Chromosome = r.Chromosome
+             AND a.Start >= r.s AND a.Start < r.e
+            GROUP BY r.Chromosome, r.s, r.e
         """,
         "merge_stranded": f"""
             {_AB},

@@ -45,7 +45,24 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as a bucketed+sorted Spark table (parquet under the
     session warehouse). ``buckets`` should be sized so one bucket of the
-    largest stratum fits an executor's memory at the target scale."""
+    largest stratum fits an executor's memory at the target scale.
+
+    With the default in-memory catalog, a managed table written by a
+    PREVIOUS session leaves its warehouse directory behind while the new
+    session's catalog has no entry for it — ``mode='overwrite'`` then
+    fails with LOCATION_ALREADY_EXISTS on the orphan. Overwrite therefore
+    clears both the catalog entry and the orphan location first (Hadoop
+    FS API, so any filesystem works)."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        if "." not in table:  # unqualified -> default db at the warehouse root
+            wh = spark.conf.get("spark.sql.warehouse.dir")
+            jvm = spark._jvm
+            loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+            fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(loc):
+                fs.delete(loc, True)
     (
         df.write.format("parquet")
         .mode(mode)
