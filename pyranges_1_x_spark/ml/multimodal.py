@@ -4,13 +4,22 @@ Images/audio/video ride as `binary` columns with a metadata struct; decode /
 feature-extract / resize / frame-sample run as Arrow-batched `mapInPandas`
 UDFs.
 
-Decode kernels: uncompressed netpbm images (binary PGM "P5" / PPM "P6") are
-decoded FOR REAL — pure stdlib header parse + numpy frombuffer, no image
-library needed — including real pixel-statistics features and real
-nearest-neighbor resize with P6 re-encode. Compressed formats (JPEG/PNG/
-audio/video) remain STUBS (clearly marked below; the container ships no
-codec libs — a real deployment plugs PIL/ffmpeg/torchaudio into the same
-Arrow batch path, which is what the tests pin).
+Decode kernels: three formats decode FOR REAL with pure stdlib parsing +
+numpy — no codec library needed:
+
+* netpbm images (binary PGM "P5" / PPM "P6"): header parse + frombuffer,
+  real pixel-statistics features, real nearest-neighbor resize with
+  re-encode;
+* uncompressed BMP images (BITMAPINFOHEADER, 8bpp-grayscale-palette or
+  24bpp BI_RGB, bottom-up or top-down): struct header parse, row-padding
+  and BGR->RGB handled, same feature/resize kernels, BMP re-encode;
+* PCM WAV audio (8/16-bit, any channel count): stdlib ``wave`` +
+  frombuffer into sample-statistics features.
+
+COMPRESSED formats (JPEG/PNG/MP3/video codecs) remain STUBS (clearly
+marked below; the container ships no codec libs — a real deployment plugs
+PIL/ffmpeg/torchaudio into the same Arrow batch path, which is what the
+tests pin).
 """
 
 from __future__ import annotations
@@ -95,18 +104,180 @@ def decode_netpbm(payload: bytes):
     return arr.reshape(height, width, channels)
 
 
+def decode_bmp(payload: bytes):
+    """REAL image decode for uncompressed BMP payloads (BITMAPINFOHEADER,
+    BI_RGB): 24bpp BGR and 8bpp-with-palette (returned as grayscale via the
+    palette's green channel — the convention for grayscale BMPs, whose
+    palette entries are r==g==b). Handles 4-byte row padding and both
+    bottom-up (positive height) and top-down (negative height) storage.
+    Returns (height, width, channels) uint8 RGB/grayscale, or None when the
+    payload is not a decodable BMP."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:  # BITMAPCOREHEADER etc. out of scope
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or planes != 1 or bpp not in (8, 24) or width <= 0:
+        return None
+    top_down = height < 0
+    height = abs(height)
+    if height == 0:
+        return None
+    bytes_per_px = bpp // 8
+    stride = (width * bytes_per_px + 3) & ~3  # rows pad to 4-byte boundary
+    need = stride * height
+    if len(payload) - data_off < need:
+        return None
+    raw = np.frombuffer(payload, dtype=np.uint8, count=need, offset=data_off)
+    rows = raw.reshape(height, stride)[:, : width * bytes_per_px]
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 24:
+        return np.ascontiguousarray(rows.reshape(height, width, 3)[:, :, ::-1])
+    # 8bpp: indices into the palette (BGRA quads between header and data)
+    pal_off = 14 + hdr_size
+    n_pal = (data_off - pal_off) // 4
+    if n_pal <= 0:
+        return None
+    pal = np.frombuffer(payload, dtype=np.uint8, count=n_pal * 4, offset=pal_off)
+    green = pal.reshape(n_pal, 4)[:, 1].copy()
+    idx = np.minimum(rows.reshape(height, width), n_pal - 1)
+    return green[idx][:, :, None]
+
+
+def encode_bmp(arr) -> bytes:
+    """Encode an (h, w) / (h, w, 1) uint8 array as an 8bpp grayscale BMP
+    (linear palette) or an (h, w, 3) RGB array as a 24bpp BMP — both
+    uncompressed BI_RGB, bottom-up, rows padded to 4 bytes."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    if c not in (1, 3):
+        raise ValueError(f"BMP encoder supports 1 or 3 channels, got {c}")
+    bpp = 8 if c == 1 else 24
+    stride = (w * (bpp // 8) + 3) & ~3
+    palette = (
+        b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256)) if c == 1 else b""
+    )
+    data_off = 14 + 40 + len(palette)
+    body = bytearray()
+    pad = bytes(stride - w * (bpp // 8))
+    for row in a[::-1]:  # bottom-up
+        body += (row[:, ::-1].tobytes() if c == 3 else row.tobytes()) + pad
+    file_size = data_off + len(body)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", file_size, 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, 0, len(body), 2835, 2835,
+                      256 if c == 1 else 0, 0)
+    )
+    return bytes(header) + palette + bytes(body)
+
+
+def decode_image(payload: bytes):
+    """Dispatch over the REAL image decoders (netpbm, then BMP); None when
+    neither format matches."""
+    img = decode_netpbm(payload)
+    return img if img is not None else decode_bmp(payload)
+
+
+def decode_wav(payload: bytes):
+    """REAL audio decode for PCM WAV payloads (8-bit unsigned / 16-bit
+    signed, any channel count) via stdlib ``wave``. Returns
+    ``(samples, sample_rate)`` with samples shaped (n_frames, n_channels)
+    as float64 in [-1, 1], or None when the payload is not decodable PCM."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            width = wf.getsampwidth()
+            if width not in (1, 2):
+                return None
+            n_ch = wf.getnchannels()
+            rate = wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if width == 1:
+        samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    if n_ch > 1:
+        samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)
+    else:
+        samples = samples[:, None]
+    return samples, rate
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Encode float samples in [-1, 1] (1-D mono or (n, ch)) as 16-bit PCM
+    WAV bytes."""
+    import io
+    import wave
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    pcm = np.clip(np.round(a * 32767.0), -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(a.shape[1])
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
 def _decode_payload(payload: bytes, kind: str) -> list[float]:
-    """Decode kernel. Binary netpbm images decode FOR REAL (see
-    ``decode_netpbm``) into pixel-statistics features: [width, height,
-    channels, per-channel-mean mean, per-channel-std mean, min, max,
-    pixel count]. Everything else falls through to the STUB byte-moments
-    path (a real deployment plugs PIL/ffmpeg/torchaudio there —
-    deterministic fake so tests and benchmarks exercise the exact Arrow
-    batch path a real decoder would use).
+    """Decode kernel. Binary netpbm and uncompressed BMP images decode FOR
+    REAL (``decode_netpbm``/``decode_bmp``) into pixel-statistics features:
+    [width, height, channels, per-channel-mean mean, per-channel-std mean,
+    min, max, pixel count]. PCM WAV audio decodes FOR REAL (``decode_wav``)
+    into sample statistics: [n_frames, n_channels, sample_rate, mean, std,
+    min, max, duration_seconds]. Everything else (compressed codecs) falls
+    through to the STUB byte-moments path (a real deployment plugs
+    PIL/ffmpeg/torchaudio there — deterministic fake so tests and
+    benchmarks exercise the exact Arrow batch path a real decoder would
+    use).
     """
     if payload is None:
         return [0.0] * 8
-    img = decode_netpbm(payload) if kind == "image" else None
+    if kind == "audio":
+        wav = decode_wav(payload)
+        if wav is not None:
+            samples, rate = wav
+            n, ch = samples.shape
+            return [
+                float(n),
+                float(ch),
+                float(rate),
+                float(samples.mean()) if n else 0.0,
+                float(samples.std()) if n else 0.0,
+                float(samples.min()) if n else 0.0,
+                float(samples.max()) if n else 0.0,
+                float(n / rate) if rate else 0.0,
+            ]
+    img = decode_image(payload) if kind == "image" else None
     if img is not None:
         import numpy as np
 
@@ -212,13 +383,13 @@ def synthetic_netpbm_media(spark, n: int = 20) -> DataFrame:
 
 
 def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
-    """Resize kernel. Binary netpbm payloads resize FOR REAL — numpy
-    nearest-neighbor index sampling (``floor(i * src / dst)``, the classic
-    NN grid) re-encoded as the same netpbm flavor. Other payloads fall
-    through to the STUB byte-striding path (PIL's `Image.resize` in a real
-    deployment; deterministic fake so the binary-in -> binary-out Arrow
-    round-trip is testable without PIL)."""
-    img = decode_netpbm(payload)
+    """Resize kernel. Binary netpbm and uncompressed BMP payloads resize
+    FOR REAL — numpy nearest-neighbor index sampling (``floor(i * src /
+    dst)``, the classic NN grid) re-encoded as the same format they came
+    in. Other payloads fall through to the STUB byte-striding path (PIL's
+    `Image.resize` in a real deployment; deterministic fake so the
+    binary-in -> binary-out Arrow round-trip is testable without PIL)."""
+    img = decode_image(payload)
     if img is not None:
         import numpy as np
 
@@ -226,6 +397,8 @@ def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
         rows = (np.arange(height) * h) // height
         cols = (np.arange(width) * w) // width
         out = img[rows][:, cols]
+        if payload[:2] == b"BM":
+            return encode_bmp(out)
         magic = b"P5" if c == 1 else b"P6"
         header = magic + b"\n" + f"{width} {height}\n255\n".encode("ascii")
         return header + out.tobytes()
