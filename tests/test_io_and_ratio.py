@@ -282,3 +282,35 @@ def test_bucketed_join_colocates_on_exact_bucket_key(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_ja")
         spark.sql("DROP TABLE IF EXISTS t_jb")
+
+
+def test_write_bucketed_overwrites_orphan_warehouse_dir(spark):
+    """With the in-memory catalog, a managed table's directory left behind
+    by a PREVIOUS session has no catalog entry — CREATE used to fail with
+    LOCATION_ALREADY_EXISTS. write_bucketed(mode='overwrite') must clear
+    the orphan location and succeed (sources/bucketed.py)."""
+    import os
+    import urllib.parse
+
+    from pyranges_1_x_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    df = spark.createDataFrame(
+        [("chr1", 0, 5, 1), ("chr2", 3, 9, 2)],
+        "Chromosome string, Start long, End long, Score long",
+    )
+    tbl = "t_orphan_bucketed"
+    wh = urllib.parse.urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    loc = os.path.join(wh, tbl)
+    try:
+        # fabricate the cross-session orphan: directory exists, catalog clean
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        os.makedirs(loc, exist_ok=True)
+        with open(os.path.join(loc, "leftover.parquet"), "wb") as fh:
+            fh.write(b"junk")
+        write_bucketed(df, tbl, buckets=2)
+        assert read_bucketed(spark, tbl).count() == 2
+        # and plain repeated overwrite (catalog entry present) still works
+        write_bucketed(df, tbl, buckets=2)
+        assert read_bucketed(spark, tbl).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
