@@ -1159,6 +1159,64 @@ def q_fasta_roundtrip(spark, sf_dir):
     )
 
 
+def q_translate_cds(spark, sf_dir):
+    """translate_cds driver gate over its r10 sqrt-chunked plan
+    (functions/seqs.py:40): each document's text stripped to its ACGT
+    alphabet becomes a deterministic variable-length mixed-case "CDS"
+    (sub-codon rows, partial-codon tails, and multi-chunk rows all occur
+    naturally in prose), translated with the standard genetic code. The
+    oracle replays the identical codon walk as a DuckDB 64-branch CASE
+    inside list_transform — value-exact on the amino-acid string, so any
+    chunk-boundary off-by-one (c = ceil(sqrt(n_codons)) codons per chunk)
+    or partial-codon leak shows as a hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.functions.seqs import translate_cds
+
+    _load(spark, sf_dir, ["documents"])
+    # Materialize the regex strip in its own projection: the chunk lambda
+    # references `seq` per chunk, and an inlined regexp_replace would be
+    # re-evaluated each time (higher-order functions get no common-
+    # subexpression elimination). Two non-cheap consumers below also stop
+    # CollapseProject from merging the projections.
+    docs = spark.table("documents").select(
+        "doc_id", F.regexp_replace(F.col("text"), "[^ACGTacgt]", "").alias("seq")
+    )
+    return docs.select(
+        F.col("doc_id"),
+        F.length("seq").cast("long").alias("n_bases"),
+        translate_cds(F.col("seq")).alias("aa"),
+    )
+
+
+def _translate_oracle_sql() -> str:
+    """DuckDB twin of translate_cds: the 64-codon standard table as a CASE
+    expression applied per complete codon; trailing 1-2 chars drop via the
+    length//3 bound, <3-char sequences yield '' (matching the Spark
+    when/otherwise guard)."""
+    from pyranges_1_x_spark.functions.seqs import STANDARD_CODE
+
+    branches = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in STANDARD_CODE.items()
+    )
+    return f"""
+        WITH s AS (
+          SELECT doc_id,
+                 regexp_replace(text, '[^ACGTacgt]', '', 'g') AS raw,
+                 upper(regexp_replace(text, '[^ACGTacgt]', '', 'g')) AS seq
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS n_bases,
+               array_to_string(
+                 list_transform(range(length(seq) // 3),
+                   i -> CASE substr(seq, CAST(i * 3 + 1 AS BIGINT), 3)
+                        {branches} ELSE 'X' END),
+                 '') AS aa
+        FROM s
+    """
+
+
 #: Deterministic per-position base picker shared verbatim by the Spark
 #: generator and the DuckDB oracle (q_get_sequence_tiled). (i*i) % 1000003
 #: is locally aperiodic — a period-4 LCG-mod-4 pattern would make any
@@ -1774,12 +1832,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (bucketed_merge — write_bucketed/read_bucketed's first driver gate,
     VERDICT r9 #7) + 13 fills from this round's changed code paths
     (get_sequence probe/sizing-memo + read_fasta_tiles empty-tile fix:
-    get_sequence_tiled, fasta_roundtrip, extend_orfs; streaming SCALING
-    rows: annotate_stream, windowed_coverage; scripts/check_oracle_scaled
-    radix-guard change re-runs its six defaults: join_inner,
-    count_overlaps, subtract, nearest, coverage, merge_stranded; plus the
-    two iterative-session queries last-in-window: dedup_clusters,
-    semantic_dedup)."""
+    get_sequence_tiled, fasta_roundtrip, extend_orfs; the r10 sqrt-chunked
+    translate_cds rewrite: translate_cds — its FIRST driver gate, displacing
+    count_overlaps to just past the window since the radix-guard change that
+    justified that refill touched only scripts/, not the engine; streaming
+    SCALING rows: annotate_stream, windowed_coverage; scripts/
+    check_oracle_scaled radix-guard re-runs: join_inner, subtract, nearest,
+    coverage, merge_stranded; plus the two iterative-session queries
+    last-in-window: dedup_clusters, semantic_dedup)."""
     return {
         # --- not driver-gated in r9 (registry positions 51-86 last round) ---
         "upstream_flank": q_upstream_flank,
@@ -1823,10 +1883,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "get_sequence_tiled": q_get_sequence_tiled,
         "fasta_roundtrip": q_fasta_roundtrip,
         "extend_orfs": q_extend_orfs,
+        "translate_cds": q_translate_cds,
         "annotate_stream": q_annotate_stream,
         "windowed_coverage": q_windowed_coverage,
         "join_inner": q_join_inner,
-        "count_overlaps": q_count_overlaps,
         "subtract": q_subtract,
         "nearest": q_nearest,
         "coverage": q_coverage,
@@ -1839,6 +1899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
         # --- past the 50-row driver window: r9-driver-green, local gate only ---
+        "count_overlaps": q_count_overlaps,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "map_to_global": q_map_to_global,
@@ -2166,6 +2227,7 @@ def oracle_sql() -> dict[str, str]:
             FROM walk GROUP BY node
         """,
         "extend_orfs": _orf_oracle_sql(),
+        "translate_cds": _translate_oracle_sql(),
         "simhash": _simhash_oracle_sql(32),
         "minhash_lsh_md5": _minhash_oracle_sql(16, 8, 3),
         "minhash_lsh": _minhash_xxh_oracle_sql(32, 16, 3),

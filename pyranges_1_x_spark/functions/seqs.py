@@ -47,13 +47,25 @@ def translate_cds(
     incl. '+U' selenocysteine variants) or a custom {codon: aa} dict —
     see functions/genetic_codes.py.
 
-    Scale note: per-codon ``substring(seq, i*3+1, 3)`` is O(position) on
-    UTF8String, so translation is O(len^2/3) per row — immaterial for
-    typical CDS (<= a few kb) but ~1e9 char ops for a 100 kb outlier. The
-    fix, if such rows ever matter, is ROW-level chunking (posexplode
-    codon-aligned chunks, translate per chunk, reassemble) — NOT nested
-    array lambdas, which re-evaluate the chunk array per element
-    (measured 25x slower in the winnow experiment, ml/text.py)."""
+    Scale shape: per-element ``substring(s, pos, n)`` is O(pos) on
+    UTF8String, so the naive per-codon scan is O(len^2/3) per row (~1e9
+    char ops for a 100 kb CDS). This version chunks at sqrt granularity:
+    the sequence is cut into chunks of ``c = ceil(sqrt(n_codons))`` codons
+    (outer scan O(len^2 / 6c)), then each chunk — a BOUND lambda variable,
+    already materialized, so per-codon substrings scan only the chunk —
+    is translated codon-by-codon (inner O(len*c/2)). Total O(len^1.5),
+    minimized at c ~ sqrt(n_codons). The chunk array is the outer
+    transform's INPUT (evaluated once per row); nothing indexes an array
+    expression from inside a lambda, which Catalyst would inline and
+    re-evaluate per element (measured 25x slower in the winnow
+    experiment, ml/text.py).
+
+    Pass ``seq`` as a plain column reference when the sequence is derived
+    by a non-trivial expression: the chunk lambda references ``seq`` once
+    per chunk, and higher-order functions get no common-subexpression
+    elimination, so an inlined expensive expression (e.g. a regex strip)
+    would be re-evaluated O(sqrt(n_codons)) times per row — materialize
+    it in its own projection first (see __spark_entry__.q_translate_cds)."""
     from pyranges_1_x_spark.functions.genetic_codes import get_genetic_code
 
     code = get_genetic_code(code) if code is not None else STANDARD_CODE
@@ -62,10 +74,32 @@ def translate_cds(
         pairs += [F.lit(k), F.lit(v)]
     codon_map = F.create_map(*pairs)
     n_codons = F.floor(F.length(seq) / 3).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_codons - 1, F.lit(0)))
-    codons = F.transform(idx, lambda i: F.upper(F.substring(seq, i * 3 + 1, 3)))
-    aa = F.transform(codons, lambda c: F.coalesce(codon_map[c], F.lit(unknown)))
-    return F.when(F.length(seq) >= 3, F.concat_ws("", aa)).otherwise(F.lit(""))
+    # Chunk size in codons. sqrt balances the outer chunk extraction
+    # (O(position) per chunk start) against the inner per-codon scan
+    # (O(offset within chunk) per codon).
+    c = F.greatest(F.ceil(F.sqrt(n_codons)).cast("int"), F.lit(1))
+    n_chunks = F.ceil(n_codons / c).cast("int")
+    chunk_idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    # Every chunk start lies at a complete-codon boundary < n_codons, so
+    # each chunk holds >= 1 complete codon; a trailing partial codon (1-2
+    # chars spilling into the last chunk) is dropped by the inner floor.
+    chunks = F.transform(
+        chunk_idx, lambda j: F.upper(F.substring(seq, j * c * 3 + 1, c * 3))
+    )
+
+    def _translate_chunk(ch: Column) -> Column:
+        nc = F.floor(F.length(ch) / 3).cast("int")
+        ii = F.sequence(F.lit(0), F.greatest(nc - 1, F.lit(0)))
+        aa = F.transform(
+            ii,
+            lambda i: F.coalesce(
+                codon_map[F.substring(ch, i * 3 + 1, 3)], F.lit(unknown)
+            ),
+        )
+        return F.when(nc >= 1, F.concat_ws("", aa)).otherwise(F.lit(""))
+
+    aa_chunks = F.transform(chunks, _translate_chunk)
+    return F.when(F.length(seq) >= 3, F.concat_ws("", aa_chunks)).otherwise(F.lit(""))
 
 
 #: Auto-switch to the tiled plan above this many total sequence bytes.

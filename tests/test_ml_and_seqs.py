@@ -215,6 +215,40 @@ def test_genetic_code_tables():
         get_genetic_code(7)
 
 
+def test_translate_cds_chunked_matches_python_oracle(spark):
+    """The sqrt-chunked plan must translate byte-identically to a naive
+    Python oracle across lengths that exercise every chunk boundary shape:
+    empty, sub-codon, exact-chunk multiples, trailing partial codons,
+    lowercase, unknown codons, and a long (~30 kb) outlier row."""
+    import random
+
+    from pyranges_1_x_spark.functions.seqs import STANDARD_CODE, translate_cds
+
+    rng = random.Random(421)
+    lengths = [0, 1, 2, 3, 4, 5, 6, 8, 9, 26, 27, 28, 47, 48, 49, 300, 2999, 30_000]
+    rows = []
+    for i, n in enumerate(lengths):
+        s = "".join(rng.choice("ACGTacgtN") for _ in range(n))
+        rows.append((i, s))
+    rows.append((len(rows), None))
+
+    def oracle(s):
+        if s is None or len(s) < 3:
+            return ""
+        u = s.upper()
+        return "".join(
+            STANDARD_CODE.get(u[j : j + 3], "X") for j in range(0, len(u) - 2, 3)
+        )
+
+    df = spark.createDataFrame(rows, "i int, seq string")
+    got = {
+        r.i: r.aa
+        for r in df.select("i", translate_cds(F.col("seq")).alias("aa")).collect()
+    }
+    for i, s in rows:
+        assert got[i] == oracle(s), f"mismatch at row {i} (len={len(s or '')})"
+
+
 def test_translate_cds_alternate_tables(spark):
     from pyspark.sql import functions as F
 
