@@ -128,29 +128,46 @@ def winnow_fingerprints(
         from pyranges_1_x_spark.ml.dedup import xxhash64_fn
 
         hash_fn = xxhash64_fn
-    t = F.trim(F.col(text_col))
-    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
     # Hash the k-grams row-locally into ONE long array, then posexplode the
     # array: exploding positions first and substring-ing afterwards copies
     # the FULL document text into every per-position generator row —
     # len(text) rows x len(text) bytes per doc through the exploded
-    # projection, quadratic in doc size. At sf0.1's short docs that is only
-    # a ~1.1-1.2x warm win (interleaved A/B, values bit-equal), but the
-    # exploded relation here is (id, pos, long) regardless of doc length,
-    # which is the shape that survives book-length documents.
-    # NOTE (r8, measured): per-position F.substring is O(position) on
-    # UTF8String, so this stage is O(len^2) per doc — negligible at this
-    # corpus's ~300-char docs (2.1s total at sf0.1). A chunked rewrite in
-    # the extend_orfs-tile style (\G-split + per-chunk grams via nested
-    # transform/element_at lambdas) measured 55s — 25x SLOWER: nested
-    # array lambdas re-evaluate the split array per element. If book-length
-    # docs ever land here, chunk at the ROW level (posexplode chunks with a
-    # k-1 pad, then per-chunk arrays) instead of inside one expression.
-    h_arr = F.transform(
-        F.sequence(F.lit(0), n_grams - 1),
-        lambda i: hash_fn(F.substring(t, i + 1, k)),
-    )
-    d = df.select(
+    # projection, quadratic in doc size. The exploded relation here is
+    # (id, pos, long) regardless of doc length, which is the shape that
+    # survives book-length documents.
+    #
+    # Per-element F.substring is O(position) on UTF8String, so hashing the
+    # grams straight off the document is O(len^2) per doc. Fixed (r10) the
+    # same way as functions/seqs.py translate_cds: cut the document into
+    # chunks of c = ceil(sqrt(n_grams)) gram-starts with a k-1 char overlap
+    # so boundary-spanning grams stay intact. The chunk array is the OUTER
+    # transform's input — each chunk a bound, materialized lambda variable,
+    # so inner per-gram substrings scan only the chunk — total char scans
+    # O(len^1.5). (The r8 attempt that measured 25x SLOWER indexed a
+    # \G-split array from INSIDE a lambda, which Catalyst inlines and
+    # re-evaluates per element; binding chunks as lambda variables is the
+    # shape that avoids it.) __t__ is materialized in its own projection so
+    # the chunk lambda references an attribute, not an inlined trim().
+    base = df.select(F.col(id_col), F.trim(F.col(text_col)).alias("__t__"))
+    t = F.col("__t__")
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+    c = F.greatest(F.ceil(F.sqrt(n_grams)).cast("int"), F.lit(1))
+    n_chunks = F.ceil(n_grams / c).cast("int")
+    chunk_idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(chunk_idx, lambda j: F.substring(t, j * c + 1, c + k - 1))
+
+    def _chunk_hashes(ch: Column) -> Column:
+        # Grams starting in this chunk: length(ch)-k+1 — exact for every
+        # chunk (the last chunk's substring is truncated to just cover its
+        # own gram starts). greatest(..,1) reproduces the whole-document
+        # plan's position-0 hash for sub-k documents (t shorter than k).
+        ng = F.greatest(F.length(ch) - k + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), ng - 1), lambda i: hash_fn(F.substring(ch, i + 1, k))
+        )
+
+    h_arr = F.flatten(F.transform(chunks, _chunk_hashes))
+    d = base.select(
         F.col(id_col),
         F.posexplode(h_arr).alias("__pos__", "__h__"),
     )
