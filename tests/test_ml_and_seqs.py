@@ -265,6 +265,34 @@ def test_translate_cds_alternate_tables(spark):
     assert got.t2u == "MU*"  # +U: TGA=selenocysteine
 
 
+def test_winnow_fingerprints_long_doc_python_oracle(spark):
+    """Pin the r10 overlap-chunked gram hashing on a document long enough to
+    span many chunks (~20 kb, c = ceil(sqrt(n_grams)) ~ 142): the fingerprint
+    set must equal a brute-force Python winnow built on the Spark-exact xxh64
+    twin (ml/xxh64.py). Catches chunk-boundary off-by-ones (a lost or
+    duplicated boundary gram shifts window minima) independently of the old
+    plan."""
+    import random
+
+    from pyranges_1_x_spark.ml.text import winnow_fingerprints
+    from pyranges_1_x_spark.ml.xxh64 import spark_xxhash64_str
+
+    k, window = 5, 4
+    rng = random.Random(77)
+    text = "".join(rng.choice("abcdefg hij") for _ in range(20_000)).strip()
+    hashes = [
+        spark_xxhash64_str(text[i : i + k]) for i in range(max(len(text) - k + 1, 1))
+    ]
+    expect = set()
+    for pos, h in enumerate(hashes):
+        if h == min(hashes[max(pos - window + 1, 0) : pos + 1]):
+            expect.add(h)
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.fp for r in winnow_fingerprints(df, k=k, window=window).collect()}
+    assert got == expect
+
+
 def test_winnow_fingerprints_robust_to_insertion(spark):
     from pyranges_1_x_spark.ml.text import winnow_fingerprints
 
