@@ -1,0 +1,135 @@
+"""Correctness at 10x DOCUMENT LENGTH, the text twin of check_oracle_scaled.
+
+check_oracle_scaled densifies the INTERVAL fixtures to prove the pair-heavy
+planners value-exact at scale shapes. The r10 sqrt-chunked string plans
+(translate_cds in functions/seqs.py, winnow_fingerprints' gram hashing in
+ml/text.py) scale along a different axis — characters per row — and their
+chunk count c = ceil(sqrt(n)) grows with it, so a length-10x replica
+exercises chunk-boundary arithmetic the sf0.01 gate (~300-char docs, a
+handful of chunks) never reaches (~30 chunks/doc at 3 kb).
+
+Construction: the ``documents`` view is swapped for a twin whose text is
+``repeat(text, 10)`` — computed independently by Spark (F.repeat) and DuckDB
+(repeat()) from the same parquet, so the value-hash discipline of
+check_oracle.py carries over unchanged. Every other column is untouched
+(n_chars stays the ORIGINAL length on both sides, deliberately — the gated
+queries read only doc_id/text).
+
+Usage: python scripts/check_oracle_longdocs.py [sf_dir] [query ...]
+Default queries: translate_cds, winnow (the two chunked plans).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from check_oracle import normalize  # noqa: E402  (shared canonicalizer)
+
+DEFAULT_QUERIES = ["translate_cds", "winnow"]
+N_REPS = 10
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:] or DEFAULT_QUERIES
+
+    import __spark_entry__ as em
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[16]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+
+    # Spark side: queries reach documents only through em._load's temp view;
+    # wrap it so the view is the 10x-length twin. Queries' own plans are
+    # untouched.
+    orig_load = em._load
+
+    def _load_long(s, d, tables=None):
+        orig_load(s, d, tables)
+        if tables is None or "documents" in tables:
+            base = s.read.parquet(f"{d}/documents.parquet")
+            base.select(
+                "doc_id",
+                F.repeat(F.col("text"), N_REPS).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            ).createOrReplaceTempView("documents")
+
+    em._load = _load_long
+
+    con = duckdb.connect()
+    for t in em.TABLES:
+        if t == "documents":
+            con.execute(
+                f"CREATE VIEW documents AS SELECT doc_id, repeat(text, {N_REPS})"
+                f" AS text, lang, source, n_chars FROM '{sf_dir}/{t}.parquet'"
+            )
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = em.queries(), em.oracle_sql()
+    failures = []
+    for name in only:
+        t0 = time.time()
+        try:
+            got = qs[name](spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        try:
+            exp = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {e}")
+            failures.append(name)
+            continue
+        t_duck = time.time() - t0
+        if sorted(got.columns) != sorted(exp.columns):
+            print(f"FAIL {name}: columns {sorted(got.columns)} vs {sorted(exp.columns)}")
+            failures.append(name)
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rowcount {len(got)} vs {len(exp)}")
+            failures.append(name)
+            continue
+        g, e = normalize(got), normalize(exp)
+        try:
+            pd.testing.assert_frame_equal(g, e, check_exact=True)
+            print(
+                f"PASS {name} @10x-length: rows={len(got)}"
+                f" [spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
+            )
+        except AssertionError as ex:
+            print(f"FAIL {name}: values differ: {str(ex)[:400]}")
+            failures.append(name)
+
+    spark.stop()
+    if failures:
+        print(f"\n{len(failures)} FAILURES: {failures}")
+        return 1
+    print("\nALL PASS (10x-length)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
