@@ -68,12 +68,23 @@ def md5_hash64(c: Column, seed: int | None = None) -> Column:
 
 
 def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-shingles as a distinct array (JVM-side: split + transform + slice)."""
+    """Word k-shingles as a distinct array (JVM-side: split + transform + slice).
+
+    The token array is bound as a lambda variable of a one-element outer
+    transform so the split runs ONCE per row; slicing the split expression
+    directly from the inner lambda would inline it and re-run the split per
+    shingle (higher-order functions get no common-subexpression
+    elimination — the r10 chunking lesson, functions/seqs.py)."""
     toks = F.split(F.trim(text), r"\s+")
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.concat_ws(" ", toks))))
+
+    def _sh(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - k, F.lit(0)))
+        all_sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k)))
+        return F.when(F.size(tk) >= k, all_sh).otherwise(
+            F.array(F.concat_ws(" ", tk))
+        )
+
+    return F.array_distinct(F.element_at(F.transform(F.array(toks), _sh), 1))
 
 
 def shingle_rows(
