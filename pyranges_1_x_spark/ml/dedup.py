@@ -148,11 +148,21 @@ def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3, hash_fn=xx
     """MinHash signature: for each of ``num_hashes`` seeded hash functions,
     the min over the document's shingles. Pure SQL expressions (codegen'd)."""
     sh = shingles(text, k)
-    mins = [
-        F.array_min(F.transform(sh, lambda s: hash_fn(s, i)))
-        for i in range(num_hashes)
-    ]
-    return F.array(*mins)
+
+    # Bind the shingle array once (one-element outer transform) so the
+    # split/slice/distinct pipeline runs once per row, not once per seed —
+    # each seeded min then scans the bound array only.
+    def _seed_min(shb: Column, i: int) -> Column:
+        # NOTE: capture the seed via this closure, NOT a defaulted lambda
+        # parameter — PySpark counts lambda parameters to decide how many
+        # lambda VARIABLES to bind, so `lambda s, _i=i:` would receive the
+        # element index as _i instead of the seed.
+        return F.array_min(F.transform(shb, lambda s: hash_fn(s, i)))
+
+    def _sig(shb: Column) -> Column:
+        return F.array(*[_seed_min(shb, i) for i in range(num_hashes)])
+
+    return F.element_at(F.transform(F.array(sh), _sig), 1)
 
 
 def minhash_signatures(
@@ -402,18 +412,30 @@ def simhash(text: Column, bits: int = 32, hash_fn=xxhash64_fn) -> Column:
         raise ValueError("bits must be in [1, 62]")
     toks = F.split(F.trim(text), r"\s+")
     hashes = F.transform(toks, lambda t: hash_fn(t))
-    bit_cols = []
-    for i in range(bits):
-        vote = F.aggregate(
-            hashes,
+
+    # Bind the token-hash array once (one-element outer transform) so the
+    # split + per-token hashing runs once per row, not once per bit — each
+    # bit's majority vote then folds over the bound array only.
+    def _bit_vote(hs: Column, i: int) -> Column:
+        # Seed captured via closure, not a defaulted lambda parameter (a
+        # third parameter would be bound as an extra lambda variable).
+        return F.aggregate(
+            hs,
             F.lit(0).cast("long"),
-            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        bit_cols.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)) * F.lit(2**i).cast("long"))
-    out = bit_cols[0]
-    for c in bit_cols[1:]:
-        out = out + c
-    return out
+
+    def _sig(hs: Column) -> Column:
+        out = None
+        for i in range(bits):
+            bit = F.when(_bit_vote(hs, i) > 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0)
+            ) * F.lit(2**i).cast("long")
+            out = bit if out is None else out + bit
+        return out
+
+    return F.element_at(F.transform(F.array(hashes), _sig), 1)
 
 
 def connected_components(
