@@ -287,18 +287,31 @@ def rowbased_rankdata(col) -> F.Column:
 
 def rowbased_pearson(x, y) -> F.Column:
     """Per-row Pearson correlation of two equal-length array columns
-    (reference ext/stats.py:453-504) as a single Catalyst expression."""
+    (reference ext/stats.py:453-504) as a single Catalyst expression.
+
+    The inputs are bound ONCE as a one-element outer-transform lambda
+    variable: the five moment aggregates below each consume their input
+    expression independently, so passing a derived array (e.g.
+    ``rowbased_rankdata``'s O(d^2) ranks, via ``rowbased_spearman``) would
+    otherwise be re-evaluated per aggregate."""
     x = x if isinstance(x, F.Column) else F.col(x)
     y = y if isinstance(y, F.Column) else F.col(y)
-    n = F.size(x).cast("double")
-    _sum = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v)  # noqa: E731
-    sx, sy = _sum(x), _sum(y)
-    sxx = _sum(F.transform(x, lambda v: v * v))
-    syy = _sum(F.transform(y, lambda v: v * v))
-    sxy = _sum(F.zip_with(x, y, lambda a, b: a * b))
-    num = n * sxy - sx * sy
-    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
-    return F.when(den != 0, num / den)
+
+    def _p(s: F.Column) -> F.Column:
+        xx, yy = s["x"], s["y"]
+        n = F.size(xx).cast("double")
+        _sum = lambda c: F.aggregate(c, F.lit(0.0), lambda acc, v: acc + v)  # noqa: E731
+        sx, sy = _sum(xx), _sum(yy)
+        sxx = _sum(F.transform(xx, lambda v: v * v))
+        syy = _sum(F.transform(yy, lambda v: v * v))
+        sxy = _sum(F.zip_with(xx, yy, lambda a, b: a * b))
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return F.when(den != 0, num / den)
+
+    return F.element_at(
+        F.transform(F.array(F.struct(x.alias("x"), y.alias("y"))), _p), 1
+    )
 
 
 def rowbased_spearman(x, y) -> F.Column:
