@@ -2231,7 +2231,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_oracle_sql(32),
         "minhash_lsh_md5": _minhash_oracle_sql(16, 8, 3),
         "minhash_lsh": _minhash_xxh_oracle_sql(32, 16, 3),
-        "fisher": """
+        "fisher": r"""
             WITH c AS (
               SELECT source,
                 CAST(SUM(CASE WHEN len(text) >= 400 AND len(regexp_split_to_array(trim(text), '\s+')) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS TP,
