@@ -17,7 +17,18 @@ planner family). Density multiplies PAIR outputs ~100x, so the default sf
 is 0.01: join_inner emits ~4.4M pairs there (vs ~406M at sf0.1 — a frame
 compare at that size proves nothing extra and swamps pandas).
 
-Usage: python scripts/check_oracle_scaled.py [sf_dir] [query ...]
+``--skew`` additionally moves every REPLICA row (rep > 0) onto chr1 in both
+twins, yielding a ~92% single-chromosome relation (rep 0 keeps the original
+coordinates, so the un-skewed fixture survives as an exact subset). This is
+the VALUE gate behind SCALING.md's skew TIMING rows: the binned planner's
+answers under a hot key are compared cell-by-cell against DuckDB, which has
+no notion of our bucketing, under the identical chromosome rewrite. Pair
+outputs grow ~4x over plain 10x-density (five chromosomes pooled into one),
+so run the pair-emitting queries (join_inner, subtract) at sf0.001 and the
+bounded-output ones (count_overlaps, nearest, coverage, merge_stranded) at
+sf0.01.
+
+Usage: python scripts/check_oracle_scaled.py [--skew] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -45,9 +56,16 @@ DEFAULT_QUERIES = [
 N_REPS = 10
 
 
+SKEW_CHROM = "chr1"  # ~92% of rows land here under --skew (1/5 + all 9 reps)
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:] or DEFAULT_QUERIES
+    argv = list(sys.argv[1:])
+    skew = "--skew" in argv
+    if skew:
+        argv.remove("--skew")
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:] or DEFAULT_QUERIES
 
     import __spark_entry__ as em
     from pyspark.sql import SparkSession
@@ -85,11 +103,20 @@ def main() -> int:
 
     def _densify(g):
         reps = spark.range(N_REPS).select(F.col("id").alias("rep"))
-        df = (
-            g.df.crossJoin(F.broadcast(reps))
-            .withColumn("row_id", F.col("row_id") * 16 + F.col("rep"))
-            .drop("rep")
+        df = g.df.crossJoin(F.broadcast(reps)).withColumn(
+            "row_id", F.col("row_id") * 16 + F.col("rep")
         )
+        if skew:
+            # Replicas (rep > 0) pile onto one chromosome; rep 0 keeps the
+            # original relation intact as an exact subset. Same CASE in the
+            # DuckDB twin below — both engines see the identical relation.
+            df = df.withColumn(
+                "Chromosome",
+                F.when(F.col("rep") == 0, F.col("Chromosome")).otherwise(
+                    F.lit(SKEW_CHROM)
+                ),
+            )
+        df = df.drop("rep")
         return GenomicRanges(df, bin_size=g._bin_size)
 
     _checked: set = set()
@@ -110,12 +137,17 @@ def main() -> int:
     # --- DuckDB side: same replication, same SQL text discipline. The
     # oracle strings embed em._AB verbatim (asserted below), so swapping the
     # prefix replicates a/b without touching any query's own SQL.
+    chrom_sql = (
+        f"CASE WHEN rep = 0 THEN Chromosome ELSE '{SKEW_CHROM}' END"
+        if skew
+        else "Chromosome"
+    )
     ab_scaled = (
         f"WITH a0 AS ({em._A_SQL}), b0 AS ({em._B_SQL}),"
         f" reps AS (SELECT * FROM generate_series(0, {N_REPS - 1}) t(rep)),"
-        ' a AS (SELECT row_id * 16 + rep AS row_id, Chromosome, Start,'
+        f' a AS (SELECT row_id * 16 + rep AS row_id, {chrom_sql} AS Chromosome, Start,'
         ' "End", Strand, Score FROM a0, reps),'
-        ' b AS (SELECT row_id * 16 + rep AS row_id, Chromosome, Start,'
+        f' b AS (SELECT row_id * 16 + rep AS row_id, {chrom_sql} AS Chromosome, Start,'
         ' "End", Strand, Score FROM b0, reps)'
     )
 
@@ -159,7 +191,7 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(g, e, check_exact=True)
             print(
-                f"PASS {name} @10x-density: rows={len(got)}"
+                f"PASS {name} @10x-density{'+skew' if skew else ''}: rows={len(got)}"
                 f" [spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
             )
         except AssertionError as ex:
@@ -170,7 +202,7 @@ def main() -> int:
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
-    print("\nALL PASS (10x-density)")
+    print(f"\nALL PASS (10x-density{'+skew' if skew else ''})")
     return 0
 
 
