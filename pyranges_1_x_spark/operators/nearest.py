@@ -251,15 +251,17 @@ def nearest_ranges(
         ).select(*_SID, *rsid, F.lit(0).cast("long").alias("__dist__"))
         cands.append(ov)
 
-    def _rank_explode(ranked_right, first_rank_per_left, dist_expr):
-        """ranks [r0, r0+k-1] per left row -> equi-join on (keys, rank)."""
+    def _rank_explode(ranked_right, first_rank_per_left, dist_expr, keep=None):
+        """ranks [r0, r0+k-1] per left row -> equi-join on (keys, rank).
+        ``keep``: optional row filter applied after the join (degenerate-pair
+        dedup below)."""
         exploded = first_rank_per_left.withColumn(
             "__rr__", F.explode(F.sequence(F.col("__r0__"), F.col("__r0__") + F.lit(k - 1)))
         )
-        return (
-            exploded.join(ranked_right, on=[*keys, "__rr__"])
-            .select(*_SID, *rsid, dist_expr.alias("__dist__"))
-        )
+        joined = exploded.join(ranked_right, on=[*keys, "__rr__"])
+        if keep is not None:
+            joined = joined.filter(keep)
+        return joined.select(*_SID, *rsid, dist_expr.alias("__dist__"))
 
     if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
         # Global forward rank (grows with Start) via the bucketed two-phase
@@ -272,11 +274,13 @@ def nearest_ranges(
         # sweep: per left End, the min forward rank (rank grows with Start,
         # so min rank among Start >= End is the as-of candidate)
         l_pts = left.select(
-            *keys, *_SID, F.col(nm.END_COL).alias("__pos__"), F.col(nm.END_COL).alias("__le__")
+            *keys, *_SID, F.col(nm.END_COL).alias("__pos__"), F.col(nm.END_COL).alias("__le__"),
+            F.col(nm.START_COL).alias("__lls__"),
         ).withColumn("__isd__", F.lit(False)).withColumn("__rk__", F.lit(None).cast("long"))
         r_pts = r_fwd.select(
             *keys, F.col("__rs__").alias("__pos__"), F.col("__rr__").alias("__rk__")
-        ).withColumn("__isd__", F.lit(True)).withColumn("__le__", F.lit(None).cast("long"))
+        ).withColumn("__isd__", F.lit(True)).withColumn("__le__", F.lit(None).cast("long")) \
+            .withColumn("__lls__", F.lit(None).cast("long"))
         for c in _SID:
             r_pts = r_pts.withColumn(c, F.lit(None).cast("long"))
         allp = l_pts.unionByName(r_pts.select(*l_pts.columns))
@@ -286,9 +290,27 @@ def nearest_ranges(
                 side="ge", agg="min", bucket_width=bin_size, out_col="__r0__",
             )
             .filter(~F.col("__isd__") & F.col("__r0__").isNotNull())
-            .select(*keys, *_SID, "__le__", "__r0__")
+            .select(*keys, *_SID, "__le__", "__lls__", "__r0__")
         )
-        fwd = _rank_explode(r_fwd, r0, F.col("__rs__") - F.col("__le__") + 1)
+        # A pair can satisfy BOTH sweep legs only when every boundary
+        # coincides (left and right both empty at the same point: forward
+        # needs rs >= le, backward re <= ls, and ls <= le, rs <= re force
+        # equality) — both legs then emit it at distance 1, and the rank
+        # window would count it twice, displacing a real k-th candidate
+        # (hypothesis explore find, r10). Drop the forward copy; the
+        # backward leg always ranks that pair first (its End is the largest
+        # <= left Start), so it survives exactly once. Single-direction
+        # calls keep the pair in their only leg — no filter.
+        both_legs = direction == nm.NEAREST_ANY
+        degenerate = (
+            (F.col("__rs__") == F.col("__re__"))
+            & (F.col("__lls__") == F.col("__le__"))
+            & (F.col("__rs__") == F.col("__le__"))
+        )
+        fwd = _rank_explode(
+            r_fwd, r0, F.col("__rs__") - F.col("__le__") + 1,
+            keep=~degenerate if both_legs else None,
+        )
         cands.append(fwd)
     if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
         # Global backward rank (grows as End decreases), bucketed likewise.

@@ -189,6 +189,27 @@ def test_nearest_k3_bruteforce(spark):
         assert got_d == want, f"mismatch for {kwargs}"
 
 
+def test_nearest_coincident_empty_pair_counted_once(spark):
+    """A pair of EMPTY intervals at the same point satisfies both sweep legs
+    (forward needs other.Start >= self.End, backward other.End <= self.Start
+    — mutually exclusive unless every boundary coincides); the pair must
+    still be emitted ONCE, not once per leg, or the duplicate displaces a
+    real k-th candidate (hypothesis explore find, r10)."""
+    a = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": "chr1", "Start": [52], "End": [52]})))
+    b = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": "chr1", "Start": [52, 40], "End": [52, 45]})))
+    got = a.nearest_ranges(b, k=3).df.toPandas()
+    # both b rows once each: the coincident empty at distance 1 (touching),
+    # the [40,45) interval at 52-45+1 = 8
+    assert sorted(got.Distance.tolist()) == [1, 8]
+    # single-direction calls keep the degenerate pair in their only leg
+    fwd = a.nearest_ranges(b, direction="forward").df.toPandas()
+    assert fwd.Distance.tolist() == [1]
+    bwd = a.nearest_ranges(b, direction="backward", k=3).df.toPandas()
+    assert sorted(bwd.Distance.tolist()) == [1, 8]
+
+
 def test_nearest_upstream_downstream(spark):
     # f1/f2 from the reference nearest_ranges doctest (pyranges_main.py:2195+)
     f1 = GenomicRanges(spark.createDataFrame(pd.DataFrame(
