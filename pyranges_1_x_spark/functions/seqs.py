@@ -9,6 +9,8 @@ sequences in 5'->3' order over a sorted window.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -123,22 +125,29 @@ _TILE_SIZE = 16384
 #: Keyed on the session OBJECT (not id()) for the same reason as
 #: __spark_entry__._gr_cached: a stopped session's id can be reused after
 #: GC, and a recycled id + matching semanticHash would hand a new session
-#: a stale size.
-_SIZE_CACHE: dict[tuple[object, int], int] = {}
+#: a stale size. WeakKeyDictionary (ADVICE r10) so a stopped, dereferenced
+#: session's memo (and its JVM-side handles) is collectable immediately
+#: instead of pinned until a 256-entry clear.
+_SIZE_CACHE: "weakref.WeakKeyDictionary[object, dict[int, int]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _total_seq_bytes(seqs: DataFrame) -> int:
     try:
-        key = (seqs.sparkSession, seqs.semanticHash())
+        session = seqs.sparkSession
+        h = seqs.semanticHash()
+        memo = _SIZE_CACHE.get(session)
     except Exception:  # semanticHash is best-effort; fall back to sizing
-        key = None
-    if key is not None and key in _SIZE_CACHE:
-        return _SIZE_CACHE[key]
+        session = memo = h = None
+    if memo is not None and h in memo:
+        return memo[h]
     total = seqs.select(F.sum(F.length("__chromseq__"))).first()[0] or 0
-    if key is not None:
-        if len(_SIZE_CACHE) > 256:  # bounded; this is a per-session memo
-            _SIZE_CACHE.clear()
-        _SIZE_CACHE[key] = total
+    if session is not None:
+        memo = _SIZE_CACHE.setdefault(session, {})
+        if len(memo) > 256:  # bounded; this is a per-session memo
+            memo.clear()
+        memo[h] = total
     return total
 
 

@@ -28,10 +28,30 @@ plan over a bucketed table contains no Exchange operator.
 
 from __future__ import annotations
 
+import re
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
+
+_IDENT = re.compile(r"[A-Za-z0-9_]+\Z")
+
+
+def _resolve(spark: SparkSession, table: str) -> tuple[str, str]:
+    """Split ``table`` into (database, name), qualifying unqualified names
+    with the session's CURRENT database (not a hard-coded ``default``), and
+    validate each part so the name can be safely embedded in SQL."""
+    if "." in table:
+        db, _, name = table.rpartition(".")
+    else:
+        db, name = spark.catalog.currentDatabase(), table
+    for part in (db, name):
+        if not _IDENT.match(part):
+            raise ValueError(
+                f"table identifier part {part!r} is not [A-Za-z0-9_]+; "
+                "refusing to embed it in SQL"
+            )
+    return db, name
 
 
 def write_bucketed(
@@ -47,19 +67,40 @@ def write_bucketed(
     session warehouse). ``buckets`` should be sized so one bucket of the
     largest stratum fits an executor's memory at the target scale.
 
-    With the default in-memory catalog, a managed table written by a
-    PREVIOUS session leaves its warehouse directory behind while the new
-    session's catalog has no entry for it — ``mode='overwrite'`` then
-    fails with LOCATION_ALREADY_EXISTS on the orphan. Overwrite therefore
-    clears both the catalog entry and the orphan location first (Hadoop
-    FS API, so any filesystem works)."""
+    Overwrite discipline (ADVICE r10): dropping the old table before the
+    lazy write executes is only safe when ``df`` does NOT read from it —
+    otherwise the source data would be destroyed before Spark could raise
+    its usual cannot-overwrite-a-read-table error. We detect self-reads in
+    the analyzed plan and fail fast, keeping the old table intact. The
+    filesystem delete (needed because the default in-memory catalog can
+    leave a LOCATION_ALREADY_EXISTS orphan directory behind from a
+    previous session) runs ONLY when the catalog has no entry for the
+    table — a true orphan — and resolves the directory through the
+    catalog's database location rather than string-building from the
+    warehouse root, so a non-``default`` current database never deletes
+    an unrelated ``default.<name>`` table's data."""
     spark = df.sparkSession
+    db, name = _resolve(spark, table)
+    qualified = f"`{db}`.`{name}`"
     if mode == "overwrite":
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        if "." not in table:  # unqualified -> default db at the warehouse root
-            wh = spark.conf.get("spark.sql.warehouse.dir")
+        if spark.catalog.tableExists(f"{db}.{name}"):
+            plan = df._jdf.queryExecution().analyzed().toString()
+            if re.search(
+                rf"\b{re.escape(db)}\.{re.escape(name.lower())}\b", plan, re.I
+            ):
+                raise ValueError(
+                    f"write_bucketed(mode='overwrite'): input DataFrame reads "
+                    f"from target table {db}.{name}; materialize it first "
+                    "(write to a different table, or persist+checkpoint)"
+                )
+            spark.sql(f"DROP TABLE IF EXISTS {qualified}")
+        else:
+            # True orphan: no catalog entry, but a stale managed-table
+            # directory may survive from a previous session. Resolve the
+            # database's location via the catalog and clear only that dir.
+            dbloc = spark.catalog.getDatabase(db).locationUri
             jvm = spark._jvm
-            loc = jvm.org.apache.hadoop.fs.Path(f"{wh}/{table.lower()}")
+            loc = jvm.org.apache.hadoop.fs.Path(f"{dbloc}/{name.lower()}")
             fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
             if fs.exists(loc):
                 fs.delete(loc, True)
@@ -68,7 +109,7 @@ def write_bucketed(
         .mode(mode)
         .bucketBy(buckets, *bucket_cols)
         .sortBy(*sort_cols)
-        .saveAsTable(table)
+        .saveAsTable(qualified)
     )
 
 

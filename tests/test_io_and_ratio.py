@@ -314,3 +314,68 @@ def test_write_bucketed_overwrites_orphan_warehouse_dir(spark):
         assert read_bucketed(spark, tbl).count() == 2
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_write_bucketed_overwrite_refuses_self_read(spark):
+    """ADVICE r10: overwriting a table with a DataFrame derived FROM that
+    table must fail fast BEFORE the drop — the old data stays intact —
+    instead of destroying the source under a lazy write."""
+    import pytest as _pytest
+
+    from pyranges_1_x_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    df = spark.createDataFrame(
+        [("chr1", 0, 5, 1), ("chr2", 3, 9, 2)],
+        "Chromosome string, Start long, End long, Score long",
+    )
+    tbl = "t_selfread_bucketed"
+    try:
+        write_bucketed(df, tbl, buckets=2)
+        derived = read_bucketed(spark, tbl).filter("Score > 0")
+        with _pytest.raises(ValueError, match="reads\\s+from target table"):
+            write_bucketed(derived, tbl, buckets=2)
+        # old table survived the refused overwrite
+        assert read_bucketed(spark, tbl).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_write_bucketed_orphan_cleanup_respects_current_database(spark):
+    """ADVICE r10: with a non-default current database, the orphan cleanup
+    must resolve the table location through the CATALOG — it must never
+    delete the data directory of an unrelated default.<name> table."""
+    from pyranges_1_x_spark.sources.bucketed import write_bucketed
+
+    df = spark.createDataFrame(
+        [("chr1", 0, 5, 1), ("chr2", 3, 9, 2)],
+        "Chromosome string, Start long, End long, Score long",
+    )
+    tbl = "t_dbscope_bucketed"
+    try:
+        write_bucketed(df, tbl, buckets=2)  # default.t_dbscope_bucketed
+        spark.sql("CREATE DATABASE IF NOT EXISTS sgtestdb")
+        spark.catalog.setCurrentDatabase("sgtestdb")
+        # unqualified write while current db != default: creates
+        # sgtestdb.<tbl> and must leave default.<tbl>'s data untouched
+        write_bucketed(df.limit(1), tbl, buckets=2)
+        assert spark.table(f"sgtestdb.{tbl}").count() == 1
+        assert spark.table(f"default.{tbl}").count() == 2
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql(f"DROP TABLE IF EXISTS sgtestdb.{tbl}")
+        spark.sql("DROP DATABASE IF EXISTS sgtestdb")
+        spark.sql(f"DROP TABLE IF EXISTS default.{tbl}")
+
+
+def test_write_bucketed_rejects_unsafe_identifier(spark):
+    """ADVICE r10: the table name is embedded in SQL — anything outside
+    [A-Za-z0-9_] per part is refused, not interpolated."""
+    import pytest as _pytest
+
+    from pyranges_1_x_spark.sources.bucketed import write_bucketed
+
+    df = spark.createDataFrame([("chr1", 0, 5)], "Chromosome string, Start long, End long")
+    with _pytest.raises(ValueError, match="identifier"):
+        write_bucketed(df, "t; DROP TABLE lineitem", buckets=2)
+    with _pytest.raises(ValueError, match="identifier"):
+        write_bucketed(df, "evil`name", buckets=2)

@@ -174,12 +174,14 @@ def test_get_sequence_sizing_memo_consulted(spark):
     S._SIZE_CACHE.clear()
     out1 = gr.get_sequence(seqs)
     assert "\\G" not in plan_of(out1)  # tiny table -> broadcast plan
-    assert len(S._SIZE_CACHE) == 1 and list(S._SIZE_CACHE.values()) == [8]
-    key = next(iter(S._SIZE_CACHE))
-    S._SIZE_CACHE[key] = S._TILE_THRESHOLD + 1  # poison: pretend it's huge
+    # ADVICE r10: weak-keyed per-session memo (session -> {semanticHash: size})
+    memo = S._SIZE_CACHE[spark]
+    assert len(memo) == 1 and list(memo.values()) == [8]
+    key = next(iter(memo))
+    memo[key] = S._TILE_THRESHOLD + 1  # poison: pretend it's huge
     out2 = gr.get_sequence(seqs)
     assert "\\G" in plan_of(out2)  # memo consulted -> tiled plan, no re-size
-    assert S._SIZE_CACHE[key] == S._TILE_THRESHOLD + 1  # no re-measure
+    assert S._SIZE_CACHE[spark][key] == S._TILE_THRESHOLD + 1  # no re-measure
     S._SIZE_CACHE.clear()
     out3 = gr.get_sequence(seqs)
     assert "\\G" not in plan_of(out3)
