@@ -15,8 +15,19 @@ check_oracle.py carries over unchanged. Every other column is untouched
 (n_chars stays the ORIGINAL length on both sides, deliberately — the gated
 queries read only doc_id/text).
 
+r11 (VERDICT r10 #4) extends the gate to the OTHER bound-lambda expression
+APIs repaired in the r10 no-CSE sweep, so those fixes cannot silently
+regress on the length axis: ``minhash_lsh`` and ``simhash`` ride the same
+10x-text documents twin (shingle/minhash/simhash expression forms); for
+``spearman_rows``, whose input is the embeddings table, the length axis is
+VECTOR DIMENSIONALITY — its twin repeats each embedding 10x (64 -> 640
+dims, Spark ``flatten(array_repeat(...))`` vs DuckDB
+``flatten(list_transform(range(10), ...))``), which additionally stresses
+average-rank tie handling (every value now appears 10 times per row).
+
 Usage: python scripts/check_oracle_longdocs.py [sf_dir] [query ...]
-Default queries: translate_cds, winnow (the two chunked plans).
+Default queries: translate_cds, winnow (the two chunked plans) +
+minhash_lsh, simhash, spearman_rows (the no-CSE sweep APIs).
 """
 
 from __future__ import annotations
@@ -33,7 +44,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from check_oracle import normalize  # noqa: E402  (shared canonicalizer)
 
-DEFAULT_QUERIES = ["translate_cds", "winnow"]
+DEFAULT_QUERIES = [
+    "translate_cds",
+    "winnow",
+    "minhash_lsh",
+    "simhash",
+    "spearman_rows",
+]
 N_REPS = 10
 
 
@@ -71,6 +88,15 @@ def main() -> int:
                 "source",
                 "n_chars",
             ).createOrReplaceTempView("documents")
+        if tables is None or "embeddings" in tables:
+            base = s.read.parquet(f"{d}/embeddings.parquet")
+            base.select(
+                "vec_id",
+                F.flatten(F.array_repeat(F.col("embedding"), N_REPS)).alias(
+                    "embedding"
+                ),
+                "label",
+            ).createOrReplaceTempView("embeddings")
 
     em._load = _load_long
 
@@ -80,6 +106,12 @@ def main() -> int:
             con.execute(
                 f"CREATE VIEW documents AS SELECT doc_id, repeat(text, {N_REPS})"
                 f" AS text, lang, source, n_chars FROM '{sf_dir}/{t}.parquet'"
+            )
+        elif t == "embeddings":
+            con.execute(
+                "CREATE VIEW embeddings AS SELECT vec_id,"
+                f" flatten(list_transform(range({N_REPS}), i -> embedding))"
+                f" AS embedding, label FROM '{sf_dir}/{t}.parquet'"
             )
         else:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
