@@ -171,19 +171,23 @@ def test_get_sequence_sizing_memo_consulted(spark):
     def plan_of(g):
         return g.df._jdf.queryExecution().executedPlan().toString()
 
+    # auto_tile_cache off: this test pins the SIZING memo specifically (the
+    # adopted-tile registry would otherwise absorb the poisoned tiled call
+    # and hide the \G plan marker — its own test is
+    # test_get_sequence_auto_tile_adoption).
     S._SIZE_CACHE.clear()
-    out1 = gr.get_sequence(seqs)
+    out1 = gr.get_sequence(seqs, auto_tile_cache=False)
     assert "\\G" not in plan_of(out1)  # tiny table -> broadcast plan
     # ADVICE r10: weak-keyed per-session memo (session -> {semanticHash: size})
     memo = S._SIZE_CACHE[spark]
     assert len(memo) == 1 and list(memo.values()) == [8]
     key = next(iter(memo))
     memo[key] = S._TILE_THRESHOLD + 1  # poison: pretend it's huge
-    out2 = gr.get_sequence(seqs)
+    out2 = gr.get_sequence(seqs, auto_tile_cache=False)
     assert "\\G" in plan_of(out2)  # memo consulted -> tiled plan, no re-size
     assert S._SIZE_CACHE[spark][key] == S._TILE_THRESHOLD + 1  # no re-measure
     S._SIZE_CACHE.clear()
-    out3 = gr.get_sequence(seqs)
+    out3 = gr.get_sequence(seqs, auto_tile_cache=False)
     assert "\\G" not in plan_of(out3)
     assert out3.df.collect()[0]["Seq"] == "ACG"
 
@@ -1258,3 +1262,67 @@ def test_png_real_decode_features_and_resize(spark):
         assert got_payload[:8] == _PNG_SIG  # stayed PNG through resize
         got = decode_png(got_payload)
         assert got is not None and np.array_equal(got, expected)
+
+
+def test_get_sequence_auto_tile_adoption(spark):
+    """r11 (VERDICT r10 #6): the first tiled get_sequence call for a source
+    adopts a localCheckpoint'ed chunk relation; call 2+ over the same
+    source runs with NO chunk-split stage in the plan (no \\G split, no
+    posexplode Generate) and returns identical values — including the
+    empty/NULL/absent probe contract frozen into the adopted relations.
+    auto_tile_cache=False opts out (split present every call)."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.functions import seqs as S
+
+    seqs = spark.createDataFrame(
+        [("chr1", "ACGTACGTAC"), ("chrE", ""), ("chrN", None)],
+        "Chromosome string, Sequence string",
+    )
+    gr = GenomicRanges(spark.createDataFrame(
+        pd.DataFrame(
+            [("chr1", 2, 6), ("chrE", 0, 5), ("chrN", 0, 5), ("chrX", 0, 5)],
+            columns=["Chromosome", "Start", "End"],
+        )
+    ))
+    want = sorted([
+        ("chr1", 2, 6, "GTAC"),
+        ("chrE", 0, 5, ""),
+        ("chrN", 0, 5, None),
+        ("chrX", 0, 5, None),
+    ])
+
+    def key(df):
+        pdf = df.toPandas()
+        return sorted(
+            (r.Chromosome, r.Start, r.End, None if pd.isna(r.Seq) else r.Seq)
+            for r in pdf.itertuples()
+        )
+
+    def plan_of(g):
+        return g.df._jdf.queryExecution().executedPlan().toString()
+
+    S._TILES_CACHE.clear()
+    out1 = gr.get_sequence(seqs, tile_size=4)
+    assert key(out1.df) == want  # adoption call: values exact
+    memo = S._TILES_CACHE[spark]
+    assert len(memo) == 1 and next(iter(memo.values()))["tile_size"] == 4
+    out2 = gr.get_sequence(seqs, tile_size=4)
+    p2 = plan_of(out2)
+    assert "\\G" not in p2 and "posexplode" not in p2  # split-free reuse
+    assert key(out2.df) == want  # probe contract survives adoption
+    # tile_size=None also rides the adopted relation (registry consulted
+    # before the sizing job)
+    out3 = gr.get_sequence(seqs)
+    assert "\\G" not in plan_of(out3)
+    assert key(out3.df) == want
+    # a DIFFERENT explicit tile_size must not reuse the size-4 tiles
+    out4 = gr.get_sequence(seqs, tile_size=3)
+    assert key(out4.df) == want
+    # opt-out: the split stays in-plan every call
+    S._TILES_CACHE.clear()
+    off = gr.get_sequence(seqs, tile_size=4, auto_tile_cache=False)
+    assert "\\G" in plan_of(off)
+    assert spark not in S._TILES_CACHE or not S._TILES_CACHE[spark]
+    S._TILES_CACHE.clear()
