@@ -444,6 +444,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 200_000,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Distributed connected components over an edge list: min-label
     propagation fused with pointer jumping. Returns ``(node, component)``
@@ -472,15 +473,22 @@ def connected_components(
     Scale shape: every round is two shuffle joins + one aggregate over the
     EDGE table — which, after LSH banding + verification, is orders of
     magnitude smaller than the corpus — and the label table is
-    ``localCheckpoint``-ed per round (DISK_ONLY, so iterating leaves no
-    executor-heap residue in a long-lived session; on a cluster with
-    unreliable executors, swap for a reliable ``checkpoint`` dir) to keep
-    the iterative plan's lineage flat. Nothing ever collects to the driver
-    but the single changed-row count. The round carries the previous label
-    through as ``__old__`` so the convergence count is a row-local filter
-    over the just-checkpointed relation — no third join per round (r7:
-    this removed one shuffle join + one full label-table join per round
-    vs the r6 shape).
+    checkpointed per round to keep the iterative plan's lineage flat.
+    Default: ``localCheckpoint`` (DISK_ONLY, so iterating leaves no
+    executor-heap residue in a long-lived session). Local checkpoint
+    blocks live in executor storage, so on a cluster with PREEMPTIBLE /
+    unreliable executors pass ``checkpoint_dir=`` (r11, VERDICT r10 #8):
+    the session's checkpoint dir is set to it and every round uses a
+    reliable ``DataFrame.checkpoint`` — label state survives executor
+    loss on any Hadoop-visible filesystem (HDFS/S3/GCS). The directory's
+    round files are caller-managed: delete it when the labels have been
+    consumed (Spark only auto-cleans with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``). Nothing
+    ever collects to the driver but the single changed-row count. The
+    round carries the previous label through as ``__old__`` so the
+    convergence count is a row-local filter over the just-checkpointed
+    relation — no third join per round (r7: this removed one shuffle join
+    + one full label-table join per round vs the r6 shape).
 
     The per-round EAGER checkpoint is load-bearing, not an optimization
     knob: r6 measured "checkpoint every 3rd round" at 4x SLOWER (30s vs 7s
@@ -489,6 +497,14 @@ def connected_components(
     join recomputes once per label-lineage reference at materialization.
     """
     from pyspark import StorageLevel
+
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     # No .distinct() on the bidirectional edge list: the only consumers are
     # the neighbor MIN aggregate (duplicate-insensitive) and the node-set
@@ -585,8 +601,8 @@ def connected_components(
                 "node",
                 F.least(F.col("node"), F.col("__nc__")).alias("component"),
             )
-            .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
         )
+        labels = _ckpt(labels)
         CC_LAST_STATS.update({"path": "distributed", "rounds": 1})
         for _ in range(1, max_iter):
             CC_LAST_STATS["rounds"] += 1
@@ -624,8 +640,8 @@ def connected_components(
                     ),
                     "__old__",
                 )
-                .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
             )
+            l2 = _ckpt(l2)
             labels = l2.drop("__old__")
             # Scans only the just-checkpointed relation (labels never
             # increase, so != is equivalent to < here).
@@ -655,6 +671,7 @@ def dedup_clusters(
     threshold: float = 0.8,
     candidate_pairs: DataFrame | None = None,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """End-to-end near-duplicate cluster formation: verified pairs ->
     connected components -> one canonical doc per cluster. Returns one row
@@ -684,7 +701,9 @@ def dedup_clusters(
     """
     if candidate_pairs is None:
         candidate_pairs = jaccard_similarity_join(docs, text_col, id_col, k, threshold)
-    cc = connected_components(candidate_pairs, "id_a", "id_b", max_iter)
+    cc = connected_components(
+        candidate_pairs, "id_a", "id_b", max_iter, checkpoint_dir=checkpoint_dir
+    )
     return (
         docs.select(F.col(id_col))
         .join(cc, docs[id_col] == cc["node"], "left")

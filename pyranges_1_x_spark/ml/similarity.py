@@ -380,6 +380,7 @@ def semantic_dedup_clusters(
     threshold: float = 0.9,
     bands: int = 1,
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate clustering: banded-LSH cosine pairs ->
     distributed connected components -> one canonical vector per semantic
@@ -398,7 +399,7 @@ def semantic_dedup_clusters(
     pairs = cosine_similarity_join(
         df, planes, vec_col=vec_col, id_col=id_col, threshold=threshold, bands=bands
     ).select("id_a", "id_b")
-    cc = connected_components(pairs, max_iter=max_iter)
+    cc = connected_components(pairs, max_iter=max_iter, checkpoint_dir=checkpoint_dir)
     return (
         df.select(F.col(id_col))
         .join(cc, df[id_col] == cc["node"], "left")
