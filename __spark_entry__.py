@@ -1609,6 +1609,29 @@ def q_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "kind", *cols)
 
 
+def q_png_features(spark, sf_dir):
+    """The REAL PNG decode kernel (r11: stdlib zlib inflate + per-scanline
+    unfilter, ml/multimodal.py decode_png) under a driver value gate: the
+    synthetic PNGs' pixel (y,x) of record i is (y*31 + x*7 + i) % 256
+    identical across channels, so DuckDB recomputes every integer-exact
+    feature (dims, channels, mean, min, max, pixel count) from the formula
+    WITHOUT decoding PNG — if the inflate/unfilter pipeline mangled a
+    single byte, mean/min/max would shift and the value hash would miss.
+    The std feature (index 5) is excluded: numpy's two-pass float64 std has
+    no bit-exact SQL twin."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.multimodal import extract_features, synthetic_png_media
+
+    feats = extract_features(synthetic_png_media(spark, 64))
+    picks = [(1, "f_w"), (2, "f_h"), (3, "f_c"), (4, "f_mean"),
+             (6, "f_min"), (7, "f_max"), (8, "f_npx")]
+    return feats.select(
+        "media_id",
+        *[F.element_at("feature", i).cast("double").alias(a) for i, a in picks],
+    )
+
+
 def q_count_matrix(spark, sf_dir):
     from pyranges_1_x_spark import count_overlaps_matrix
 
@@ -1827,78 +1850,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Rows past position 50 stay covered every round by the local full-registry
     gate (scripts/check_oracle.py).
 
-    r10 window = the 36 queries ungated in CORRECTNESS_r09.json (r9 registry
-    positions 51-86, upstream_flank..sort_rank) + 1 NEW gate
-    (bucketed_merge — write_bucketed/read_bucketed's first driver gate,
-    VERDICT r9 #7) + 13 fills from this round's changed code paths
-    (get_sequence probe/sizing-memo + read_fasta_tiles empty-tile fix:
-    get_sequence_tiled, fasta_roundtrip, extend_orfs; the r10 sqrt-chunked
-    translate_cds rewrite: translate_cds — its FIRST driver gate, displacing
-    count_overlaps to just past the window since the radix-guard change that
-    justified that refill touched only scripts/, not the engine; streaming
-    SCALING rows: annotate_stream, windowed_coverage; scripts/
-    check_oracle_scaled radix-guard re-runs: join_inner, subtract, nearest,
-    coverage, merge_stranded; plus the two iterative-session queries
-    last-in-window: dedup_clusters, semantic_dedup)."""
+    r11 window = the 38 queries ungated in CORRECTNESS_r10.json (r10
+    registry positions 51-88, count_overlaps..streaming_dedup, in their r10
+    order) + 12 fills from this round's changed code paths: write_bucketed
+    overwrite hardening (bucketed_merge); the auto-adopted pre-tiled
+    sequence path + weak-keyed sizing memo (get_sequence_tiled,
+    fasta_roundtrip, extend_orfs); the PNG decode kernel
+    (multimodal_features + the NEW png_features gate, whose DuckDB oracle
+    recomputes the pixel formula the decoded stats must match); the
+    longdocs gate extension re-run (translate_cds —
+    minhash_lsh/simhash/spearman_rows are already in the lead 38, and
+    winnow cedes its slot to png_features since its code is unchanged);
+    the A/B-measured mover + late-axis-pinned streams (nearest,
+    annotate_stream, windowed_coverage); and the two checkpoint_dir-plumbed
+    iterative-session queries last-in-window (dedup_clusters,
+    semantic_dedup)."""
     return {
-        # --- not driver-gated in r9 (registry positions 51-86 last round) ---
-        "upstream_flank": q_upstream_flank,
-        "downstream_flank": q_downstream_flank,
-        "join_first": q_join_first,
-        "join_contained": q_join_contained,
-        "overlap_slack": q_overlap_slack,
-        "dedup_exact": q_dedup_exact,
-        "extend_group": q_extend_group,
-        "window_sliding": q_window_sliding,
-        "multimodal_features": q_multimodal_features,
-        "fdr": q_fdr,
-        "reldist": q_reldist,
-        "ivf_topk": q_ivf_topk,
-        "winnow": q_winnow,
-        "running_anomalies": q_running_anomalies,
-        "bam_roundtrip": q_bam_roundtrip,
-        "bigwig_roundtrip": q_bigwig_roundtrip,
-        "slice_introns": q_slice_introns,
-        "kmeans": q_kmeans,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "shuffle_rank": q_shuffle,
-        "bpe_tokens": q_bpe_tokens,
-        "corpus_filter": q_corpus_filter,
-        "kmv_vocab": q_kmv_vocab,
-        "normalize_dedup": q_normalize_dedup,
-        "overlap_anti": q_overlap_anti,
-        "join_left": q_join_left,
-        "join_same_strand": q_join_same_strand,
-        "intersect": q_intersect,
-        "coverage_ratio": q_coverage_ratio,
-        "fisher": q_fisher,
-        "clip": q_clip,
-        "complement": q_complement,
-        "overlap_semi": q_overlap_semi,
-        "tile": q_tile,
-        "sort_rank": q_sort_rank,
-        # --- NEW r10 gate + r10-changed code paths (fills to slot 50) ---
-        "bucketed_merge": q_bucketed_merge,
-        "get_sequence_tiled": q_get_sequence_tiled,
-        "fasta_roundtrip": q_fasta_roundtrip,
-        "extend_orfs": q_extend_orfs,
-        "translate_cds": q_translate_cds,
-        "annotate_stream": q_annotate_stream,
-        "windowed_coverage": q_windowed_coverage,
-        "join_inner": q_join_inner,
-        "subtract": q_subtract,
-        "nearest": q_nearest,
-        "coverage": q_coverage,
-        "merge_stranded": q_merge_stranded,
-        # Iterative-session queries (localCheckpoint/persist state) run LAST
-        # inside the driver's 50-row gate window: if a memory-tight harness
-        # session ever dies here, only these rows are lost instead of every
-        # row after them (observed failure shape in the local gate before
-        # the 8g fix).
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
-        # --- past the 50-row driver window: r9-driver-green, local gate only ---
+        # --- not driver-gated in r10 (registry positions 51-88 last round) ---
         "count_overlaps": q_count_overlaps,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
@@ -1937,6 +1905,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_stat": q_jaccard_stat,
         "forbes_stat": q_forbes_stat,
         "streaming_dedup": q_streaming_dedup,
+        # --- r11-changed code paths (fills to slot 50) ---
+        "bucketed_merge": q_bucketed_merge,
+        "get_sequence_tiled": q_get_sequence_tiled,
+        "fasta_roundtrip": q_fasta_roundtrip,
+        "extend_orfs": q_extend_orfs,
+        "multimodal_features": q_multimodal_features,
+        "png_features": q_png_features,
+        "translate_cds": q_translate_cds,
+        "nearest": q_nearest,
+        "annotate_stream": q_annotate_stream,
+        "windowed_coverage": q_windowed_coverage,
+        # Iterative-session queries (localCheckpoint/persist state) run LAST
+        # inside the driver's 50-row gate window: if a memory-tight harness
+        # session ever dies here, only these rows are lost instead of every
+        # row after them (observed failure shape in the local gate before
+        # the 8g fix).
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        # --- past the 50-row driver window: r10-driver-green, local gate only ---
+        "upstream_flank": q_upstream_flank,
+        "downstream_flank": q_downstream_flank,
+        "join_first": q_join_first,
+        "join_contained": q_join_contained,
+        "overlap_slack": q_overlap_slack,
+        "dedup_exact": q_dedup_exact,
+        "extend_group": q_extend_group,
+        "window_sliding": q_window_sliding,
+        "fdr": q_fdr,
+        "reldist": q_reldist,
+        "ivf_topk": q_ivf_topk,
+        "running_anomalies": q_running_anomalies,
+        "bam_roundtrip": q_bam_roundtrip,
+        "bigwig_roundtrip": q_bigwig_roundtrip,
+        "slice_introns": q_slice_introns,
+        "kmeans": q_kmeans,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "shuffle_rank": q_shuffle,
+        "bpe_tokens": q_bpe_tokens,
+        "corpus_filter": q_corpus_filter,
+        "kmv_vocab": q_kmv_vocab,
+        "normalize_dedup": q_normalize_dedup,
+        "overlap_anti": q_overlap_anti,
+        "join_left": q_join_left,
+        "join_same_strand": q_join_same_strand,
+        "intersect": q_intersect,
+        "coverage_ratio": q_coverage_ratio,
+        "fisher": q_fisher,
+        "clip": q_clip,
+        "complement": q_complement,
+        "overlap_semi": q_overlap_semi,
+        "tile": q_tile,
+        "sort_rank": q_sort_rank,
+        "join_inner": q_join_inner,
+        "subtract": q_subtract,
+        "coverage": q_coverage,
+        "merge_stranded": q_merge_stranded,
+        "winnow": q_winnow,
     }
 
 
@@ -2874,6 +2900,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST((i * 7) % 256 AS FLOAT) AS DOUBLE) AS f5,
                    CAST(CAST((i * 7 + L - 1) % 256 AS FLOAT) AS DOUBLE) AS f6,
                    CAST(CAST(L AS FLOAT) AS DOUBLE) AS f7
+            FROM agg
+        """,
+        "png_features": """
+            -- Twin of ml/multimodal.py synthetic_png_media + decode_png:
+            -- pixel (y,x) of record i is (y*31 + x*7 + i) % 256, identical
+            -- across channels (so the (h,w,c) mean equals the grid mean and
+            -- min/max are grid min/max). The oracle recomputes the features
+            -- from the FORMULA — decoding the zlib/filtered PNG stream is
+            -- the engine's job; any inflate/unfilter defect shifts the
+            -- grid stats. Integer sums are exact in BIGINT and float64;
+            -- the mean rounds through FLOAT on both sides.
+            WITH base AS (
+              SELECT CAST(i AS BIGINT) AS media_id,
+                     CAST(4 + i % 5 AS BIGINT) AS w,
+                     CAST(3 + i % 4 AS BIGINT) AS h,
+                     CAST(1 + i % 4 AS BIGINT) AS c
+              FROM unnest(range(64)) t(i)
+            ),
+            px AS (
+              SELECT media_id, w, h, c, unnest(range(w * h)) AS j FROM base
+            ),
+            vals AS (
+              SELECT media_id, w, h, c,
+                     ((j // w) * 31 + (j % w) * 7 + media_id) % 256 AS v
+              FROM px
+            ),
+            agg AS (
+              SELECT media_id, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+                     ANY_VALUE(c) AS c, SUM(v) AS sv, COUNT(*) AS n,
+                     MIN(v) AS mn, MAX(v) AS mx
+              FROM vals GROUP BY media_id
+            )
+            SELECT media_id,
+                   CAST(CAST(w AS FLOAT) AS DOUBLE) AS f_w,
+                   CAST(CAST(h AS FLOAT) AS DOUBLE) AS f_h,
+                   CAST(CAST(c AS FLOAT) AS DOUBLE) AS f_c,
+                   CAST(CAST(CAST(sv AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f_mean,
+                   CAST(CAST(mn AS FLOAT) AS DOUBLE) AS f_min,
+                   CAST(CAST(mx AS FLOAT) AS DOUBLE) AS f_max,
+                   CAST(CAST(w * h AS FLOAT) AS DOUBLE) AS f_npx
             FROM agg
         """,
         "fdr": f"""

@@ -501,6 +501,25 @@ def encode_netpbm(arr) -> bytes:
     return magic + b"\n" + f"{w} {h}\n255\n".encode("ascii") + a.tobytes()
 
 
+def synthetic_png_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-decodable PNG media table: pixel (y, x) of record
+    ``i`` is ``(y*31 + x*7 + i) % 256``, identical across channels;
+    ``w = 4 + i%5``, ``h = 3 + i%4``, ``channels = 1 + i%4`` (gray,
+    gray+alpha, RGB, RGBA). The pixel formula is integer-exact, so a SQL
+    oracle can recompute every non-std feature without decoding PNG —
+    the driver-gate twin of ``synthetic_netpbm_media``."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h, c = 4 + i % 5, 3 + i % 4, 1 + i % 4
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = ((yy * 31 + xx * 7 + i) % 256).astype(np.uint8)
+        img = np.repeat(img[:, :, None], c, axis=2)
+        rows.append((i, "image", encode_png(img), w, h, 1))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
 def synthetic_netpbm_media(spark, n: int = 20) -> DataFrame:
     """Deterministic REAL-decodable media table: binary PPM/PGM images whose
     pixel values are a known function of (media_id, row, col)."""
