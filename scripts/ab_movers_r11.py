@@ -13,7 +13,9 @@ Verdict rule: interleaved min at-or-below the r9 floor => host noise /
 warm-in tail; min staying >=1.2x over the r9 floor while the control sits
 at its own floor => real regression, investigate the plan.
 
-Usage: python scripts/ab_movers_r11.py [sf_dir]   (default sf0.1)
+Usage: python scripts/ab_movers_r11.py [sf_dir] [subject ...]
+(default sf0.1; default subjects below — pass query names to A/B any set,
+e.g. the end-of-round bench movers)
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ ROUNDS = 6
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    subjects = sys.argv[2:] or SUBJECTS
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     import __spark_entry__ as entrymod
@@ -54,7 +57,7 @@ def main() -> int:
     warm.write.format("noop").mode("overwrite").save()
 
     qs = entrymod.queries()
-    names = SUBJECTS + [CONTROL]
+    names = subjects + [CONTROL]
     samples: dict[str, list[float]] = {n: [] for n in names}
     with open("/proc/loadavg") as fh:
         load_before = fh.read().split()[0]
