@@ -133,7 +133,7 @@ _SIZE_CACHE: "weakref.WeakKeyDictionary[object, dict[int, int]]" = (
 )
 
 
-#: Auto-adopted pre-tiled cache (r11, VERDICT r10 #6): session ->
+#: Auto-adopted pre-tiled cache (r11, VERDICT r10 #6): per-session
 #: {source_key: {"chunks", "have", "tile_size"}}. The per-call \G chunk
 #: split is ~48% of the tiled plan's wall (SCALING.md pre-tiled cell), so
 #: the FIRST tiled call for a source materializes its chunk relation with
@@ -148,10 +148,29 @@ _SIZE_CACHE: "weakref.WeakKeyDictionary[object, dict[int, int]]" = (
 #: to opt out. localCheckpoint blocks die with their executors — for
 #: durable multi-session reuse persist ``read_fasta_tiles`` to parquet and
 #: pass ``tiled_sequences=`` instead.
-_TILES_CACHE: "weakref.WeakKeyDictionary[object, dict]" = weakref.WeakKeyDictionary()
+#:
+#: Storage: an attribute ON the session object, NOT a module-level
+#: WeakKeyDictionary — the cached entries hold DataFrames whose
+#: ``_session`` strongly references the session, and a weak-keyed mapping
+#: whose VALUES reach their own key never collects (the r11 code-review
+#: find). Hanging the memo off the session gives the intended lifetime
+#: for free: the dict (and its py4j handles) dies exactly when the
+#: session does.
+_TILES_ATTR = "_pyranges_1_x_spark_tiles"
 #: Adopted genomes are block-manager-resident; cap the per-session count so
-#: a source-churning workload cannot accumulate unbounded storage.
+#: a source-churning workload cannot accumulate unbounded storage. Evicted
+#: entries' checkpoint blocks are reclaimed by ContextCleaner once the
+#: dropped DataFrames' py4j refs finalize.
 _TILES_CACHE_MAX = 8
+
+
+def _tiles_memo(session) -> dict:
+    """The session's adopted-tile memo, created on first use."""
+    memo = getattr(session, _TILES_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(session, _TILES_ATTR, memo)
+    return memo
 
 
 def _total_seq_bytes(seqs: DataFrame) -> int:
@@ -261,15 +280,20 @@ def get_sequence(
             src_key = ("plan", seqs.semanticHash())
         except Exception:  # best-effort, like _SIZE_CACHE
             src_key = None
-    tiles_memo = (
-        _TILES_CACHE.setdefault(session, {}) if auto_tile_cache else None
-    )
+    tiles_memo = _tiles_memo(session) if auto_tile_cache else None
     entry = tiles_memo.get(src_key) if (tiles_memo is not None and src_key) else None
     if entry is not None and tile_size in (None, entry["tile_size"]):
         return _get_sequence_tiled(
             self, entry["chunks"], entry["tile_size"], out_col, use_strand,
             have=entry["have"],
         )
+    if entry is not None:
+        # Explicit tile_size differing from the adopted one: run the
+        # per-call split at the requested size WITHOUT re-adopting —
+        # alternating sizes must not churn checkpointed generations
+        # (r11 code-review find: each overwrite abandoned the previous
+        # entry's blocks to lazy ContextCleaner reclamation).
+        tiles_memo = None
 
     if tile_size is None:
         total = _total_seq_bytes(seqs)
@@ -312,7 +336,10 @@ def get_sequence(
         chunks = chunks.localCheckpoint(eager=True)
         have = have.localCheckpoint(eager=True)
         if len(tiles_memo) >= _TILES_CACHE_MAX:
-            tiles_memo.clear()
+            # FIFO-evict one genome (insertion-ordered dict), not all:
+            # dropped blocks free via ContextCleaner, so bound the
+            # transient old+new overlap to a single entry.
+            tiles_memo.pop(next(iter(tiles_memo)))
         tiles_memo[src_key] = {
             "chunks": chunks,
             "have": have,

@@ -498,12 +498,17 @@ def connected_components(
     """
     from pyspark import StorageLevel
 
-    if checkpoint_dir is not None:
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-
     def _ckpt(df: DataFrame) -> DataFrame:
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
+            # persist → checkpoint → unpersist (r11 code-review find):
+            # reliable checkpoint's write job re-evaluates an unpersisted
+            # lineage a second time (Spark's documented caveat), which
+            # would double every round's two shuffle joins; the DISK_ONLY
+            # persist makes the write a block copy instead.
+            cached = df.persist(StorageLevel.DISK_ONLY)
+            out = cached.checkpoint(eager=True)
+            cached.unpersist()
+            return out
         return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
 
     # No .distinct() on the bidirectional edge list: the only consumers are
@@ -583,6 +588,15 @@ def connected_components(
         rows = [(n, comp_min[_find(n)]) for n in parent]
         return edges.sparkSession.createDataFrame(rows, out_schema)
     converged = False
+    # The session checkpoint dir is process-global state: set it only for
+    # the distributed loop and RESTORE the caller's dir afterwards (r11
+    # code-review find — a library must not silently redirect every later
+    # checkpoint in the application). The driver fast path above never
+    # touches it.
+    sc = edges.sparkSession.sparkContext
+    prev_ckpt_dir = sc.getCheckpointDir() if checkpoint_dir is not None else None
+    if checkpoint_dir is not None:
+        sc.setCheckpointDir(checkpoint_dir)
     try:
         # Round 1 is algebraically special: labels are the identity
         # (l0(v) = v), so neighbor-min needs NO label join — it is a plain
@@ -650,6 +664,8 @@ def connected_components(
                 break
     finally:
         ed.unpersist()
+        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+            sc.setCheckpointDir(prev_ckpt_dir)
     if not converged and max_iter > 0:
         import warnings
 

@@ -240,12 +240,18 @@ def decode_png(payload: bytes):
         pos = data_start + length + 4
     if channels is None or not idat:
         return None
+    stride = width * channels
+    need = height * (stride + 1)
     try:
-        raw = zlib.decompress(bytes(idat))
+        # Bounded inflate (r11 code-review find): IHDR fixes the raster
+        # size, so never allocate more than that — an IDAT crafted to
+        # inflate to gigabytes from a tiny payload (zlib bomb) otherwise
+        # OOMs the executor before the length check runs. Excess inflated
+        # bytes beyond the raster are simply not requested.
+        raw = zlib.decompressobj().decompress(bytes(idat), need)
     except zlib.error:
         return None
-    stride = width * channels
-    if len(raw) < height * (stride + 1):
+    if len(raw) < need:
         return None
     lines = np.frombuffer(raw, dtype=np.uint8, count=height * (stride + 1)).reshape(
         height, stride + 1

@@ -37,21 +37,40 @@ if TYPE_CHECKING:
 _IDENT = re.compile(r"[A-Za-z0-9_]+\Z")
 
 
-def _resolve(spark: SparkSession, table: str) -> tuple[str, str]:
-    """Split ``table`` into (database, name), qualifying unqualified names
-    with the session's CURRENT database (not a hard-coded ``default``), and
-    validate each part so the name can be safely embedded in SQL."""
-    if "." in table:
-        db, _, name = table.rpartition(".")
-    else:
-        db, name = spark.catalog.currentDatabase(), table
-    for part in (db, name):
+def _validate_parts(table: str) -> list[str]:
+    """Split a 1-3 part table identifier and validate each part so the name
+    can be safely embedded in SQL (backtick-quoted)."""
+    parts = table.split(".")
+    if not 1 <= len(parts) <= 3:
+        raise ValueError(f"table identifier {table!r} has {len(parts)} parts")
+    for part in parts:
         if not _IDENT.match(part):
             raise ValueError(
                 f"table identifier part {part!r} is not [A-Za-z0-9_]+; "
                 "refusing to embed it in SQL"
             )
-    return db, name
+    return parts
+
+
+def _norm_uri(uri: str) -> str:
+    """Scheme-insensitive path form of a storage URI for prefix compares
+    ('file:/x', 'file:///x' and '/x' all normalize to '/x')."""
+    from urllib.parse import urlparse
+
+    p = urlparse(uri)
+    return re.sub("/+", "/", p.path or uri).rstrip("/")
+
+
+def _table_location(spark: SparkSession, qualified: str) -> str | None:
+    """The table's physical location via DESCRIBE EXTENDED (catalog truth,
+    not string-building)."""
+    try:
+        for row in spark.sql(f"DESCRIBE TABLE EXTENDED {qualified}").collect():
+            if row[0] == "Location":
+                return row[1]
+    except Exception:  # pragma: no cover - catalog quirks
+        return None
+    return None
 
 
 def write_bucketed(
@@ -67,40 +86,49 @@ def write_bucketed(
     session warehouse). ``buckets`` should be sized so one bucket of the
     largest stratum fits an executor's memory at the target scale.
 
-    Overwrite discipline (ADVICE r10): dropping the old table before the
-    lazy write executes is only safe when ``df`` does NOT read from it —
-    otherwise the source data would be destroyed before Spark could raise
-    its usual cannot-overwrite-a-read-table error. We detect self-reads in
-    the analyzed plan and fail fast, keeping the old table intact. The
-    filesystem delete (needed because the default in-memory catalog can
-    leave a LOCATION_ALREADY_EXISTS orphan directory behind from a
-    previous session) runs ONLY when the catalog has no entry for the
-    table — a true orphan — and resolves the directory through the
-    catalog's database location rather than string-building from the
-    warehouse root, so a non-``default`` current database never deletes
-    an unrelated ``default.<name>`` table's data."""
+    Overwrite discipline (ADVICE r10, hardened r11): dropping the old
+    table before the lazy write executes is only safe when ``df`` does NOT
+    read from it — otherwise the source data would be destroyed before
+    Spark could raise its usual cannot-overwrite-a-read-table error.
+    Self-reads are detected PHYSICALLY: any file in ``df.inputFiles()``
+    under the target table's catalog-resolved location fails fast — which
+    also catches ``spark.read.parquet(<the table's directory>)`` path
+    reads that no name-based plan inspection would see, and cannot
+    false-positive on string literals in the plan. The filesystem delete
+    (needed because the default in-memory catalog can leave a
+    LOCATION_ALREADY_EXISTS orphan directory behind from a previous
+    session) runs ONLY when the catalog has no entry for the table — a
+    true orphan — and resolves the directory through the catalog's
+    database location rather than string-building from the warehouse
+    root, so a non-``default`` current database never deletes an
+    unrelated ``default.<name>`` table's data."""
     spark = df.sparkSession
-    db, name = _resolve(spark, table)
-    qualified = f"`{db}`.`{name}`"
+    parts = _validate_parts(table)
+    qualified = ".".join(f"`{p}`" for p in parts)
     if mode == "overwrite":
-        if spark.catalog.tableExists(f"{db}.{name}"):
-            plan = df._jdf.queryExecution().analyzed().toString()
-            if re.search(
-                rf"\b{re.escape(db)}\.{re.escape(name.lower())}\b", plan, re.I
-            ):
-                raise ValueError(
-                    f"write_bucketed(mode='overwrite'): input DataFrame reads "
-                    f"from target table {db}.{name}; materialize it first "
-                    "(write to a different table, or persist+checkpoint)"
-                )
+        if spark.catalog.tableExists(table):
+            loc = _table_location(spark, qualified)
+            if loc:
+                base = _norm_uri(loc)
+                for f in df.inputFiles():
+                    nf = _norm_uri(f)
+                    if nf == base or nf.startswith(base + "/"):
+                        raise ValueError(
+                            "write_bucketed(mode='overwrite'): input "
+                            f"DataFrame reads from target table {table} "
+                            f"(file {f} under {loc}); materialize it first "
+                            "(write to a different table, or persist+"
+                            "checkpoint)"
+                        )
             spark.sql(f"DROP TABLE IF EXISTS {qualified}")
-        else:
+        elif len(parts) <= 2:
             # True orphan: no catalog entry, but a stale managed-table
             # directory may survive from a previous session. Resolve the
             # database's location via the catalog and clear only that dir.
+            db = parts[0] if len(parts) == 2 else spark.catalog.currentDatabase()
             dbloc = spark.catalog.getDatabase(db).locationUri
             jvm = spark._jvm
-            loc = jvm.org.apache.hadoop.fs.Path(f"{dbloc}/{name.lower()}")
+            loc = jvm.org.apache.hadoop.fs.Path(f"{dbloc}/{parts[-1].lower()}")
             fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
             if fs.exists(loc):
                 fs.delete(loc, True)

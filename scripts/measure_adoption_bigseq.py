@@ -2,7 +2,7 @@
 
 SCALING.md's r8 cell measured the per-call tiled plan at a 64 MB genome /
 100k intervals: ~27.7s per call, dominated by the \\G chunk split of the
-whole genome. The r11 auto-adoption (seqs._TILES_CACHE) pays that split
+whole genome. The r11 auto-adoption (per-session tile memo) pays that split
 ONCE (localCheckpoint at first call) — this script quantifies the steady
 state at the same shape, in ONE session:
 
@@ -82,20 +82,20 @@ def main() -> int:
         fn().df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    S._TILES_CACHE.clear()
+    S._tiles_memo(spark).clear()
     # value parity first (one materialization each path)
     fp_off = fingerprint(gr.get_sequence(seqs, auto_tile_cache=False))
-    S._TILES_CACHE.clear()
+    S._tiles_memo(spark).clear()
     fp_on = fingerprint(gr.get_sequence(seqs))  # adopts
     fp_on2 = fingerprint(gr.get_sequence(seqs))  # cached
     assert fp_off == fp_on == fp_on2, (fp_off, fp_on, fp_on2)
 
-    S._TILES_CACHE.clear()
+    S._tiles_memo(spark).clear()
     opt_out = [
         timed(lambda: gr.get_sequence(seqs, auto_tile_cache=False))
         for _ in range(n_samples)
     ]
-    S._TILES_CACHE.clear()
+    S._tiles_memo(spark).clear()
     adopt_first = timed(lambda: gr.get_sequence(seqs))
     adopted = [timed(lambda: gr.get_sequence(seqs)) for _ in range(n_samples)]
     print(

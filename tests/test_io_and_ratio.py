@@ -332,10 +332,28 @@ def test_write_bucketed_overwrite_refuses_self_read(spark):
     try:
         write_bucketed(df, tbl, buckets=2)
         derived = read_bucketed(spark, tbl).filter("Score > 0")
-        with _pytest.raises(ValueError, match="reads\\s+from target table"):
+        with _pytest.raises(ValueError, match="reads from target table"):
             write_bucketed(derived, tbl, buckets=2)
-        # old table survived the refused overwrite
-        assert read_bucketed(spark, tbl).count() == 2
+        # r11 code-review find: the guard is PHYSICAL (inputFiles vs the
+        # catalog location), so a path-based read of the table's own
+        # directory is caught too — no name ever appears in that plan
+        import urllib.parse
+
+        from pyranges_1_x_spark.sources.bucketed import _table_location
+
+        loc = _table_location(spark, f"`{tbl}`")
+        path_read = spark.read.parquet(urllib.parse.urlparse(loc).path)
+        with _pytest.raises(ValueError, match="reads from target table"):
+            write_bucketed(path_read, tbl, buckets=2)
+        # ...and a plan merely CONTAINING the table name as a string
+        # literal is NOT a self-read (the old regex false-positive)
+        lit = spark.createDataFrame(
+            [(f"default.{tbl}", "chr1", 0, 5)],
+            f"note string, Chromosome string, Start long, End long",
+        )
+        write_bucketed(lit, tbl, buckets=2)
+        assert read_bucketed(spark, tbl).count() == 1
+        # old table survived the refused overwrites above
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
@@ -379,3 +397,11 @@ def test_write_bucketed_rejects_unsafe_identifier(spark):
         write_bucketed(df, "t; DROP TABLE lineitem", buckets=2)
     with _pytest.raises(ValueError, match="identifier"):
         write_bucketed(df, "evil`name", buckets=2)
+    # 3-part (catalog-qualified) names are accepted (r11 code-review find)
+    write_bucketed(df, "spark_catalog.default.t_threepart", buckets=2)
+    try:
+        assert spark.table("spark_catalog.default.t_threepart").count() == 1
+        write_bucketed(df, "spark_catalog.default.t_threepart", buckets=2)
+        assert spark.table("spark_catalog.default.t_threepart").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spark_catalog.default.t_threepart")

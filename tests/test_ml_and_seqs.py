@@ -1239,6 +1239,22 @@ def test_png_real_decode_features_and_resize(spark):
     assert decode_png(payload[:-20]) is None  # truncated tail
     assert decode_png(b"JFIF" + bytes(64)) is None
 
+    # zlib bomb: a ~64 KB IDAT inflating to 64 MiB against a 4x3 IHDR —
+    # the BOUNDED inflate must only materialize the 15-byte raster, never
+    # the 64 MiB (r11 code-review find); an over-long stream still decodes
+    # the declared raster correctly
+    bomb_ihdr = struct.pack(">IIBBBBB", 4, 3, 8, 0, 0, 0, 0)
+    bomb_idat = zlib.compress(bytes(64 << 20))  # zeros: highly compressible
+    assert (
+        decode_png(_PNG_SIG + chunk(b"IHDR", bomb_ihdr) + chunk(b"IDAT", bomb_idat)
+                   + chunk(b"IEND", b"")) is not None
+    )  # first 3*(4+1) zero bytes decode as an all-zero 4x3 grayscale
+    over = decode_png(
+        _PNG_SIG + chunk(b"IHDR", bomb_ihdr) + chunk(b"IDAT", bomb_idat)
+        + chunk(b"IEND", b"")
+    )
+    assert over.shape == (3, 4, 1) and int(over.max()) == 0
+
     # Arrow batch path: features match numpy stats, resize re-encodes PNG
     gray = rng.integers(0, 256, size=(6, 6), dtype=np.uint8)
     media = spark.createDataFrame(
@@ -1303,10 +1319,10 @@ def test_get_sequence_auto_tile_adoption(spark):
     def plan_of(g):
         return g.df._jdf.queryExecution().executedPlan().toString()
 
-    S._TILES_CACHE.clear()
+    S._tiles_memo(spark).clear()
     out1 = gr.get_sequence(seqs, tile_size=4)
     assert key(out1.df) == want  # adoption call: values exact
-    memo = S._TILES_CACHE[spark]
+    memo = S._tiles_memo(spark)
     assert len(memo) == 1 and next(iter(memo.values()))["tile_size"] == 4
     out2 = gr.get_sequence(seqs, tile_size=4)
     p2 = plan_of(out2)
@@ -1317,15 +1333,21 @@ def test_get_sequence_auto_tile_adoption(spark):
     out3 = gr.get_sequence(seqs)
     assert "\\G" not in plan_of(out3)
     assert key(out3.df) == want
-    # a DIFFERENT explicit tile_size must not reuse the size-4 tiles
+    # a DIFFERENT explicit tile_size must not reuse the size-4 tiles —
+    # and must not RE-adopt either (alternating sizes must not churn
+    # checkpointed generations; r11 code-review find)
     out4 = gr.get_sequence(seqs, tile_size=3)
     assert key(out4.df) == want
+    assert next(iter(S._tiles_memo(spark).values()))["tile_size"] == 4
     # opt-out: the split stays in-plan every call
-    S._TILES_CACHE.clear()
+    S._tiles_memo(spark).clear()
     off = gr.get_sequence(seqs, tile_size=4, auto_tile_cache=False)
     assert "\\G" in plan_of(off)
-    assert spark not in S._TILES_CACHE or not S._TILES_CACHE[spark]
-    S._TILES_CACHE.clear()
+    assert not S._tiles_memo(spark)
+    # the memo lives ON the session (no module-global holding DataFrames
+    # that strongly reference their own weak key — r11 code-review find)
+    assert getattr(spark, S._TILES_ATTR) is S._tiles_memo(spark)
+    S._tiles_memo(spark).clear()
 
 
 def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
@@ -1345,6 +1367,11 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
     want = {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
     ck = str(tmp_path / "cc_ck")
 
+    # pre-set an application checkpoint dir: the call must RESTORE it
+    # (r11 code-review find: a library must not permanently redirect the
+    # session-global checkpoint dir)
+    app_ck = str(tmp_path / "app_ck")
+    spark.sparkContext.setCheckpointDir(app_ck)
     got = {
         r.node: r.component
         for r in connected_components(
@@ -1353,6 +1380,10 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
     }
     assert got == want
     assert CC_LAST_STATS["path"] == "distributed"
+    # getCheckpointDir returns the resolved per-context UUID subdir, so
+    # assert the restored dir sits back under app_ck (not under cc_ck)
+    restored = spark.sparkContext.getCheckpointDir()
+    assert restored is not None and "/app_ck/" in restored and "cc_ck" not in restored
     # reliable checkpoint files landed under the requested dir
     ck_files = [
         os.path.join(dp, f) for dp, _, fs in os.walk(ck) for f in fs
