@@ -592,10 +592,24 @@ def connected_components(
     # the distributed loop and RESTORE the caller's dir afterwards (r11
     # code-review find — a library must not silently redirect every later
     # checkpoint in the application). The driver fast path above never
-    # touches it.
+    # touches it. Restoration saves/re-assigns the raw JVM-side
+    # Option[String] var rather than round-tripping through the public
+    # get/setCheckpointDir pair (ADVICE r11): the public getter cannot
+    # represent "unset" (it returns None both for unset and unreadable),
+    # and the public setter RE-resolves its argument under a fresh UUID
+    # subdir — so a get→set restore would (a) leave the dir permanently
+    # redirected when the app had none, and (b) nest later checkpoints
+    # under the previous UUID subdir. Assigning the saved Option back is
+    # exact for both cases. `prev_ckpt_opt is None` (py4j handle not
+    # reachable) degrades to the r11 behavior via the public API.
     sc = edges.sparkSession.sparkContext
     prev_ckpt_dir = sc.getCheckpointDir() if checkpoint_dir is not None else None
+    prev_ckpt_opt = None
     if checkpoint_dir is not None:
+        try:
+            prev_ckpt_opt = sc._jsc.sc().checkpointDir()
+        except Exception:  # noqa: BLE001 — fall back to the public API
+            prev_ckpt_opt = None
         sc.setCheckpointDir(checkpoint_dir)
     try:
         # Round 1 is algebraically special: labels are the identity
@@ -664,8 +678,14 @@ def connected_components(
                 break
     finally:
         ed.unpersist()
-        if checkpoint_dir is not None and prev_ckpt_dir is not None:
-            sc.setCheckpointDir(prev_ckpt_dir)
+        if checkpoint_dir is not None:
+            if prev_ckpt_opt is not None:
+                # Exact restore: re-assign the saved Option (None stays
+                # None; a previously-set dir keeps its already-resolved
+                # path, no fresh UUID nesting).
+                getattr(sc._jsc.sc(), "checkpointDir_$eq")(prev_ckpt_opt)
+            elif prev_ckpt_dir is not None:
+                sc.setCheckpointDir(prev_ckpt_dir)
     if not converged and max_iter > 0:
         import warnings
 

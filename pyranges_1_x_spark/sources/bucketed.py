@@ -53,12 +53,23 @@ def _validate_parts(table: str) -> list[str]:
 
 
 def _norm_uri(uri: str) -> str:
-    """Scheme-insensitive path form of a storage URI for prefix compares
-    ('file:/x', 'file:///x' and '/x' all normalize to '/x')."""
+    """Authority-preserving normal form of a storage URI for prefix
+    compares. Local spellings ('file:/x', 'file:///x',
+    'file://localhost/x' and bare '/x') all normalize to '/x'; any OTHER
+    scheme keeps '<scheme>://<authority><path>', so equal paths on
+    different buckets/filesystems (s3a://bucketA/wh/t vs
+    s3a://bucketB/wh/t) never compare equal — a path-only form could
+    false-positive the self-read guard and block a legitimate overwrite
+    (ADVICE r11; the guard fails safe, but it should not fail wrong)."""
     from urllib.parse import urlparse
 
     p = urlparse(uri)
-    return re.sub("/+", "/", p.path or uri).rstrip("/")
+    path = re.sub("/+", "/", p.path or uri).rstrip("/")
+    scheme = p.scheme.lower()
+    netloc = p.netloc.lower()
+    if not scheme or (scheme == "file" and netloc in ("", "localhost")):
+        return path
+    return f"{scheme}://{netloc}{path}"
 
 
 def _table_location(spark: SparkSession, qualified: str) -> str | None:

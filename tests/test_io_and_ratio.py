@@ -316,6 +316,35 @@ def test_write_bucketed_overwrites_orphan_warehouse_dir(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_norm_uri_keeps_authority(spark):
+    """ADVICE r11: the self-read guard's URI normal form must keep the
+    scheme+authority for remote filesystems — equal PATHS on different
+    buckets are different data, and a path-only compare would
+    false-positive the guard and block a legitimate overwrite. Local
+    spellings still all collapse to the plain path."""
+    from pyranges_1_x_spark.sources.bucketed import _norm_uri
+
+    # local spellings are interchangeable
+    assert (
+        _norm_uri("file:/x/wh/t")
+        == _norm_uri("file:///x/wh/t")
+        == _norm_uri("file://localhost/x/wh/t")
+        == _norm_uri("/x/wh/t")
+        == "/x/wh/t"
+    )
+    # different buckets with equal paths must NOT normalize identically
+    a = _norm_uri("s3a://bucketA/wh/t")
+    b = _norm_uri("s3a://bucketB/wh/t")
+    assert a != b and a == "s3a://bucketa/wh/t"
+    # same bucket stays prefix-comparable (guard logic: base + '/')
+    f = _norm_uri("s3a://bucketA/wh/t/part-0.parquet")
+    assert f.startswith(a + "/")
+    # a local file is never "under" a remote location
+    assert not _norm_uri("file:///wh/t/part-0.parquet").startswith(a)
+    # hdfs authority (host:port) is kept and case-normalized
+    assert _norm_uri("hdfs://NN:8020/wh/t") == "hdfs://nn:8020/wh/t"
+
+
 def test_write_bucketed_overwrite_refuses_self_read(spark):
     """ADVICE r10: overwriting a table with a DataFrame derived FROM that
     table must fail fast BEFORE the drop — the old data stays intact —

@@ -1350,6 +1350,63 @@ def test_get_sequence_auto_tile_adoption(spark):
     S._tiles_memo(spark).clear()
 
 
+def test_get_sequence_tile_cache_staleness(spark, tmp_path):
+    """r12 (VERDICT r11 #3 / ADVICE r11): the adopted-tile key carries a
+    (path, mtime_ns, size) stat fingerprint, so a source rewritten
+    MID-SESSION is a cache miss that re-splits fresh data — with
+    ``auto_tile_cache=True`` — instead of serving stale sequence output.
+    Covers both key shapes: path input (FASTA rewrite) and table input
+    (parquet overwrite under the same logical plan / semanticHash)."""
+    import os
+
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.functions import seqs as S
+    from pyranges_1_x_spark.sources.fasta import write_fasta
+
+    gr = GenomicRanges(spark.createDataFrame(
+        pd.DataFrame({"Chromosome": ["chr1"], "Start": [2], "End": [6]})
+    ))
+
+    def seq_of(g):
+        return g.df.collect()[0]["Seq"]
+
+    # --- path input: FASTA rewritten between calls ---
+    S._tiles_memo(spark).clear()
+    p = str(tmp_path / "g.fa")
+    write_fasta(p, [("chr1", "ACGTACGTAC")], width=4)
+    assert seq_of(gr.get_sequence(path=p, tile_size=4)) == "GTAC"
+    assert len(S._tiles_memo(spark)) == 1
+    write_fasta(p, [("chr1", "GGGGGGGGGG")], width=4)
+    # force a distinct mtime_ns even on coarse-mtime filesystems
+    st = os.stat(p)
+    os.utime(p, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    assert seq_of(gr.get_sequence(path=p, tile_size=4)) == "GGGG"  # fresh
+    assert len(S._tiles_memo(spark)) == 2  # miss adopted a new entry
+
+    # --- table input: parquet overwritten, same plan hash ---
+    S._tiles_memo(spark).clear()
+    pq = str(tmp_path / "seqs.parquet")
+    spark.createDataFrame(
+        [("chr1", "ACGTACGTAC")], "Chromosome string, Sequence string"
+    ).write.mode("overwrite").parquet(pq)
+    t1 = spark.read.parquet(pq)
+    assert seq_of(gr.get_sequence(t1, tile_size=4)) == "GTAC"
+    spark.createDataFrame(
+        [("chr1", "CCCCCCCCCC")], "Chromosome string, Sequence string"
+    ).write.mode("overwrite").parquet(pq)
+    t2 = spark.read.parquet(pq)
+    assert t2.semanticHash() == t1.semanticHash()  # plan identity unchanged
+    assert seq_of(gr.get_sequence(t2, tile_size=4)) == "CCCC"  # data identity won
+    # and an UNCHANGED source still hits (split-free second call)
+    out = gr.get_sequence(t2, tile_size=4)
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "\\G" not in plan and "posexplode" not in plan
+    assert seq_of(out) == "CCCC"
+    S._tiles_memo(spark).clear()
+
+
 def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
     """r11 (VERDICT r10 #8): checkpoint_dir= switches the per-round lineage
     truncation from localCheckpoint (executor-storage blocks, lost with a
@@ -1366,24 +1423,43 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
     )
     want = {1: 1, 2: 1, 3: 1, 7: 1, 5: 5, 6: 5, 9: 9}
     ck = str(tmp_path / "cc_ck")
+    jsc = spark.sparkContext._jsc.sc()
+    orig_opt = jsc.checkpointDir()
 
-    # pre-set an application checkpoint dir: the call must RESTORE it
-    # (r11 code-review find: a library must not permanently redirect the
-    # session-global checkpoint dir)
-    app_ck = str(tmp_path / "app_ck")
-    spark.sparkContext.setCheckpointDir(app_ck)
-    got = {
-        r.node: r.component
-        for r in connected_components(
-            edges, driver_threshold=0, checkpoint_dir=ck
-        ).collect()
-    }
-    assert got == want
-    assert CC_LAST_STATS["path"] == "distributed"
-    # getCheckpointDir returns the resolved per-context UUID subdir, so
-    # assert the restored dir sits back under app_ck (not under cc_ck)
-    restored = spark.sparkContext.getCheckpointDir()
-    assert restored is not None and "/app_ck/" in restored and "cc_ck" not in restored
+    try:
+        # app with NO checkpoint dir: the call must leave it UNSET after
+        # (ADVICE r11 — the r11 restore skipped the None case, permanently
+        # redirecting every later application checkpoint under cc_ck)
+        getattr(jsc, "checkpointDir_$eq")(spark.sparkContext._jvm.scala.Option.empty())
+        got0 = {
+            r.node: r.component
+            for r in connected_components(
+                edges, driver_threshold=0, checkpoint_dir=ck
+            ).collect()
+        }
+        assert got0 == want
+        assert spark.sparkContext.getCheckpointDir() is None  # unset restored
+
+        # pre-set an application checkpoint dir: the call must RESTORE it
+        # (r11 code-review find: a library must not permanently redirect the
+        # session-global checkpoint dir)
+        app_ck = str(tmp_path / "app_ck")
+        spark.sparkContext.setCheckpointDir(app_ck)
+        resolved_app = spark.sparkContext.getCheckpointDir()
+        got = {
+            r.node: r.component
+            for r in connected_components(
+                edges, driver_threshold=0, checkpoint_dir=ck
+            ).collect()
+        }
+        assert got == want
+        assert CC_LAST_STATS["path"] == "distributed"
+        # exact restore: the SAME resolved per-context UUID subdir, not a
+        # fresh UUID nested under it (ADVICE r11 — a get→set round-trip
+        # re-resolves and nests)
+        assert spark.sparkContext.getCheckpointDir() == resolved_app
+    finally:
+        getattr(jsc, "checkpointDir_$eq")(orig_opt)
     # reliable checkpoint files landed under the requested dir
     ck_files = [
         os.path.join(dp, f) for dp, _, fs in os.walk(ck) for f in fs
