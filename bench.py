@@ -62,9 +62,31 @@ def main() -> int:
     if only:
         keep = {n.strip() for n in only.split(",") if n.strip()}
         qs = {n: f for n, f in qs.items() if n in keep}
+    # r12 (VERDICT r11 #1): every query gets ONE UNTIMED warm-up
+    # materialization before its timed samples. The old min-of-2 included
+    # each query's first-ever run, so committed floors inherited
+    # per-query warm-in (codegen compilation, parquet footer caches,
+    # broadcast relation build) — six code-untouched r11 "movers >1.2x"
+    # all landed AT OR BELOW their prior floors when A/B'd interleaved.
+    # The warm-up wall time is recorded under "warmup" for transparency
+    # but never enters the floor. SPARK_GRAFT_BENCH_WARMUP=off disables
+    # (quick iteration only — floors from such runs are not comparable).
+    do_warmup = os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "on") not in (
+        "0", "off", "none",
+    )
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
+    warmups: dict[str, float] = {}
     for name, fn in qs.items():
+        if do_warmup:
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                warmups[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001
+                print(f"bench warmup error in {name}: {e}", file=sys.stderr)
+                warmups[name] = -1.0
+            gc.collect()
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -118,13 +140,17 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "warmup": warmups,
                 "sf": float(sf),
-                "agg": "single run"
-                if rerun_threshold is None
-                else (
-                    "min of 2 full noop-sink runs per query"
-                    if rerun_threshold < 0
-                    else f"min of 2 runs for queries over {rerun_threshold}s"
+                "agg": ("1 untimed warm-up + " if do_warmup else "")
+                + (
+                    "single run"
+                    if rerun_threshold is None
+                    else (
+                        "min of 2 full noop-sink runs per query"
+                        if rerun_threshold < 0
+                        else f"min of 2 runs for queries over {rerun_threshold}s"
+                    )
                 ),
             }
         )
