@@ -1632,6 +1632,31 @@ def q_png_features(spark, sf_dir):
     )
 
 
+def q_jpeg_features(spark, sf_dir):
+    """The REAL baseline-JPEG decode kernel (r12: Huffman entropy decode +
+    dequant + numpy IDCT + JFIF color transform, ml/jpeg.py) under a
+    driver value gate. The synthetic JPEGs are block-constant with
+    all-ones quant tables, so the lossy pipeline is EXACT: each 8x8 block
+    of record i is (by*31 + bx*7 + i) % 256 (flat block -> DC-only ->
+    IDCT returns the constant), odd records are RGB with equal channels
+    (neutral chroma, color transform returns Y exactly) and a restart
+    interval. DuckDB recomputes every feature from the block formula
+    WITHOUT decoding JPEG — a single mangled coefficient shifts
+    mean/min/max and the value hash misses. std (index 5) excluded, as in
+    png_features."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.multimodal import extract_features, synthetic_jpeg_media
+
+    feats = extract_features(synthetic_jpeg_media(spark, 64))
+    picks = [(1, "f_w"), (2, "f_h"), (3, "f_c"), (4, "f_mean"),
+             (6, "f_min"), (7, "f_max"), (8, "f_npx")]
+    return feats.select(
+        "media_id",
+        *[F.element_at("feature", i).cast("double").alias(a) for i, a in picks],
+    )
+
+
 def q_count_matrix(spark, sf_dir):
     from pyranges_1_x_spark import count_overlaps_matrix
 
@@ -1912,6 +1937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extend_orfs": q_extend_orfs,
         "multimodal_features": q_multimodal_features,
         "png_features": q_png_features,
+        "jpeg_features": q_jpeg_features,
         "translate_cds": q_translate_cds,
         "nearest": q_nearest,
         "annotate_stream": q_annotate_stream,
@@ -2900,6 +2926,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST((i * 7) % 256 AS FLOAT) AS DOUBLE) AS f5,
                    CAST(CAST((i * 7 + L - 1) % 256 AS FLOAT) AS DOUBLE) AS f6,
                    CAST(CAST(L AS FLOAT) AS DOUBLE) AS f7
+            FROM agg
+        """,
+        "jpeg_features": """
+            -- Twin of ml/multimodal.py synthetic_jpeg_media + ml/jpeg.py
+            -- decode_jpeg: every 8x8 block of record i is the constant
+            -- (by*31 + bx*7 + i) % 256 with all-ones quantization, so the
+            -- decoded pixels are formula-exact despite JPEG being lossy
+            -- (flat block -> DC-only -> exact; equal channels -> neutral
+            -- chroma -> color transform exact). Pixel stats collapse to
+            -- block stats: every block contributes 64 equal pixels, so
+            -- the pixel mean equals the block mean and min/max are block
+            -- min/max. Any Huffman/dequant/IDCT/upsample defect shifts
+            -- them. w = 8*(2+i%3), h = 8*(1+i%2), c = 1 (even i) / 3 (odd).
+            WITH base AS (
+              SELECT CAST(i AS BIGINT) AS media_id,
+                     CAST(2 + i % 3 AS BIGINT) AS bw,
+                     CAST(1 + i % 2 AS BIGINT) AS bh,
+                     CAST(CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END AS BIGINT) AS c
+              FROM unnest(range(64)) t(i)
+            ),
+            blk AS (
+              SELECT media_id, bw, bh, c, unnest(range(bw * bh)) AS j FROM base
+            ),
+            vals AS (
+              SELECT media_id, bw, bh, c,
+                     ((j // bw) * 31 + (j % bw) * 7 + media_id) % 256 AS v
+              FROM blk
+            ),
+            agg AS (
+              SELECT media_id, ANY_VALUE(bw) AS bw, ANY_VALUE(bh) AS bh,
+                     ANY_VALUE(c) AS c, SUM(v) AS sv, COUNT(*) AS n,
+                     MIN(v) AS mn, MAX(v) AS mx
+              FROM vals GROUP BY media_id
+            )
+            SELECT media_id,
+                   CAST(CAST(bw * 8 AS FLOAT) AS DOUBLE) AS f_w,
+                   CAST(CAST(bh * 8 AS FLOAT) AS DOUBLE) AS f_h,
+                   CAST(CAST(c AS FLOAT) AS DOUBLE) AS f_c,
+                   CAST(CAST(CAST(sv AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f_mean,
+                   CAST(CAST(mn AS FLOAT) AS DOUBLE) AS f_min,
+                   CAST(CAST(mx AS FLOAT) AS DOUBLE) AS f_max,
+                   CAST(CAST(bw * bh * 64 AS FLOAT) AS DOUBLE) AS f_npx
             FROM agg
         """,
         "png_features": """
