@@ -26,9 +26,20 @@ no notion of our bucketing, under the identical chromosome rewrite. Pair
 outputs grow ~4x over plain 10x-density (five chromosomes pooled into one),
 so run the pair-emitting queries (join_inner, subtract) at sf0.001 and the
 bounded-output ones (count_overlaps, nearest, coverage, merge_stranded) at
-sf0.01.
+sf0.01. r12 (VERDICT r11 #7) adds the direction-sensitive operators to the
+skew roster: ``nearest_updown`` (strand-aware as-of sweeps) and
+``map_to_local`` / ``map_to_global`` (per-transcript joins) — run those at
+sf0.001, where the skewed DuckDB twin is still minutes, not hours.
 
-Usage: python scripts/check_oracle_scaled.py [--skew] [sf_dir] [query ...]
+``--reps=N`` (default 10) scales the replica factor: ``--reps=100`` at
+sf0.001 is the 100x-DENSITY decade cell (VERDICT r11 #6) — the pair
+relation grows ~10,000x over the base fixture while staying
+compare-bounded. The row_id remix uses the next power of two >= N
+(row_id * 2^ceil(log2 N) + rep), and the int64-headroom guard adjusts with
+it; sf0.001 fits 100x (max radix id ~2^54 < 2^63/128), sf0.01 does not —
+the guard fails fast with the bound in the message.
+
+Usage: python scripts/check_oracle_scaled.py [--skew] [--reps=N] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -53,7 +64,11 @@ DEFAULT_QUERIES = [
     "coverage",
     "merge_stranded",
 ]
-N_REPS = 10
+#: Direction-sensitive additions to the skew roster (r12, VERDICT r11 #7):
+#: as-of sweeps and per-transcript joins whose plans shard differently
+#: under a hot chromosome. Run at sf0.001 (their skewed DuckDB twins are
+#: per-chromosome quadratic).
+SKEW_EXTRA_QUERIES = ["nearest_updown", "map_to_local", "map_to_global"]
 
 
 SKEW_CHROM = "chr1"  # ~92% of rows land here under --skew (1/5 + all 9 reps)
@@ -64,6 +79,16 @@ def main() -> int:
     skew = "--skew" in argv
     if skew:
         argv.remove("--skew")
+    n_reps = 10
+    for arg in list(argv):
+        if arg.startswith("--reps="):
+            n_reps = int(arg.split("=", 1)[1])
+            argv.remove(arg)
+    if n_reps < 2:
+        raise SystemExit("--reps must be >= 2")
+    # row_id remix: rep packs into the low bits, so the multiplier is the
+    # next power of two >= n_reps and the headroom guard scales with it.
+    mult = 1 << (n_reps - 1).bit_length()
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = argv[1:] or DEFAULT_QUERIES
 
@@ -83,28 +108,30 @@ def main() -> int:
         .getOrCreate()
     )
 
-    # --- Spark side: swap the fixtures for their 10x-density replicas. The
+    # --- Spark side: swap the fixtures for their densified replicas. The
     # q_ functions only reach the fixtures through em._gr_a/_gr_b, so a
     # wrapper replica keeps every query's own plan untouched.
     orig_a, orig_b = em._gr_a, em._gr_b
 
     def _assert_headroom(g, side):
-        # row_id*16+rep adds 4 bits on top of the fixture's 63-bit radix id.
-        # Past ~2^59 (sf ~0.18+) the multiply overflows int64 — DuckDB errors
-        # loudly but non-ANSI Spark WRAPS silently, so fail here with a clear
-        # message instead of an engine-dependent one (ADVICE r9).
+        # row_id*mult+rep adds log2(mult) bits on top of the fixture's radix
+        # id (4 bits at the default 10x, 7 at 100x — past ~2^59 / ~2^56 the
+        # multiply overflows int64). DuckDB errors loudly but non-ANSI Spark
+        # WRAPS silently, so fail here with a clear message instead of an
+        # engine-dependent one (ADVICE r9).
         hi = g.df.select(F.max("row_id")).first()[0] or 0
-        if hi >= 1 << 59:
+        if hi >= 1 << (63 - mult.bit_length() + 1):
             raise SystemExit(
-                f"fixture {side}: max(row_id)={hi} >= 2^59; the {N_REPS}x"
-                " densify (row_id*16+rep) would overflow int64 — run at a"
+                f"fixture {side}: max(row_id)={hi} >="
+                f" 2^{63 - mult.bit_length() + 1}; the {n_reps}x densify"
+                f" (row_id*{mult}+rep) would overflow int64 — run at a"
                 " smaller sf"
             )
 
     def _densify(g):
-        reps = spark.range(N_REPS).select(F.col("id").alias("rep"))
+        reps = spark.range(n_reps).select(F.col("id").alias("rep"))
         df = g.df.crossJoin(F.broadcast(reps)).withColumn(
-            "row_id", F.col("row_id") * 16 + F.col("rep")
+            "row_id", F.col("row_id") * mult + F.col("rep")
         )
         if skew:
             # Replicas (rep > 0) pile onto one chromosome; rep 0 keeps the
@@ -144,10 +171,10 @@ def main() -> int:
     )
     ab_scaled = (
         f"WITH a0 AS ({em._A_SQL}), b0 AS ({em._B_SQL}),"
-        f" reps AS (SELECT * FROM generate_series(0, {N_REPS - 1}) t(rep)),"
-        f' a AS (SELECT row_id * 16 + rep AS row_id, {chrom_sql} AS Chromosome, Start,'
+        f" reps AS (SELECT * FROM generate_series(0, {n_reps - 1}) t(rep)),"
+        f' a AS (SELECT row_id * {mult} + rep AS row_id, {chrom_sql} AS Chromosome, Start,'
         ' "End", Strand, Score FROM a0, reps),'
-        f' b AS (SELECT row_id * 16 + rep AS row_id, {chrom_sql} AS Chromosome, Start,'
+        f' b AS (SELECT row_id * {mult} + rep AS row_id, {chrom_sql} AS Chromosome, Start,'
         ' "End", Strand, Score FROM b0, reps)'
     )
 
@@ -191,7 +218,7 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(g, e, check_exact=True)
             print(
-                f"PASS {name} @10x-density{'+skew' if skew else ''}: rows={len(got)}"
+                f"PASS {name} @{n_reps}x-density{'+skew' if skew else ''}: rows={len(got)}"
                 f" [spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
             )
         except AssertionError as ex:
@@ -202,7 +229,7 @@ def main() -> int:
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
-    print(f"\nALL PASS (10x-density{'+skew' if skew else ''})")
+    print(f"\nALL PASS ({n_reps}x-density{'+skew' if skew else ''})")
     return 0
 
 

@@ -8,14 +8,25 @@ cluster:
   missing equi-key (quadratic at scale).
 - BatchEvalPython: a row-at-a-time Python UDF in the plan (only Arrow-batched
   ArrowEvalPython / mapInPandas boundaries are sanctioned).
-- Window partitioned by low-cardinality keys only: flagged when a Window's
-  partition spec is exactly (Chromosome) or (Chromosome, Strand) — the
-  #chromosomes parallelism cap the bucketed planners exist to avoid. (Tiny
-  summary-relation windows partitioned by keys alone are expected and listed
-  so the reader can eyeball that they sit over pre-aggregated inputs.)
+- UnboundedGlobalWindow (r12, VERDICT r11 #8 — previously an eyeballed
+  note): a Window node with an EMPTY partition spec whose child SUBTREE
+  (indentation-parsed, so a join's other branch never leaks in) contains
+  neither a partial/final aggregate nor a limit-class operator
+  (TakeOrderedAndProject / CollectLimit / Global-/LocalLimit /
+  WindowGroupLimit). The two-phase planners' global windows sit over a
+  one-row-per-bucket summary (HashAggregate beneath — bounded by
+  construction) and the top-k ranks sit over TakeOrdered(k); a global
+  window over a FULL relation is the single-partition sort the bucketed
+  planners exist to avoid, and now fails the audit LOUDLY instead of
+  riding a prose note. WindowGroupLimit nodes themselves are skipped
+  (they ARE the bounded-rank pushdown). Windows partitioned only by
+  (Chromosome[, Strand]) over unaggregated input remain the listed
+  informational class they have been since r5 — the islands planner's
+  per-chromosome running scans are sequential by contract and show up in
+  the notes for eyeballing, not as failures.
 
 Usage: python scripts/plan_audit.py [query ...]
-Exit 1 if any HARD flag (cartesian/nested-loop/python-udf) fires.
+Exit 1 if any HARD flag fires.
 """
 
 from __future__ import annotations
@@ -27,6 +38,101 @@ sys.path.insert(0, ".")
 
 HARD = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
 SF = "/root/testdata/sf0.001"
+
+#: Aggregate physical nodes that bound a subtree's row count to its group
+#: count (the two-phase planners' bucket summaries are built by these).
+_AGG_RE = re.compile(r"\b(HashAggregate|SortAggregate|ObjectHashAggregate)\b")
+#: Limit-class nodes that bound a subtree's row count to a constant k.
+_LIMIT_RE = re.compile(
+    r"\b(TakeOrderedAndProject|CollectLimit|GlobalLimit|LocalLimit|WindowGroupLimit)\b"
+)
+#: Window-family physical nodes (WindowGroupLimit excluded: it IS the
+#: bounded-rank pushdown, not a window compute).
+_WINDOW_RE = re.compile(r"\b(?:RunningWindowFunction|Window)\b(?!GroupLimit)")
+#: Low-cardinality interval keys: a window partitioned ONLY by these caps
+#: parallelism at #chromosomes (~25) regardless of cluster size.
+_NARROW_KEYS = {"Chromosome", "Strand"}
+
+
+def _node_depth(line: str) -> int:
+    """Tree depth of a plan line = column of its '+- ' / ':- ' marker;
+    rootish lines (no marker) are depth -1."""
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1
+
+
+def _subtree_lines(lines: list[str], i: int) -> list[str]:
+    """The child subtree of the node at ``lines[i]``: following lines with
+    strictly greater marker depth (stops at the next sibling/uncle, so a
+    join's other branch is never included)."""
+    d0 = _node_depth(lines[i])
+    out = []
+    for ln in lines[i + 1 :]:
+        d = _node_depth(ln)
+        if d <= d0:
+            break
+        out.append(ln)
+    return out
+
+
+def _partition_cols(window_line: str) -> list[str] | None:
+    """Partition-spec column base names of a Window node line, via its
+    windowspecdefinition(...) argument list: the partition columns are the
+    leading entries with no ASC/DESC direction. None when no
+    windowspecdefinition is printed (WindowGroupLimit etc.) — callers then
+    fall back to flagging only on a missing aggregate."""
+    m = re.search(r"windowspecdefinition\(([^)]*)\)", window_line)
+    if not m:
+        return None
+    cols = []
+    for entry in m.group(1).split(","):
+        entry = entry.strip()
+        if "specifiedwindowframe" in entry:
+            break
+        if " ASC" in entry or " DESC" in entry:
+            break  # order spec starts; partition spec is what came before
+        base = entry.split("#")[0].strip()
+        if base:
+            cols.append(base)
+    return cols
+
+
+def audit_plan(plan: str) -> tuple[list[str], list[str]]:
+    """(hard_flags, notes) for one executed-plan string. Importable so the
+    test suite can assert the synthetic failure cases directly."""
+    flags = [h for h in HARD if h in plan]
+    # A BroadcastNestedLoopJoin whose sides are keyless (scalar)
+    # aggregates is a 1-row x 1-row cross (jaccard/forbes/fdr join their
+    # scalar totals back) — constant-size at any scale, not a red flag.
+    notes = []
+    if "BroadcastNestedLoopJoin" in flags and "HashAggregate(keys=[]" in plan:
+        flags.remove("BroadcastNestedLoopJoin")
+        notes.append("scalar-cross ok")
+
+    lines = plan.split("\n")
+    bounded_global = 0
+    narrow_full = 0
+    for i, ln in enumerate(lines):
+        if not _WINDOW_RE.search(ln):
+            continue
+        cols = _partition_cols(ln)
+        is_global = cols is None or cols == []  # no spec printed == global
+        is_narrow = bool(cols) and all(c in _NARROW_KEYS for c in cols)
+        if not (is_global or is_narrow):
+            continue  # high-cardinality partition key: scales with data
+        subtree = _subtree_lines(lines, i)
+        bounded = any(_AGG_RE.search(s) or _LIMIT_RE.search(s) for s in subtree)
+        if is_global and not bounded:
+            flags.append("UnboundedGlobalWindow")
+        elif is_global:
+            bounded_global += 1  # summary/top-k relation: by construction
+        else:
+            narrow_full += 1  # per-chromosome scan: listed for eyeballing
+    if bounded_global:
+        notes.append(f"global-window-over-bounded-input x{bounded_global}")
+    if narrow_full:
+        notes.append(f"chromosome-partitioned-window x{narrow_full}")
+    return flags, notes
 
 
 def main() -> int:
@@ -51,27 +157,11 @@ def main() -> int:
             print(f"{name}: PLAN ERROR {type(e).__name__}: {e}")
             hard_hits.append(name)
             continue
-        flags = [h for h in HARD if h in plan]
-        # A BroadcastNestedLoopJoin whose sides are keyless (scalar)
-        # aggregates is a 1-row x 1-row cross (jaccard/forbes/fdr join their
-        # scalar totals back) — constant-size at any scale, not a red flag.
-        if "BroadcastNestedLoopJoin" in flags and "HashAggregate(keys=[]" in plan:
-            flags.remove("BroadcastNestedLoopJoin")
-            status_note = " (scalar-cross ok)"
-        else:
-            status_note = ""
-        # chromosome-only window partitions (excluding bucket-keyed ones)
-        narrow = sorted(
-            set(
-                mme.group(1)
-                for mme in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan)
-                if "__" not in mme.group(1)  # bucket/summary cols are __*-named
-                and mme.group(1).count(",") <= 4
-                and "Chromosome" in mme.group(1)
-            )
+        flags, notes = audit_plan(plan)
+        status = ("FLAG " + ",".join(flags) if flags else "ok") + (
+            f" ({'; '.join(notes)})" if notes else ""
         )
-        status = ("FLAG " + ",".join(flags) if flags else "ok") + status_note
-        print(f"{name}: {status}" + (f" [narrow-window x{len(narrow)}]" if narrow else ""))
+        print(f"{name}: {status}")
         if flags:
             hard_hits.append(name)
     spark.stop()
