@@ -1676,6 +1676,37 @@ def q_jpeg_features(spark, sf_dir):
     )
 
 
+def q_avi_frames(spark, sf_dir):
+    """The REAL uncompressed-AVI video path (r12): RIFF container parse ->
+    per-frame bottom-up BGR decode -> every-2nd-frame sampling -> BMP
+    re-encode -> the standard image feature kernel. The synthetic AVIs'
+    pixel (y, x) of frame f of record i is (y*31 + x*7 + f*13 + i) % 256
+    (uncompressed, so decode is bit-exact by construction) — DuckDB
+    recomputes every feature from the formula without touching RIFF.
+    media_id is recoded media_id*100 + frame_index through the feature
+    kernel (n_frames <= 4 < 100) and split back in the projection."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.multimodal import (
+        extract_features,
+        frame_sample_decode,
+        synthetic_avi_media,
+    )
+
+    frames = frame_sample_decode(synthetic_avi_media(spark, 32), every_n=2)
+    recoded = frames.withColumn(
+        "media_id", F.col("media_id") * 100 + F.col("frame_index")
+    ).drop("frame_index")
+    feats = extract_features(recoded)
+    picks = [(1, "f_w"), (2, "f_h"), (3, "f_c"), (4, "f_mean"),
+             (6, "f_min"), (7, "f_max")]
+    return feats.select(
+        (F.col("media_id") / 100).cast("long").alias("media_id"),
+        (F.col("media_id") % 100).alias("frame_index"),
+        *[F.element_at("feature", i).cast("double").alias(a) for i, a in picks],
+    )
+
+
 def q_count_matrix(spark, sf_dir):
     from pyranges_1_x_spark import count_overlaps_matrix
 
@@ -1919,7 +1950,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     stat-fingerprinted tile-cache key (get_sequence_tiled,
     fasta_roundtrip); the authority-preserving _norm_uri self-read guard
     (bucketed_merge); the map_to_global local side now derived through
-    _gr_a for the scaled/skew twin (map_to_global, map_to_local); and the
+    _gr_a for the scaled/skew twin (map_to_global; map_to_local's own query
+    is unchanged and stays on the local gate); the NEW uncompressed-AVI
+    video path (avi_frames); and the
     exact checkpoint-dir restore in connected_components (dedup_clusters,
     semantic_dedup — iterative-session queries run LAST inside the window
     so a memory-tight harness death loses only these rows)."""
@@ -1973,7 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fasta_roundtrip": q_fasta_roundtrip,
         "bucketed_merge": q_bucketed_merge,
         "map_to_global": q_map_to_global,
-        "map_to_local": q_map_to_local,
+        "avi_frames": q_avi_frames,
         # Iterative-session queries (localCheckpoint/persist state) run LAST
         # inside the driver's 50-row gate window: if a memory-tight harness
         # session ever dies here, only these rows are lost instead of every
@@ -1983,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         # --- past the 50-row driver window: r11-driver-green, local gate only ---
         "count_overlaps": q_count_overlaps,
+        "map_to_local": q_map_to_local,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "count_matrix": q_count_matrix,
@@ -2974,6 +3008,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST((i * 7) % 256 AS FLOAT) AS DOUBLE) AS f5,
                    CAST(CAST((i * 7 + L - 1) % 256 AS FLOAT) AS DOUBLE) AS f6,
                    CAST(CAST(L AS FLOAT) AS DOUBLE) AS f7
+            FROM agg
+        """,
+        "avi_frames": """
+            -- Twin of ml/multimodal.py synthetic_avi_media +
+            -- frame_sample_decode + extract_features: pixel (y,x) of frame
+            -- f of record i is (y*31 + x*7 + f*13 + i) % 256, identical
+            -- across channels; frames are sampled every 2nd index. The
+            -- oracle recomputes the sampled frames' stats from the formula
+            -- — parsing RIFF/strf/00db and the bottom-up BGR rows is the
+            -- engine's job, and any container/row/palette defect shifts
+            -- mean/min/max. w = 4 + i%5, h = 3 + i%4, n_frames = 2 + i%3,
+            -- c = 1 (even i) / 3 (odd).
+            WITH base AS (
+              SELECT CAST(i AS BIGINT) AS media_id,
+                     CAST(4 + i % 5 AS BIGINT) AS w,
+                     CAST(3 + i % 4 AS BIGINT) AS h,
+                     CAST(CASE WHEN i % 2 = 1 THEN 3 ELSE 1 END AS BIGINT) AS c,
+                     CAST(2 + i % 3 AS BIGINT) AS nf
+              FROM unnest(range(32)) t(i)
+            ),
+            fr AS (
+              SELECT media_id, w, h, c, unnest(range(0, nf, 2)) AS fi FROM base
+            ),
+            px AS (
+              SELECT media_id, fi, w, h, c, unnest(range(w * h)) AS j FROM fr
+            ),
+            vals AS (
+              SELECT media_id, fi, w, h, c,
+                     ((j // w) * 31 + (j % w) * 7 + fi * 13 + media_id) % 256 AS v
+              FROM px
+            ),
+            agg AS (
+              SELECT media_id, fi, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h,
+                     ANY_VALUE(c) AS c, SUM(v) AS sv, COUNT(*) AS n,
+                     MIN(v) AS mn, MAX(v) AS mx
+              FROM vals GROUP BY media_id, fi
+            )
+            SELECT media_id, CAST(fi AS BIGINT) AS frame_index,
+                   CAST(CAST(w AS FLOAT) AS DOUBLE) AS f_w,
+                   CAST(CAST(h AS FLOAT) AS DOUBLE) AS f_h,
+                   CAST(CAST(c AS FLOAT) AS DOUBLE) AS f_c,
+                   CAST(CAST(CAST(sv AS DOUBLE) / n AS FLOAT) AS DOUBLE) AS f_mean,
+                   CAST(CAST(mn AS FLOAT) AS DOUBLE) AS f_min,
+                   CAST(CAST(mx AS FLOAT) AS DOUBLE) AS f_max
             FROM agg
         """,
         "jpeg_features": """

@@ -24,13 +24,19 @@ numpy — no codec library needed:
   JFIF YCbCr->RGB — plus a baseline encoder (4:4:4 or 4:2:0, quality or
   explicit quant tables) in ``ml/jpeg.py`` (r12, VERDICT r11 #5);
 * PCM WAV audio (8/16-bit, any channel count): stdlib ``wave`` +
-  frombuffer into sample-statistics features.
+  frombuffer into sample-statistics features;
+* uncompressed AVI video (RIFF 'AVI ', 'vids'/'DIB ' stream, BI_RGB
+  8bpp-palette or 24bpp frames): container walk + per-frame bottom-up BGR
+  decode, video statistics features, and REAL frame sampling
+  (``frame_sample_decode``) that re-emits sampled frames as BMP image
+  records flowing into the image feature/resize kernels (r12).
 
-Only MP3 and video codecs remain STUBS (clearly marked below; the
-container ships no codec libs — a real deployment plugs ffmpeg/torchaudio
-into the same Arrow batch path, which is what the tests pin).
-Out-of-scope image variants (16-bit/palette/interlaced PNG, progressive/
-arithmetic/12-bit/CMYK JPEG) fall through to the stub path too.
+Only MP3 and lossy-VIDEO-codec decode (H.264 etc.) remain STUBS (clearly
+marked below; the container ships no codec libs — a real deployment plugs
+ffmpeg/torchaudio into the same Arrow batch path, which is what the tests
+pin). Out-of-scope image variants (16-bit/palette/interlaced PNG,
+progressive/arithmetic/12-bit/CMYK JPEG) fall through to the stub path
+too.
 """
 
 from __future__ import annotations
@@ -464,6 +470,24 @@ def _decode_payload(payload: bytes, kind: str) -> list[float]:
             float(img.max()),
             float(w * h),
         ]
+    if kind == "video":
+        avi = decode_avi(payload)
+        if avi is not None:
+            import numpy as np
+
+            frames, fps = avi
+            nf, h, w, _c = frames.shape
+            f = frames.astype(np.float64)
+            return [
+                float(nf),
+                float(w),
+                float(h),
+                float(f.mean()),
+                float(f.std()),
+                float(frames.min()),
+                float(frames.max()),
+                float(fps),
+            ]
     b = payload[:4096]
     n = max(len(b), 1)
     s = sum(b)
@@ -508,6 +532,229 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Uncompressed AVI (RIFF 'AVI ', 'DIB ' video stream) — REAL video container
+# decode, r12: AVI is a RIFF container like WAV, and a raw 'DIB ' stream's
+# frames are BMP pixel bodies (bottom-up BGR, 4-byte row padding), so the
+# whole path is stdlib struct + numpy. Lossy video CODECS (H.264 etc.)
+# remain the stub.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """Encode (n, h, w) / (n, h, w, c in {1, 3}) uint8 frames as an
+    uncompressed AVI: one RIFF 'AVI ' with an avih/strh/strf header pair
+    ('vids' stream, 'DIB ' handler, BI_RGB) and one '00db' chunk per
+    bottom-up BGR frame. 8bpp frames carry the linear grayscale palette in
+    strf, the same convention as ``encode_bmp``."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(frames, dtype=np.uint8)
+    if a.ndim == 3:
+        a = a[:, :, :, None]
+    n, h, w, c = a.shape
+    if c not in (1, 3):
+        raise ValueError(f"AVI encoder supports 1 or 3 channels, got {c}")
+    if n == 0 or h == 0 or w == 0:
+        raise ValueError("AVI encoder needs non-empty frames")
+    bpp = 8 if c == 1 else 24
+    stride = (w * (bpp // 8) + 3) & ~3
+    pad = bytes(stride - w * (bpp // 8))
+
+    def chunk(cc: bytes, body: bytes) -> bytes:
+        return cc + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(cc: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", cc + body)
+
+    frame_bodies = []
+    for f in range(n):
+        rows = bytearray()
+        for row in a[f, ::-1]:  # bottom-up
+            rows += (row[:, ::-1].tobytes() if c == 3 else row.tobytes()) + pad
+        frame_bodies.append(chunk(b"00db", bytes(rows)))
+    buf_size = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # microseconds per frame
+        buf_size * fps, 0, 0, n, 0, 1, buf_size, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                                        buf_size, 0xFFFFFFFF, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    palette = (
+        b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256)) if c == 1 else b""
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bpp, 0, buf_size, 2835, 2835,
+        256 if c == 1 else 0, 0,
+    ) + palette
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(frame_bodies))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes):
+    """REAL video decode for uncompressed AVI payloads ('vids' stream with
+    BI_RGB 8bpp-palette or 24bpp frames in '00db'/'00dc' chunks). Returns
+    ``(frames, fps)`` with frames shaped (n, height, width, channels)
+    uint8, or None when the payload is not AVI or the stream is compressed
+    (a real deployment plugs ffmpeg into the same batch path for those)."""
+    import struct
+
+    import numpy as np
+
+    if (
+        payload is None
+        or len(payload) < 24
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        return None
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    width = height = None
+    bpp = None
+    palette = None
+    scale = rate = None
+    frames_raw: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> bool:
+        nonlocal width, height, bpp, palette, scale, rate
+        p = lo
+        while p + 8 <= hi:
+            cc = payload[p : p + 4]
+            (sz,) = struct.unpack_from("<I", payload, p + 4)
+            body_lo, body_hi = p + 8, p + 8 + sz
+            if body_hi > hi:
+                return False
+            if cc == b"LIST":
+                if not walk(body_lo + 4, body_hi):  # skip the list type code
+                    return False
+            elif cc == b"strh" and sz >= 48:
+                if payload[body_lo : body_lo + 4] == b"vids":
+                    handler = payload[body_lo + 4 : body_lo + 8]
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RAW "):
+                        return False  # compressed stream: out of scope
+                    scale, rate = struct.unpack_from("<II", payload, body_lo + 20)
+            elif cc == b"strf" and sz >= 40 and width is None:
+                _, w, h, _, bc, comp = struct.unpack_from("<IiiHHI", payload, body_lo)
+                if comp != 0 or bc not in (8, 24) or w <= 0 or h == 0:
+                    return False
+                width, height, bpp = w, abs(h), bc
+                if bc == 8:
+                    pal = np.frombuffer(
+                        payload[body_lo + 40 : body_lo + 40 + 1024], dtype=np.uint8
+                    )
+                    if len(pal) < 1024:
+                        return False
+                    palette = pal.reshape(256, 4)[:, 1]  # green channel
+            elif cc in (b"00db", b"00dc"):
+                frames_raw.append(payload[body_lo:body_hi])
+            p = body_hi + (sz & 1)  # chunks pad to even
+        return True
+
+    try:
+        if not walk(pos, end) or width is None or not frames_raw:
+            return None
+    except struct.error:
+        return None
+    c = 1 if bpp == 8 else 3
+    stride = (width * (bpp // 8) + 3) & ~3
+    need = stride * height
+    out = []
+    for raw in frames_raw:
+        if len(raw) < need:
+            return None
+        grid = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(height, stride)
+        if c == 3:
+            img = grid[:, : width * 3].reshape(height, width, 3)[::-1, :, ::-1]
+        else:
+            idx = grid[:, :width][::-1]
+            img = (palette[idx] if palette is not None else idx)[:, :, None]
+        out.append(img)
+    fps = (rate // scale) if (rate and scale) else 0
+    return np.stack(out), fps
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("n_frames", LongType()),
+    ]
+)
+
+
+def frame_sample_decode(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL frame sampling (r12): decode each video payload (uncompressed
+    AVI), keep every ``every_n``-th frame, and re-emit each sampled frame
+    as an IMAGE record (BMP payload) so the sampled frames flow straight
+    into the existing image feature/resize kernels. Videos the decoder
+    cannot handle (lossy codecs) are passed over silently — the
+    index-only ``frame_sample`` plan covers their bookkeeping. Arrow
+    mapInPandas, one batch in flight, like ``extract_features``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                dec = decode_avi(payload if payload is None else bytes(payload))
+                if dec is None:
+                    continue
+                frames, _fps = dec
+                for fi in range(0, len(frames), every_n):
+                    img = frames[fi]
+                    rows.append(
+                        (
+                            mid,
+                            fi,
+                            "image",
+                            encode_bmp(img[:, :, 0] if img.shape[2] == 1 else img),
+                            img.shape[1],
+                            img.shape[0],
+                            1,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return df.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def synthetic_avi_media(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-decodable AVI media table: pixel (y, x) of frame
+    ``f`` of record ``i`` is ``(y*31 + x*7 + f*13 + i) % 256`` identical
+    across channels (uncompressed, so decode is bit-exact by construction);
+    ``w = 4 + i%5``, ``h = 3 + i%4``, ``channels = 1`` (even i) / 3 (odd),
+    ``n_frames = 2 + i%3``."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w, h, nf = 4 + i % 5, 3 + i % 4, 2 + i % 3
+        c = 3 if i % 2 else 1
+        ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+        frames = ((yy * 31 + xx * 7 + ff * 13 + i) % 256).astype(np.uint8)
+        frames = np.repeat(frames[:, :, :, None], c, axis=3)
+        rows.append((i, "video", encode_avi(frames, fps=10), w, h, nf))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 100) -> DataFrame:

@@ -1375,6 +1375,70 @@ def test_jpeg_real_decode_roundtrip_and_features(spark):
         assert decode_jpeg(p).shape == (8, 8, 3 if i % 2 else 1)
 
 
+def test_avi_real_video_decode_and_frame_sampling(spark):
+    """The uncompressed-AVI video path is REAL (r12): RIFF container walk,
+    per-frame bottom-up BGR/palette decode, video-statistics features, and
+    frame sampling that re-emits sampled frames as BMP image records into
+    the existing image kernels. Round-trips exactly (uncompressed), rejects
+    non-AVI/compressed payloads, and the Arrow frame-sampling path yields
+    formula-exact per-frame features."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.multimodal import (
+        decode_avi,
+        decode_bmp,
+        encode_avi,
+        extract_features,
+        frame_sample_decode,
+        synthetic_avi_media,
+    )
+
+    rng = np.random.default_rng(11)
+    for c in (1, 3):
+        fr = rng.integers(0, 256, (4, 5, 7, c), dtype=np.uint8)
+        got, fps = decode_avi(encode_avi(fr, fps=12))
+        assert fps == 12 and np.array_equal(got, fr), f"c={c}"
+
+    # rejection: not RIFF, RIFF-but-WAVE, truncated, compressed handler
+    assert decode_avi(None) is None
+    assert decode_avi(b"nope") is None
+    assert decode_avi(b"RIFF\x04\x00\x00\x00WAVE") is None
+    full = encode_avi(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8))
+    assert decode_avi(full[: len(full) // 2]) is None
+    assert decode_avi(full.replace(b"DIB ", b"H264", 1)) is None
+
+    media = synthetic_avi_media(spark, 6)
+    # real video features: [n_frames, w, h, mean, std, min, max, fps]
+    vf = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    for i in range(6):
+        w, h, nf = 4 + i % 5, 3 + i % 4, 2 + i % 3
+        ff, yy, xx = np.mgrid[0:nf, 0:h, 0:w]
+        g = (yy * 31 + xx * 7 + ff * 13 + i) % 256
+        f = vf[i]
+        assert (f[0], f[1], f[2], f[7]) == (nf, w, h, 10)
+        assert f[3] == np.float32(g.mean()) and f[5] == g.min() and f[6] == g.max()
+
+    # frame sampling: every 2nd frame re-emitted as a decodable BMP image
+    frames = frame_sample_decode(media, every_n=2)
+    rows = frames.collect()
+    expected_count = sum(len(range(0, 2 + i % 3, 2)) for i in range(6))
+    assert len(rows) == expected_count
+    for r in rows:
+        i, fi = r["media_id"], r["frame_index"]
+        w, h = 4 + i % 5, 3 + i % 4
+        img = decode_bmp(bytes(r["payload"]))
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = ((yy * 31 + xx * 7 + fi * 13 + i) % 256).astype(np.uint8)
+        c = 3 if i % 2 else 1
+        assert img is not None and img.shape == (h, w, c)
+        assert np.array_equal(img, np.repeat(g[:, :, None], c, axis=2))
+        assert r["kind"] == "image" and r["n_frames"] == 1
+    # non-video rows pass through the filter untouched (empty output)
+    imgs = media.withColumn("kind", F.lit("image"))
+    assert frame_sample_decode(imgs, every_n=2).count() == 0
+
+
 def test_get_sequence_auto_tile_adoption(spark):
     """r11 (VERDICT r10 #6): the first tiled get_sequence call for a source
     adopts a localCheckpoint'ed chunk relation; call 2+ over the same
