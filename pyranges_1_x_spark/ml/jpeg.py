@@ -481,6 +481,16 @@ def _decode_jpeg_inner(payload: bytes, struct):
                 if not (1 <= hs <= 2 and 1 <= vs <= 2):
                     return None
                 comps.append((cid, hs, vs, tq))
+            if nc == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # one data unit per MCU in the component's own row-major
+                # block order, whatever Hi/Vi the SOF declares (they only
+                # matter relative to other components). Forcing 1x1 makes
+                # the interleaved MCU loop below equal the non-interleaved
+                # order (r12 review: a gray JPEG declaring 2x2 factors
+                # would otherwise decode scrambled).
+                cid, _, _, tq = comps[0]
+                comps = [(cid, 1, 1, tq)]
             frame = (fh, fw, comps)
         elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCB or 0xCD <= marker <= 0xCF:
             return None  # progressive / lossless / arithmetic: out of scope

@@ -604,12 +604,20 @@ def encode_avi(frames, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
-def decode_avi(payload: bytes):
-    """REAL video decode for uncompressed AVI payloads ('vids' stream with
-    BI_RGB 8bpp-palette or 24bpp frames in '00db'/'00dc' chunks). Returns
+def decode_avi(payload: bytes, frame_stride: int = 1):
+    """REAL video decode for uncompressed AVI payloads (the 'vids' stream's
+    BI_RGB 8bpp-palette or 24bpp frames in its 'NNdb'/'NNdc' chunks, where
+    NN is the stream's ordinal — an audio-first AVI keeps working). Returns
     ``(frames, fps)`` with frames shaped (n, height, width, channels)
-    uint8, or None when the payload is not AVI or the stream is compressed
-    (a real deployment plugs ffmpeg into the same batch path for those)."""
+    uint8 and fps as the exact ``rate/scale`` float, or None when the
+    payload is not AVI or the video stream is compressed (a real
+    deployment plugs ffmpeg into the same batch path for those).
+    ``frame_stride`` converts only every that-many-th frame to pixels —
+    the container walk still indexes every chunk (cheap slices), but the
+    frombuffer/flip/BGR work is skipped for unsampled frames (r12 review:
+    frame sampling at every_n=10 otherwise decodes 10x the needed
+    frames). Top-down DIBs (negative biHeight) are honored, matching
+    ``decode_bmp``."""
     import struct
 
     import numpy as np
@@ -623,13 +631,18 @@ def decode_avi(payload: bytes):
         return None
     pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
     width = height = None
+    top_down = False
     bpp = None
     palette = None
     scale = rate = None
+    n_streams = 0
+    vids_stream = None  # ordinal of the 'vids' stream among all strh
+    last_strh_vids = False
     frames_raw: list[bytes] = []
 
     def walk(lo: int, hi: int) -> bool:
-        nonlocal width, height, bpp, palette, scale, rate
+        nonlocal width, height, top_down, bpp, palette, scale, rate
+        nonlocal n_streams, vids_stream, last_strh_vids
         p = lo
         while p + 8 <= hi:
             cc = payload[p : p + 4]
@@ -641,16 +654,23 @@ def decode_avi(payload: bytes):
                 if not walk(body_lo + 4, body_hi):  # skip the list type code
                     return False
             elif cc == b"strh" and sz >= 48:
-                if payload[body_lo : body_lo + 4] == b"vids":
+                last_strh_vids = payload[body_lo : body_lo + 4] == b"vids"
+                if last_strh_vids:
                     handler = payload[body_lo + 4 : body_lo + 8]
                     if handler not in (b"DIB ", b"\x00\x00\x00\x00", b"RAW "):
                         return False  # compressed stream: out of scope
+                    vids_stream = n_streams
                     scale, rate = struct.unpack_from("<II", payload, body_lo + 20)
-            elif cc == b"strf" and sz >= 40 and width is None:
+                n_streams += 1
+            elif cc == b"strf" and sz >= 40 and last_strh_vids and width is None:
+                # strf belongs to the immediately preceding strh (the strl
+                # list pairs them), so an audio stream's format chunk is
+                # never misread as the BITMAPINFOHEADER (r12 review).
                 _, w, h, _, bc, comp = struct.unpack_from("<IiiHHI", payload, body_lo)
                 if comp != 0 or bc not in (8, 24) or w <= 0 or h == 0:
                     return False
                 width, height, bpp = w, abs(h), bc
+                top_down = h < 0
                 if bc == 8:
                     pal = np.frombuffer(
                         payload[body_lo + 40 : body_lo + 40 + 1024], dtype=np.uint8
@@ -658,7 +678,13 @@ def decode_avi(payload: bytes):
                     if len(pal) < 1024:
                         return False
                     palette = pal.reshape(256, 4)[:, 1]  # green channel
-            elif cc in (b"00db", b"00dc"):
+            elif (
+                len(cc) == 4
+                and cc[2:4] in (b"db", b"dc")
+                and cc[:2].isdigit()
+                and vids_stream is not None
+                and int(cc[:2]) == vids_stream
+            ):
                 frames_raw.append(payload[body_lo:body_hi])
             p = body_hi + (sz & 1)  # chunks pad to even
         return True
@@ -672,17 +698,19 @@ def decode_avi(payload: bytes):
     stride = (width * (bpp // 8) + 3) & ~3
     need = stride * height
     out = []
-    for raw in frames_raw:
+    for raw in frames_raw[:: max(int(frame_stride), 1)]:
         if len(raw) < need:
             return None
         grid = np.frombuffer(raw, dtype=np.uint8, count=need).reshape(height, stride)
+        if not top_down:
+            grid = grid[::-1]
         if c == 3:
-            img = grid[:, : width * 3].reshape(height, width, 3)[::-1, :, ::-1]
+            img = grid[:, : width * 3].reshape(height, width, 3)[:, :, ::-1]
         else:
-            idx = grid[:, :width][::-1]
+            idx = grid[:, :width]
             img = (palette[idx] if palette is not None else idx)[:, :, None]
         out.append(img)
-    fps = (rate // scale) if (rate and scale) else 0
+    fps = (rate / scale) if (rate and scale) else 0.0
     return np.stack(out), fps
 
 
@@ -714,12 +742,17 @@ def frame_sample_decode(df: DataFrame, every_n: int = 10) -> DataFrame:
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "video":
                     continue
-                dec = decode_avi(payload if payload is None else bytes(payload))
+                # frame_stride: only the sampled frames are converted to
+                # pixels; unsampled chunks stay raw bytes in the container.
+                dec = decode_avi(
+                    payload if payload is None else bytes(payload),
+                    frame_stride=every_n,
+                )
                 if dec is None:
                     continue
                 frames, _fps = dec
-                for fi in range(0, len(frames), every_n):
-                    img = frames[fi]
+                for k, img in enumerate(frames):
+                    fi = k * every_n
                     rows.append(
                         (
                             mid,

@@ -52,24 +52,30 @@ def _validate_parts(table: str) -> list[str]:
     return parts
 
 
-def _norm_uri(uri: str) -> str:
-    """Authority-preserving normal form of a storage URI for prefix
-    compares. Local spellings ('file:/x', 'file:///x',
-    'file://localhost/x' and bare '/x') all normalize to '/x'; any OTHER
-    scheme keeps '<scheme>://<authority><path>', so equal paths on
-    different buckets/filesystems (s3a://bucketA/wh/t vs
-    s3a://bucketB/wh/t) never compare equal — a path-only form could
-    false-positive the self-read guard and block a legitimate overwrite
-    (ADVICE r11; the guard fails safe, but it should not fail wrong)."""
+def _uri_parts(uri: str) -> tuple[str, str, str]:
+    """(scheme, host-sans-port, normalized path) of a storage URI for the
+    self-read compare. Local spellings ('file:/x', 'file:///x',
+    'file://localhost/x' and bare '/x') all normalize to ('file', '',
+    '/x'). Keeping the scheme+host distinguishes equal paths on different
+    buckets/filesystems (s3a://bucketA/wh/t vs s3a://bucketB/wh/t — ADVICE
+    r11: a path-only compare false-positived the guard and blocked a
+    legitimate overwrite), while dropping the PORT keeps the guard
+    fail-SAFE when one side spells the default port and the other omits
+    it ('hdfs://nn/wh/t' in the catalog vs fully-qualified
+    'hdfs://nn:8020/wh/t/part-0' from inputFiles — r12 review: an exact
+    authority match would have let that self-read destroy its source).
+    Nameservice aliases that resolve to the same host under a different
+    NAME remain undetectable from strings alone; the guard is one layer,
+    Spark's own cannot-overwrite-a-read-table check is the other."""
     from urllib.parse import urlparse
 
     p = urlparse(uri)
     path = re.sub("/+", "/", p.path or uri).rstrip("/")
-    scheme = p.scheme.lower()
-    netloc = p.netloc.lower()
-    if not scheme or (scheme == "file" and netloc in ("", "localhost")):
-        return path
-    return f"{scheme}://{netloc}{path}"
+    scheme = (p.scheme or "file").lower()
+    host = p.netloc.lower().rsplit(":", 1)[0] if p.netloc else ""
+    if scheme == "file" and host == "localhost":
+        host = ""
+    return scheme, host, path
 
 
 def _table_location(spark: SparkSession, qualified: str) -> str | None:
@@ -120,10 +126,14 @@ def write_bucketed(
         if spark.catalog.tableExists(table):
             loc = _table_location(spark, qualified)
             if loc:
-                base = _norm_uri(loc)
+                b_scheme, b_host, b_path = _uri_parts(loc)
                 for f in df.inputFiles():
-                    nf = _norm_uri(f)
-                    if nf == base or nf.startswith(base + "/"):
+                    f_scheme, f_host, f_path = _uri_parts(f)
+                    if (
+                        f_scheme == b_scheme
+                        and f_host == b_host
+                        and (f_path == b_path or f_path.startswith(b_path + "/"))
+                    ):
                         raise ValueError(
                             "write_bucketed(mode='overwrite'): input "
                             f"DataFrame reads from target table {table} "

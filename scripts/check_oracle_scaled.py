@@ -90,7 +90,11 @@ def main() -> int:
     # next power of two >= n_reps and the headroom guard scales with it.
     mult = 1 << (n_reps - 1).bit_length()
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = argv[1:] or DEFAULT_QUERIES
+    # --skew with no explicit list runs the full skew roster (r12 review:
+    # the extras were documented but not wired, so the documented command
+    # silently omitted them). The doc still recommends sf0.001 for the
+    # extras' quadratic DuckDB twins; an explicit query list overrides.
+    only = argv[1:] or (DEFAULT_QUERIES + SKEW_EXTRA_QUERIES if skew else DEFAULT_QUERIES)
 
     import __spark_entry__ as em
     from pyspark.sql import SparkSession

@@ -9,11 +9,13 @@ cluster:
 - BatchEvalPython: a row-at-a-time Python UDF in the plan (only Arrow-batched
   ArrowEvalPython / mapInPandas boundaries are sanctioned).
 - UnboundedGlobalWindow (r12, VERDICT r11 #8 — previously an eyeballed
-  note): a Window node with an EMPTY partition spec whose child SUBTREE
-  (indentation-parsed, so a join's other branch never leaks in) contains
-  neither a partial/final aggregate nor a limit-class operator
-  (TakeOrderedAndProject / CollectLimit / Global-/LocalLimit /
-  WindowGroupLimit). The two-phase planners' global windows sit over a
+  note): a Window node with an EMPTY partition spec whose INPUT CHAIN
+  (indentation-parsed tree walk: a join/union is bounded only if ALL its
+  branches are, so neither a sibling branch nor one bounded join input
+  can excuse an unbounded one) bottoms out in neither a partial/final
+  aggregate nor a limit-class operator (TakeOrderedAndProject /
+  CollectLimit / Global-/LocalLimit / WindowGroupLimit).
+  The two-phase planners' global windows sit over a
   one-row-per-bucket summary (HashAggregate beneath — bounded by
   construction) and the top-k ranks sit over TakeOrdered(k); a global
   window over a FULL relation is the single-partition sort the bucketed
@@ -75,6 +77,46 @@ def _subtree_lines(lines: list[str], i: int) -> list[str]:
     return out
 
 
+def _child_indices(lines: list[str], i: int) -> list[int]:
+    """Indices of the DIRECT children of the node at ``lines[i]``: the
+    minimum-depth lines inside its subtree."""
+    d0 = _node_depth(lines[i])
+    children: list[int] = []
+    child_depth = None
+    for j in range(i + 1, len(lines)):
+        d = _node_depth(lines[j])
+        if d <= d0:
+            break
+        if child_depth is None or d < child_depth:
+            child_depth = d
+            children = [j]
+        elif d == child_depth:
+            children.append(j)
+    return children
+
+
+_MULTI_CHILD_RE = re.compile(r"\b(Join|CartesianProduct|Union)\b")
+
+
+def _input_bounded(lines: list[str], i: int) -> bool:
+    """Whether the node at ``lines[i]`` produces a bounded (summary/top-k
+    sized) relation: it IS an aggregate/limit, or — walking its OWN input
+    chain, not just any line in the subtree — every branch of its input
+    bottoms out in one. A join/union is bounded only if ALL its children
+    are (r12 review: `any(agg in subtree)` let a global window over
+    join(full_relation, summary) pass as bounded — the summary branch's
+    aggregate excused the unbounded branch)."""
+    ln = lines[i]
+    if _AGG_RE.search(ln) or _LIMIT_RE.search(ln):
+        return True
+    children = _child_indices(lines, i)
+    if not children:
+        return False  # leaf scan / reused exchange: assume full relation
+    if _MULTI_CHILD_RE.search(ln):
+        return all(_input_bounded(lines, c) for c in children)
+    return _input_bounded(lines, children[0])
+
+
 def _partition_cols(window_line: str) -> list[str] | None:
     """Partition-spec column base names of a Window node line, via its
     windowspecdefinition(...) argument list: the partition columns are the
@@ -120,8 +162,8 @@ def audit_plan(plan: str) -> tuple[list[str], list[str]]:
         is_narrow = bool(cols) and all(c in _NARROW_KEYS for c in cols)
         if not (is_global or is_narrow):
             continue  # high-cardinality partition key: scales with data
-        subtree = _subtree_lines(lines, i)
-        bounded = any(_AGG_RE.search(s) or _LIMIT_RE.search(s) for s in subtree)
+        children = _child_indices(lines, i)
+        bounded = bool(children) and all(_input_bounded(lines, c) for c in children)
         if is_global and not bounded:
             flags.append("UnboundedGlobalWindow")
         elif is_global:

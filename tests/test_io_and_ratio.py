@@ -316,33 +316,37 @@ def test_write_bucketed_overwrites_orphan_warehouse_dir(spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
-def test_norm_uri_keeps_authority(spark):
-    """ADVICE r11: the self-read guard's URI normal form must keep the
-    scheme+authority for remote filesystems — equal PATHS on different
-    buckets are different data, and a path-only compare would
-    false-positive the guard and block a legitimate overwrite. Local
-    spellings still all collapse to the plain path."""
-    from pyranges_1_x_spark.sources.bucketed import _norm_uri
+def test_uri_parts_guard_compare(spark):
+    """ADVICE r11 + r12 review: the self-read guard compares
+    (scheme, host-sans-port, path). Equal paths on DIFFERENT buckets never
+    match (a path-only compare false-positived the guard); equal hosts
+    where one side omits the default PORT still match (an exact-authority
+    compare false-negatived and would have let an overwrite destroy its
+    own source). Local spellings all collapse to ('file', '', path)."""
+    from pyranges_1_x_spark.sources.bucketed import _uri_parts
 
     # local spellings are interchangeable
     assert (
-        _norm_uri("file:/x/wh/t")
-        == _norm_uri("file:///x/wh/t")
-        == _norm_uri("file://localhost/x/wh/t")
-        == _norm_uri("/x/wh/t")
-        == "/x/wh/t"
+        _uri_parts("file:/x/wh/t")
+        == _uri_parts("file:///x/wh/t")
+        == _uri_parts("file://localhost/x/wh/t")
+        == _uri_parts("/x/wh/t")
+        == ("file", "", "/x/wh/t")
     )
-    # different buckets with equal paths must NOT normalize identically
-    a = _norm_uri("s3a://bucketA/wh/t")
-    b = _norm_uri("s3a://bucketB/wh/t")
-    assert a != b and a == "s3a://bucketa/wh/t"
-    # same bucket stays prefix-comparable (guard logic: base + '/')
-    f = _norm_uri("s3a://bucketA/wh/t/part-0.parquet")
-    assert f.startswith(a + "/")
-    # a local file is never "under" a remote location
-    assert not _norm_uri("file:///wh/t/part-0.parquet").startswith(a)
-    # hdfs authority (host:port) is kept and case-normalized
-    assert _norm_uri("hdfs://NN:8020/wh/t") == "hdfs://nn:8020/wh/t"
+    # different buckets with equal paths must NOT compare equal
+    a = _uri_parts("s3a://bucketA/wh/t")
+    b = _uri_parts("s3a://bucketB/wh/t")
+    assert a != b and a == ("s3a", "bucketa", "/wh/t")
+    # same bucket stays prefix-comparable (guard logic: path + '/')
+    fs, fh, fp = _uri_parts("s3a://bucketA/wh/t/part-0.parquet")
+    assert (fs, fh) == a[:2] and fp.startswith(a[2] + "/")
+    # a local file never matches a remote location
+    assert _uri_parts("file:///wh/t/part-0.parquet")[:2] != a[:2]
+    # default-port spelling asymmetry matches (fail-safe): catalog
+    # 'hdfs://nn/wh/t' vs fully-qualified inputFiles 'hdfs://NN:8020/...'
+    assert _uri_parts("hdfs://NN:8020/wh/t") == _uri_parts("hdfs://nn/wh/t")
+    # but a different scheme on the same host/path does not
+    assert _uri_parts("s3a://nn/wh/t") != _uri_parts("hdfs://nn/wh/t")
 
 
 def test_write_bucketed_overwrite_refuses_self_read(spark):

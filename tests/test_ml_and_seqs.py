@@ -1359,6 +1359,20 @@ def test_jpeg_real_decode_roundtrip_and_features(spark):
     i = full.index(b"\xff\xdb") + 4
     assert decode_jpeg(full[:i] + bytes([full[i] | 0x10]) + full[i + 1 :]) is None
 
+    # T.81 A.2 (r12 review): a SINGLE-component scan is non-interleaved,
+    # so a gray JPEG declaring Hi=Vi=2 in SOF decodes in the component's
+    # own row-major block order — patch our 0x11 sampling byte to 0x22
+    # (the entropy stream is identical in both orders for one component)
+    # and the decode must not scramble or fall to None.
+    import struct as _struct
+
+    sof_at = full.index(b"\xff\xc0")
+    hv_at = sof_at + 4 + 6 + 1  # marker+len, BHHB header, component id
+    assert full[hv_at] == 0x11
+    patched = full[:hv_at] + b"\x22" + full[hv_at + 1 :]
+    d22 = decode_jpeg(patched)
+    assert d22 is not None and np.array_equal(d22[:, :, 0], flat)
+
     # Arrow batch path: features are formula-exact, resize stays JPEG
     media = synthetic_jpeg_media(spark, 8)
     feats = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
@@ -1407,6 +1421,27 @@ def test_avi_real_video_decode_and_frame_sampling(spark):
     full = encode_avi(rng.integers(0, 256, (2, 4, 4, 3), dtype=np.uint8))
     assert decode_avi(full[: len(full) // 2]) is None
     assert decode_avi(full.replace(b"DIB ", b"H264", 1)) is None
+
+    # r12 review fixes, pinned:
+    import struct
+
+    fr = rng.integers(0, 256, (3, 6, 9, 3), dtype=np.uint8)
+    # (a) frame_stride converts only sampled frames
+    got2, _ = decode_avi(encode_avi(fr, fps=12), frame_stride=2)
+    assert np.array_equal(got2, fr[::2])
+    # (b) top-down DIB (negative biHeight) honored, like decode_bmp
+    p = bytearray(encode_avi(fr[:1], fps=10))
+    i = p.index(b"strf") + 8
+    w0, h0 = struct.unpack_from("<ii", p, i + 4)
+    struct.pack_into("<ii", p, i + 4, w0, -h0)
+    td, _ = decode_avi(bytes(p))
+    assert np.array_equal(td[0], fr[0][::-1])
+    # (c) fps is the exact rate/scale float (NTSC-style fractional rate)
+    p = bytearray(encode_avi(fr, fps=30))
+    j = p.index(b"strh") + 8 + 20  # dwScale offset within strh body
+    struct.pack_into("<II", p, j, 1001, 30000)
+    _, fps = decode_avi(bytes(p))
+    assert abs(fps - 30000 / 1001) < 1e-9
 
     media = synthetic_avi_media(spark, 6)
     # real video features: [n_frames, w, h, mean, std, min, max, fps]

@@ -67,3 +67,21 @@ def test_audit_flags_unaggregated_narrow_windows(spark):
     right = df.groupBy("Chromosome").agg(F.count("*").alias("n"))
     flags, _ = audit_plan(_plan(left.join(right, "Chromosome")))
     assert "UnboundedGlobalWindow" in flags
+
+    # an aggregate in one branch of a join BELOW the window must not
+    # excuse the other, unbounded branch (r12 review: `any(agg in
+    # subtree)` passed this shape): full_relation JOIN summary -> global
+    # window is still a single-partition sort of the full relation
+    joined = df.join(right, "Chromosome")
+    flags, _ = audit_plan(
+        _plan(joined.withColumn("r", F.sum("x").over(Window.orderBy("x"))))
+    )
+    assert "UnboundedGlobalWindow" in flags
+    # while agg JOIN agg -> global window is bounded on every branch
+    right2 = df.groupBy("Chromosome").agg(F.max("x").alias("m"))
+    bothagg = right.join(right2, "Chromosome")
+    flags, notes = audit_plan(
+        _plan(bothagg.withColumn("r", F.sum("n").over(Window.orderBy("n"))))
+    )
+    assert not flags
+    assert any("global-window-over-bounded-input" in n for n in notes)
