@@ -188,39 +188,35 @@ def nearest_ranges(
     faithful."""
     if k < 1:
         raise ValueError("k must be >= 1")
+    leg_pred = None  # per-row leg selection for upstream/downstream
     if direction in (nm.NEAREST_UPSTREAM, nm.NEAREST_DOWNSTREAM):
         # 5'/3'-aware resolution (reference wrapper pyranges_main.py:2327-2391
         # splits self by strand; we additionally flip the genomic direction on
         # the '-' half, which is the documented upstream/downstream intent —
         # the reference's literal code passes the same direction to both
         # halves, which its own doctests never exercise).
+        #
+        # Physical strategy (r12): NOT a strand-split recursion — that ran
+        # the whole rank machinery twice (two stable-id persists, two
+        # overlap joins, two best-windows; the gated upstream query cost
+        # ~3x plain nearest). Both direction legs already exist in the
+        # direction='any' plan, so build them ONCE over the full input and
+        # give each leg only the LEFT rows whose strand selects it: the
+        # forward sweep sees the rows whose 5'-direction maps to forward,
+        # the backward sweep the rest. Right-side ranks, the overlap
+        # branch (distance-0 candidates count for every row, as in the
+        # split version), the best-k window and the assembly joins all run
+        # once.
         up = direction == nm.NEAREST_UPSTREAM
-        common = dict(
-            strand_behavior=strand_behavior, match_by=match_by,
-            exclude_overlaps=exclude_overlaps, k=k, suffix=suffix,
-            dist_col=dist_col, bin_size=bin_size,
-        )
         if not self.has_strand:
-            return nearest_ranges(
-                self, other,
-                direction=nm.NEAREST_BACKWARD if up else nm.NEAREST_FORWARD,
-                **common,
+            direction = nm.NEAREST_BACKWARD if up else nm.NEAREST_FORWARD
+        else:
+            # forward leg serves: '-' rows for upstream, '+'/other rows for
+            # downstream (upstream of '+' = smaller coordinates = backward).
+            leg_pred = (
+                F.col(nm.STRAND_COL) == "-" if up else F.col(nm.STRAND_COL) != "-"
             )
-        fwd_half = GenomicRanges(self.df.filter(F.col(nm.STRAND_COL) != "-"))
-        rev_half = GenomicRanges(self.df.filter(F.col(nm.STRAND_COL) == "-"))
-        r1 = nearest_ranges(
-            fwd_half, other,
-            direction=nm.NEAREST_BACKWARD if up else nm.NEAREST_FORWARD,
-            **common,
-        )
-        r2 = nearest_ranges(
-            rev_half, other,
-            direction=nm.NEAREST_FORWARD if up else nm.NEAREST_BACKWARD,
-            **common,
-        )
-        d1 = r1.df if isinstance(r1, GenomicRanges) else r1
-        d2 = r2.df if isinstance(r2, GenomicRanges) else r2
-        return GenomicRanges.wrap(d1.unionByName(d2))
+            direction = nm.NEAREST_ANY
     from pyspark import StorageLevel
 
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
@@ -272,8 +268,11 @@ def nearest_ranges(
             bucket_width=bin_size, out_col="__rr__",
         )
         # sweep: per left End, the min forward rank (rank grows with Start,
-        # so min rank among Start >= End is the as-of candidate)
-        l_pts = left.select(
+        # so min rank among Start >= End is the as-of candidate). Under a
+        # per-row leg (upstream/downstream), only the rows whose strand
+        # selects the forward leg enter this sweep.
+        l_fwd = left.filter(leg_pred) if leg_pred is not None else left
+        l_pts = l_fwd.select(
             *keys, *_SID, F.col(nm.END_COL).alias("__pos__"), F.col(nm.END_COL).alias("__le__"),
             F.col(nm.START_COL).alias("__lls__"),
         ).withColumn("__isd__", F.lit(False)).withColumn("__rk__", F.lit(None).cast("long"))
@@ -300,8 +299,12 @@ def nearest_ranges(
         # (hypothesis explore find, r10). Drop the forward copy; the
         # backward leg always ranks that pair first (its End is the largest
         # <= left Start), so it survives exactly once. Single-direction
-        # calls keep the pair in their only leg — no filter.
-        both_legs = direction == nm.NEAREST_ANY
+        # calls keep the pair in their only leg — no filter. A per-row LEG
+        # (upstream/downstream) is single-direction per row even though
+        # both sweeps are built, so the double-emission cannot happen and
+        # the filter must stay OFF (it would delete the forward leg's only
+        # copy for a forward-leg row).
+        both_legs = direction == nm.NEAREST_ANY and leg_pred is None
         degenerate = (
             (F.col("__rs__") == F.col("__re__"))
             & (F.col("__lls__") == F.col("__le__"))
@@ -319,7 +322,8 @@ def nearest_ranges(
             [F.col("__re__").desc(), F.col("__rs__").desc(), *[F.col(c).asc() for c in rsid]],
             bucket_width=bin_size, descending=True, out_col="__rr__",
         )
-        l_pts = left.select(
+        l_bwd = left.filter(~leg_pred) if leg_pred is not None else left
+        l_pts = l_bwd.select(
             *keys, *_SID, F.col(nm.START_COL).alias("__pos__"), F.col(nm.START_COL).alias("__ls__")
         ).withColumn("__isd__", F.lit(False)).withColumn("__rk__", F.lit(None).cast("long"))
         r_pts = r_bwd.select(
