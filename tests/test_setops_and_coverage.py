@@ -233,6 +233,29 @@ def test_nearest_upstream_downstream(spark):
     assert sorted(zip(up2.Start, up2.Start_b, up2.Distance)) == [(5, 10, 4)]
 
 
+def test_nearest_updown_degenerate_pair_once(spark):
+    """r12 (leg-filter rewrite): upstream/downstream build BOTH direction
+    sweeps and select per row by strand, with the coincident-empty-pair
+    dedup filter deliberately OFF (each row is single-direction, so the
+    any-direction double emission cannot occur — and the filter would
+    delete a forward-leg row's only copy). k=2 would expose a double
+    emission as two identical rows; each row must emit the pair exactly
+    ONCE at distance 1."""
+    import pandas as pd
+
+    from pyranges_1_x_spark.core import GenomicRanges
+
+    a = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": "chr1", "Start": [5, 5], "End": [5, 5], "Strand": ["+", "-"]})))
+    b = GenomicRanges(spark.createDataFrame(pd.DataFrame(
+        {"Chromosome": "chr1", "Start": [5], "End": [5], "Strand": ["+"]})))
+    for d in ("upstream", "downstream"):
+        got = a.nearest_ranges(
+            b, direction=d, strand_behavior="ignore", k=2
+        ).df.toPandas()
+        assert sorted(zip(got.Strand, got.Distance)) == [("+", 1), ("-", 1)], d
+
+
 def test_set_intersect_multiple_first_last(spark):
     """set_intersect multiple: per merged self island, keep only the
     smallest/largest (Start, End) merged other island (doctest-pinned order,
