@@ -523,6 +523,29 @@ def q_doc_langid(spark, sf_dir):
     return language_id(spark.table("documents"))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition counters (ml/text.py:repetition_stats):
+    duplicate-line / duplicate-2-gram / top-2-gram occurrence counts per doc
+    — the boilerplate/spam signals a training pipeline thresholds on. All
+    integer counts (oracle-exact); exploded linear aggregation, zero UDFs."""
+    from pyranges_1_x_spark.ml.text import repetition_stats
+
+    _load(spark, sf_dir, ["documents"])
+    return repetition_stats(spark.table("documents"))
+
+
+def q_tfidf_topterms(spark, sf_dir):
+    """Top-3 characteristic terms per doc by log-free BM25-rational tf-idf
+    (ml/text.py:tfidf_top_terms). The idf stays inside IEEE +-*/ (no ln), so
+    Spark and DuckDB compute bit-identical doubles — see the operator
+    docstring for why a transcendental idf would break exact cross-engine
+    verification."""
+    from pyranges_1_x_spark.ml.text import tfidf_top_terms
+
+    _load(spark, sf_dir, ["documents"])
+    return tfidf_top_terms(spark.table("documents"), k=3)
+
+
 def q_ann_topk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2057,6 +2080,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nearest": q_nearest,
         "annotate_stream": q_annotate_stream,
         "windowed_coverage": q_windowed_coverage,
+        # --- NEW in r12 (added after the gate window froze): local gate this
+        # round, lead the r13 driver window as "ungated last round".
+        "doc_repetition": q_doc_repetition,
+        "tfidf_topterms": q_tfidf_topterms,
     }
 
 
@@ -2277,6 +2304,77 @@ def oracle_sql() -> dict[str, str]:
                           / GREATEST(len(regexp_split_to_array(trim(text), '\\s+')), 1) >= 0.05
                         THEN 'en' ELSE 'unknown' END AS pred_lang
             FROM documents
+        """,
+        "doc_repetition": """
+            WITH l1 AS (
+              SELECT doc_id, trim(l) AS line
+              FROM documents, unnest(string_split(text, chr(10))) AS u(l)
+            ),
+            lg AS (
+              SELECT doc_id, line, COUNT(*) AS c
+              FROM l1 WHERE line <> '' GROUP BY 1, 2
+            ),
+            ls AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_lines,
+                     CAST(SUM(c - 1) AS BIGINT) AS n_dup_line_occ,
+                     CAST(SUM((c - 1) * length(line)) AS BIGINT) AS n_chars_dup_lines
+              FROM lg GROUP BY 1
+            ),
+            t0 AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            g0 AS (
+              SELECT doc_id, ts[s.i] || ' ' || ts[s.i + 1] AS gram
+              FROM t0, unnest(generate_series(1, GREATEST(len(ts) - 1, 0))) AS s(i)
+            ),
+            gg AS (SELECT doc_id, gram, COUNT(*) AS c FROM g0 GROUP BY 1, 2),
+            gs AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_2grams,
+                     CAST(MAX(c) AS BIGINT) AS top_2gram_count,
+                     CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_2gram_occ
+              FROM gg GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(ls.n_lines, 0) AS n_lines,
+                   COALESCE(ls.n_dup_line_occ, 0) AS n_dup_line_occ,
+                   COALESCE(ls.n_chars_dup_lines, 0) AS n_chars_dup_lines,
+                   COALESCE(gs.n_2grams, 0) AS n_2grams,
+                   COALESCE(gs.top_2gram_count, 0) AS top_2gram_count,
+                   COALESCE(gs.n_dup_2gram_occ, 0) AS n_dup_2gram_occ
+            FROM documents d
+            LEFT JOIN ls ON d.doc_id = ls.doc_id
+            LEFT JOIN gs ON d.doc_id = gs.doc_id
+        """,
+        "tfidf_topterms": """
+            WITH toks AS (
+              SELECT doc_id, u.term
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                       x -> x <> '') AS ts
+                    FROM documents),
+                   unnest(ts) AS u(term)
+            ),
+            tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                   FROM toks GROUP BY 1, 2),
+            dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df_t
+                      FROM tf GROUP BY 1),
+            n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     CAST(tf.tf AS DOUBLE)
+                       * ((n.n_docs - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5)) AS score
+              FROM tf JOIN dfreq USING (term), n
+            )
+            SELECT doc_id, term, tf, score
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                               ORDER BY score DESC, term ASC) AS rk
+                  FROM scored)
+            WHERE rk <= 3
         """,
         "ann_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

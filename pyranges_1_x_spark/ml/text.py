@@ -221,6 +221,145 @@ def filter_corpus(
     )
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition counters per document (Rae et al. 2021,
+    "Scaling Language Models" §A.1.1 quality heuristics): the duplicate-line
+    and repeated-n-gram signals a training pipeline thresholds to drop
+    boilerplate/spam pages. Integer COUNTS, not ratios, so results are
+    oracle-exact; the published fractions are one division away:
+
+    * ``n_lines`` — non-empty trimmed lines;
+    * ``n_dup_line_occ`` — line occurrences beyond each line's first
+      (``n_lines - distinct lines``; dup-line fraction = this / n_lines);
+    * ``n_chars_dup_lines`` — characters in those surplus occurrences
+      (the "fraction of characters in duplicate lines" numerator);
+    * ``n_2grams`` — word 2-gram occurrences (lowercased whitespace tokens);
+    * ``top_2gram_count`` — occurrences of the most frequent 2-gram
+      (top-n-gram fraction numerator);
+    * ``n_dup_2gram_occ`` — ALL occurrences of 2-grams appearing more than
+      once (Gopher counts every occurrence of a duplicated n-gram).
+
+    Scale shape: lines and 2-grams EXPLODE to rows and aggregate twice
+    (per-(doc, unit) then per-doc) rather than nesting higher-order-function
+    counting loops row-locally — the exploded relation is linear in corpus
+    token count and partial aggregation is map-side, so book-length documents
+    cost O(tokens), not O(distinct x occurrences) per row. Both branches
+    shuffle on ``id_col`` and join co-partitioned. Zero UDFs.
+    """
+    did = F.col(id_col)
+    base = df.select(did, F.col(text_col).alias("__t__"))
+
+    lines = base.select(
+        did, F.explode(F.split(F.col("__t__"), "\n")).alias("__l0__")
+    ).select(did, F.trim(F.col("__l0__")).alias("__line__"))
+    lines = lines.filter(F.col("__line__") != "")
+    lg = lines.groupBy(did, "__line__").agg(F.count(F.lit(1)).alias("__c__"))
+    ls = lg.groupBy(did).agg(
+        F.sum("__c__").cast("long").alias("n_lines"),
+        F.sum(F.col("__c__") - 1).cast("long").alias("n_dup_line_occ"),
+        F.sum((F.col("__c__") - 1) * F.length("__line__"))
+        .cast("long")
+        .alias("n_chars_dup_lines"),
+    )
+
+    toks = F.filter(
+        F.split(F.lower(F.trim(F.col("__t__"))), TOKEN_PATTERN), lambda x: x != ""
+    )
+    grams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda x, y: F.concat(x, F.lit(" "), y),
+    )
+    g0 = base.select(did, F.explode(grams).alias("__g__"))
+    gg = g0.groupBy(did, "__g__").agg(F.count(F.lit(1)).alias("__c__"))
+    gs = gg.groupBy(did).agg(
+        F.sum("__c__").cast("long").alias("n_2grams"),
+        F.max("__c__").cast("long").alias("top_2gram_count"),
+        F.sum(F.when(F.col("__c__") > 1, F.col("__c__")).otherwise(0))
+        .cast("long")
+        .alias("n_dup_2gram_occ"),
+    )
+
+    out = (
+        df.select(did)
+        .join(ls, on=id_col, how="left")
+        .join(gs, on=id_col, how="left")
+    )
+    zeros = [
+        "n_lines",
+        "n_dup_line_occ",
+        "n_chars_dup_lines",
+        "n_2grams",
+        "top_2gram_count",
+        "n_dup_2gram_occ",
+    ]
+    return out.select(
+        did, *[F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c) for c in zeros]
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by tf-idf — the keyword
+    extraction / topic-tagging stage of a corpus curation pipeline.
+
+    The idf factor is the LOG-FREE BM25 rational ``(N - df + 0.5) /
+    (df + 0.5)`` (Robertson/Sparck Jones probabilistic idf ARGUMENT, i.e.
+    BM25's idf before the log). Chosen deliberately: per-term ranking under
+    a fixed tf is order-identical to the logged form (log is monotone), and
+    the score stays inside IEEE +-*/ arithmetic, so any SQL engine computes
+    bit-identical doubles — a transcendental ``ln`` differs at the ulp
+    between libm implementations and would break exact cross-engine
+    verification. Ties (equal score) break on ascending term.
+
+    Scale shape: tokenize-explode -> per-(doc, term) count (map-side partial
+    agg) -> per-term document frequency -> term-keyed join back -> bounded
+    per-doc top-k window. The only non-doc-keyed exchange is the df join on
+    ``term``; stopword-like terms make it skewed, which is exactly the AQE
+    skew-join case (and the df side is vocabulary-sized — ~millions of rows
+    at 100 TB — so AQE broadcasts it long before the corpus stops fitting).
+    Zero UDFs; no ``collect``.
+    """
+    did = F.col(id_col)
+    toks = df.select(
+        did,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_PATTERN),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(did, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df__"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n__"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                (F.col("__n__") - F.col("__df__") + F.lit(0.5))
+                / (F.col("__df__") + F.lit(0.5))
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("__rk__", F.row_number().over(w))
+        .filter(F.col("__rk__") <= k)
+        .select(did, "term", "tf", "score")
+    )
+
+
 def normalize_text(
     text: Column,
     *,

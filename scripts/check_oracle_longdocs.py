@@ -50,6 +50,12 @@ DEFAULT_QUERIES = [
     "minhash_lsh",
     "simhash",
     "spearman_rows",
+    # r12: the exploded-aggregation text stats ride the same 10x twin — the
+    # length axis multiplies their exploded relation (lines/2-grams/terms)
+    # 10x per doc, exercising the linear-in-tokens claim with values asserted
+    # (repeat(text,10) also makes every line a 10x duplicate group).
+    "doc_repetition",
+    "tfidf_topterms",
 ]
 N_REPS = 10
 

@@ -1668,3 +1668,64 @@ def test_connected_components_durable_checkpoint_dir(spark, tmp_path):
     }
     assert got2 == want
     assert not os.path.exists(ck2)
+
+
+def test_repetition_stats_counts(spark):
+    from pyranges_1_x_spark.ml.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["x y\nx y\n\nz w", "hello", ""],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()
+    }
+    assert len(got) == 3  # empty/one-token docs keep their row (zeros)
+    # doc 1: lines [x y, x y, z w]; 2-grams [x y, y x, x y, y z, z w]
+    assert got[1] == {
+        "doc_id": 1, "n_lines": 3, "n_dup_line_occ": 1,
+        "n_chars_dup_lines": 3, "n_2grams": 5, "top_2gram_count": 2,
+        "n_dup_2gram_occ": 2,
+    }
+    # doc 2: one line, one token -> no 2-grams
+    assert got[2] == {
+        "doc_id": 2, "n_lines": 1, "n_dup_line_occ": 0,
+        "n_chars_dup_lines": 0, "n_2grams": 0, "top_2gram_count": 0,
+        "n_dup_2gram_occ": 0,
+    }
+    assert all(v == 0 for k, v in got[3].items() if k != "doc_id")
+
+
+def test_tfidf_top_terms_rational_idf(spark):
+    from pyranges_1_x_spark.ml.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "apple banana apple",
+                    "banana cherry",
+                    "cherry cherry date",
+                ],
+            }
+        )
+    )
+    out = tfidf_top_terms(docs, k=3).toPandas()
+    by_doc = {
+        d: g.sort_values(["score", "term"], ascending=[False, True])
+        for d, g in out.groupby("doc_id")
+    }
+    # idf(df=1) = 2.5/1.5, idf(df=2) = 1.5/2.5 — exact IEEE rationals
+    assert list(by_doc[1].term) == ["apple", "banana"]
+    assert by_doc[1].score.iloc[0] == 2.0 * (2.5 / 1.5)
+    # doc 2: equal scores -> ascending-term tiebreak
+    assert list(by_doc[2].term) == ["banana", "cherry"]
+    # doc 3: date (tf 1, rare) outranks cherry (tf 2, common)
+    assert list(by_doc[3].term) == ["date", "cherry"]
+    assert by_doc[3].score.iloc[0] == 1.0 * (2.5 / 1.5)
+    assert by_doc[3].score.iloc[1] == 2.0 * (1.5 / 2.5)
