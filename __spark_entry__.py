@@ -546,6 +546,19 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(spark.table("documents"), k=3)
 
 
+def q_pack_examples(spark, sf_dir):
+    """Sequence packing (ml/sampling.py:pack_training_examples): concatenate
+    docs in the deterministic (md5-hash, id) shuffle order and chunk into
+    512-token training examples; per doc: global start offset + the example
+    ids its tokens span. Two-phase bucketed running sum (no global window);
+    integer arithmetic end-to-end. Oracle: DuckDB replays the md5-prefix
+    order and the window sum exactly."""
+    from pyranges_1_x_spark.ml.sampling import pack_training_examples
+
+    _load(spark, sf_dir, ["documents"])
+    return pack_training_examples(spark.table("documents"), budget=512, seed=7)
+
+
 def q_ann_topk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2084,6 +2097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round, lead the r13 driver window as "ungated last round".
         "doc_repetition": q_doc_repetition,
         "tfidf_topterms": q_tfidf_topterms,
+        "pack_examples": q_pack_examples,
     }
 
 
@@ -2375,6 +2389,27 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY score DESC, term ASC) AS rk
                   FROM scored)
             WHERE rk <= 3
+        """,
+        "pack_examples": """
+            WITH d AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#7'), 1, 15))::BIGINT AS h
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM d
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum - n_tokens AS BIGINT) AS start_offset,
+                   CAST((cum - n_tokens) // 512 AS BIGINT) AS first_example,
+                   CAST(CASE WHEN n_tokens > 0 THEN (cum - 1) // 512
+                             ELSE (cum - n_tokens) // 512 END AS BIGINT) AS last_example
+            FROM c
         """,
         "ann_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),

@@ -71,6 +71,92 @@ def stratified_sample(
     return df.filter(F.pmod(hash_fn(F.col(key_col), seed), F.lit(_DENOM)) < thresh)
 
 
+def pack_training_examples(
+    df: DataFrame,
+    budget: int,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_col: str | None = None,
+    seed: int = 0,
+    hash_fn=md5_hash64,
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Sequence packing for pretraining batches: concatenate every document's
+    tokens in a deterministic shuffle order and chunk the stream into
+    fixed-``budget``-token training examples (documents MAY span an example
+    boundary — the standard GPT-style pack-then-chunk, not bin packing).
+    Returns one row per document with its place in the packed stream:
+
+    * ``n_tokens`` — whitespace token count (or ``tokens_col`` if the
+      pipeline already counted, e.g. with a real BPE);
+    * ``start_offset`` — the doc's first token's position in the global
+      concatenated stream (0-based; consecutive docs tile it exactly);
+    * ``first_example`` / ``last_example`` — ids of the fixed-size examples
+      the doc lands in (``start_offset DIV budget`` .. ``(end-1) DIV
+      budget``; empty docs carry ``first_example`` in both).
+
+    Order is ``(hash(id, seed), id)`` — the same engine/partitioning/rerun-
+    independent permutation as ``deterministic_shuffle``, so re-exporting a
+    grown corpus moves only the docs whose hashes interleave, not everything.
+
+    Scale shape (two-phase, no global window — the same plan family as
+    ``deterministic_shuffle`` and plans/sweep.py): the hash's high
+    ``bucket_bits`` form uniform buckets that PREFIX the total order; the
+    running token sum is a per-bucket window plus one broadcast prefix
+    offset per bucket (2^bits summary rows). Token counting is a row-local
+    JVM expression; integer arithmetic end-to-end (oracle-exact).
+    """
+    from pyspark.sql import Window
+
+    from pyranges_1_x_spark.plans.interval_join import floordiv
+
+    if budget <= 0:
+        raise ValueError("budget must be a positive token count")
+    if not 1 <= bucket_bits <= 40:
+        raise ValueError("bucket_bits must be in [1, 40]")
+    if tokens_col is not None:
+        nt = F.col(tokens_col).cast("long")
+    else:
+        nt = F.size(
+            F.filter(
+                F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+            )
+        ).cast("long")
+    shift = 60 - bucket_bits
+    d = (
+        df.select(F.col(id_col), nt.alias("__nt__"))
+        .withColumn("__h__", hash_fn(F.col(id_col), seed))
+        .withColumn("__bkt__", F.shiftright("__h__", shift))
+    )
+    wl = (
+        Window.partitionBy("__bkt__")
+        .orderBy(F.col("__h__").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__lcum__", F.sum("__nt__").over(wl))
+    summary = d.groupBy("__bkt__").agg(F.sum("__nt__").alias("__tot__"))
+    ws = Window.orderBy(F.col("__bkt__").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    summary = summary.select(
+        "__bkt__", F.coalesce(F.sum("__tot__").over(ws), F.lit(0)).alias("__off__")
+    )
+    out = local.join(F.broadcast(summary), on="__bkt__")
+    end = F.col("__off__") + F.col("__lcum__")
+    start = end - F.col("__nt__")
+    first_ex = floordiv(start, budget).cast("long")
+    return out.select(
+        F.col(id_col),
+        F.col("__nt__").alias("n_tokens"),
+        start.cast("long").alias("start_offset"),
+        first_ex.alias("first_example"),
+        F.when(F.col("__nt__") > 0, floordiv(end - 1, budget).cast("long"))
+        .otherwise(first_ex)
+        .alias("last_example"),
+    )
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",

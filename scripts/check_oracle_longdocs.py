@@ -56,6 +56,7 @@ DEFAULT_QUERIES = [
     # (repeat(text,10) also makes every line a 10x duplicate group).
     "doc_repetition",
     "tfidf_topterms",
+    "pack_examples",
 ]
 N_REPS = 10
 

@@ -1729,3 +1729,59 @@ def test_tfidf_top_terms_rational_idf(spark):
     assert list(by_doc[3].term) == ["date", "cherry"]
     assert by_doc[3].score.iloc[0] == 1.0 * (2.5 / 1.5)
     assert by_doc[3].score.iloc[1] == 2.0 * (1.5 / 2.5)
+
+
+def test_pack_training_examples_tiles_the_stream(spark):
+    from pyranges_1_x_spark.ml.sampling import pack_training_examples
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(20)),
+                "text": [
+                    " ".join(f"w{i}_{j}" for j in range(3 + 7 * (i % 4)))
+                    for i in range(20)
+                ]
+                + [],
+            }
+        )
+    )
+    # empty doc keeps a row and occupies zero tokens
+    docs = docs.union(
+        spark.createDataFrame(pd.DataFrame({"doc_id": [99], "text": ["   "]}))
+    )
+    out = pack_training_examples(docs, budget=16, seed=3).toPandas()
+    assert len(out) == 21
+    got = out.sort_values("start_offset").reset_index(drop=True)
+    # the packed stream is an exact tiling: each doc starts where the
+    # previous one ended (empty docs share their successor's offset)
+    prev_end = 0
+    for _, r in got.iterrows():
+        assert r.start_offset == prev_end
+        prev_end = r.start_offset + r.n_tokens
+    assert prev_end == int(out.n_tokens.sum())
+    # example ids are the chunk arithmetic
+    nonempty = got[got.n_tokens > 0]
+    assert (nonempty.first_example == nonempty.start_offset // 16).all()
+    assert (
+        nonempty.last_example
+        == (nonempty.start_offset + nonempty.n_tokens - 1) // 16
+    ).all()
+    empty = got[got.n_tokens == 0]
+    assert (empty.first_example == empty.last_example).all()
+    # deterministic under any physical partitioning
+    out2 = (
+        pack_training_examples(docs.repartition(7), budget=16, seed=3)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True), out2
+    )
+    # a different seed is a different permutation of the same tiling
+    out3 = pack_training_examples(docs, budget=16, seed=4).toPandas()
+    assert int(out3.n_tokens.sum()) == int(out.n_tokens.sum())
+    assert not out3.sort_values("doc_id").start_offset.reset_index(
+        drop=True
+    ).equals(out.sort_values("doc_id").start_offset.reset_index(drop=True))
