@@ -546,6 +546,30 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(spark.table("documents"), k=3)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub gate (ml/text.py:scrub_pii). The corpus docs carry no PII,
+    so the gate INJECTS it by formula — each doc gets a doc_id-derived
+    email, URL and phone appended identically in Spark and the SQL twin
+    (the png_features fixture-by-formula precedent) — then both engines
+    count and redact. Patterns live in the Java/RE2 common regex subset, so
+    the redacted text compares byte-exactly, not just the counts."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.text import scrub_pii
+
+    _load(spark, sf_dir, ["documents"])
+    sid = F.col("doc_id").cast("string")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), sid, F.lit("@example.com via https://ex"),
+            sid, F.lit(".org/p?q=1 or +1 (555) 010-00"), sid,
+        ).alias("text"),
+    )
+    return scrub_pii(docs)
+
+
 def q_pack_examples(spark, sf_dir):
     """Sequence packing (ml/sampling.py:pack_training_examples): concatenate
     docs in the deterministic (md5-hash, id) shuffle order and chunk into
@@ -2098,6 +2122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "tfidf_topterms": q_tfidf_topterms,
         "pack_examples": q_pack_examples,
+        "pii_scrub": q_pii_scrub,
     }
 
 
@@ -2389,6 +2414,26 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY score DESC, term ASC) AS rk
                   FROM scored)
             WHERE rk <= 3
+        """,
+        "pii_scrub": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@example.com via https://ex' || CAST(doc_id AS VARCHAR)
+                          || '.org/p?q=1 or +1 (555) 010-00' || CAST(doc_id AS VARCHAR) AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_url,
+                   CAST(len(regexp_extract_all(t,
+                     '\\+?[0-9][0-9()\\-\\. ]{5,}[0-9]')) AS BIGINT) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(t,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                     'https?://[^\\s]+', '<URL>', 'g'),
+                     '\\+?[0-9][0-9()\\-\\. ]{5,}[0-9]', '<PHONE>', 'g') AS scrubbed
+            FROM d
         """,
         "pack_examples": """
             WITH d AS (

@@ -360,6 +360,61 @@ def tfidf_top_terms(
     )
 
 
+#: PII patterns, restricted to the Java-regex/RE2 common subset (character
+#: classes + greedy quantifiers only — no lookaround, no backrefs) so Spark
+#: and an oracle engine replace byte-identically. Deliberately conservative
+#: single-line patterns; a production deployment swaps in its compliance
+#: team's library — the Spark plumbing (scan-local regexp_replace chain,
+#: counts from the pre-redaction text) is what this pins.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    # 7+-digit runs with optional common phone separators, anchored on word
+    # boundaries via explicit non-digit classes being absent (digit runs).
+    ("phone", r"\+?[0-9][0-9()\-\. ]{5,}[0-9]", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    patterns: list[tuple[str, str, str]] | None = None,
+    out_col: str = "scrubbed",
+) -> DataFrame:
+    """Redact PII-shaped spans (emails, URLs, phone-ish digit runs) and count
+    what was removed — the compliance scrub stage between crawling and
+    training. Returns ``id_col`` + per-pattern match counts (from the
+    PRE-redaction text, so counts are auditable even though patterns chain)
+    + the redacted text in ``out_col``.
+
+    Patterns are applied IN ORDER, each to the previous pattern's output
+    (emails redact before phone-ish digit runs can eat their digits; the
+    default order is most-specific-first). Counting uses
+    ``regexp_count``-style arithmetic on the original text per pattern.
+
+    Scale shape: a pure row-local ``regexp_replace`` chain on one scan — no
+    shuffle, no UDF; composes with filter/column pruning untouched. Patterns
+    stay inside the Java/RE2 common subset so any oracle engine reproduces
+    the redaction byte-identically.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    t = F.col(text_col)
+    cols: list[Column] = [F.col(id_col)]
+    for name, pat, _ in pats:
+        cols.append(
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+    red = t
+    for _, pat, token in pats:
+        red = F.regexp_replace(red, pat, token)
+    cols.append(red.alias(out_col))
+    return df.select(*cols)
+
+
 def normalize_text(
     text: Column,
     *,

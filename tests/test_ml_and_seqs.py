@@ -1785,3 +1785,28 @@ def test_pack_training_examples_tiles_the_stream(spark):
     assert not out3.sort_values("doc_id").start_offset.reset_index(
         drop=True
     ).equals(out.sort_values("doc_id").start_offset.reset_index(drop=True))
+
+
+def test_scrub_pii_order_and_counts(spark):
+    from pyranges_1_x_spark.ml.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "mail a@b.io and c.d+x@e-f.org now",
+                    "see https://x.io/p?q=1 call +1 (555) 010-0099 ok",
+                    "clean text with no pii at all",
+                ],
+            }
+        )
+    )
+    got = {r["doc_id"]: r.asDict() for r in scrub_pii(docs).collect()}
+    assert got[1]["n_email"] == 2 and got[1]["n_url"] == 0 and got[1]["n_phone"] == 0
+    assert got[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> now"
+    assert got[2]["n_email"] == 0 and got[2]["n_url"] == 1 and got[2]["n_phone"] == 1
+    # email/url redact BEFORE the phone-ish digit-run pattern can eat digits
+    assert got[2]["scrubbed"] == "see <URL> call <PHONE> ok"
+    assert got[3]["scrubbed"] == "clean text with no pii at all"
+    assert got[3]["n_email"] == got[3]["n_url"] == got[3]["n_phone"] == 0
