@@ -546,6 +546,32 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(spark.table("documents"), k=3)
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental dedup gate (ml/dedup.py:dedup_against_store): docs with
+    doc_id % 3 != 0 play the persisted history — their signatures land in a
+    sig-bucketed warehouse table — and the % 3 == 0 docs are the new batch,
+    anti-joined against the store via the bucketed scan. Kept = first
+    in-batch occurrence of a signature never seen in history. The corpus's
+    natural exact duplicates (446 groups / 500 docs at sf0.01) make all
+    three outcomes (store-dup, batch-dup, fresh) populated."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import dedup_against_store, fingerprint
+    from pyranges_1_x_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    hist = docs.filter("doc_id % 3 <> 0").select(
+        fingerprint(F.col("text")).alias("sig")
+    )
+    write_bucketed(
+        hist, "sg_sig_store", buckets=8, bucket_cols=("sig",), sort_cols=("sig",)
+    )
+    store = read_bucketed(spark, "sg_sig_store")
+    batch = docs.filter("doc_id % 3 = 0")
+    return dedup_against_store(batch, store).select("doc_id", "sig")
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII scrub gate (ml/text.py:scrub_pii). The corpus docs carry no PII,
     so the gate INJECTS it by formula — each doc gets a doc_id-derived
@@ -2123,6 +2149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topterms": q_tfidf_topterms,
         "pack_examples": q_pack_examples,
         "pii_scrub": q_pii_scrub,
+        "incremental_dedup": q_incremental_dedup,
     }
 
 
@@ -2414,6 +2441,18 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY score DESC, term ASC) AS rk
                   FROM scored)
             WHERE rk <= 3
+        """,
+        "incremental_dedup": """
+            WITH hist AS (
+              SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 3 <> 0
+            ),
+            batch AS (
+              SELECT doc_id, md5(text) AS sig FROM documents WHERE doc_id % 3 = 0
+            ),
+            firsts AS (SELECT sig, MIN(doc_id) AS doc_id FROM batch GROUP BY 1)
+            SELECT b.doc_id, b.sig
+            FROM batch b JOIN firsts f ON b.sig = f.sig AND b.doc_id = f.doc_id
+            WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.sig = b.sig)
         """,
         "pii_scrub": """
             WITH d AS (

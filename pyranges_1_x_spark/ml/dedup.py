@@ -51,6 +51,38 @@ def signature_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def dedup_against_store(
+    new_docs: DataFrame,
+    store: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Incremental exact dedup: keep the rows of a NEW batch whose content
+    fingerprint is unseen — neither in the persisted signature ``store``
+    (the historical corpus) nor earlier in the batch itself (smallest id
+    wins). The daily-crawl-vs-100 TB-history pattern: the history never
+    rescans or reshuffles its TEXT, only its signature relation is probed.
+
+    Returns the kept rows with ``sig_col`` appended — exactly what the
+    caller appends back to the store for the next increment.
+
+    Scale shape: in-batch first-occurrence is a (sig -> min id) hash
+    aggregate semi-joined back (map-side partial agg; no window over the
+    batch), then one LEFT ANTI join against the store's signature column.
+    Persist the store bucketed by ``sig_col`` (sources/bucketed.py) and the
+    anti-join's store side reads exchange-free; a small daily batch is the
+    only relation that moves.
+    """
+    batch = new_docs.withColumn(sig_col, fingerprint(F.col(text_col)))
+    firsts = batch.groupBy(sig_col).agg(F.min(id_col).alias(id_col))
+    batch_first = batch.join(firsts, on=[sig_col, id_col], how="left_semi")
+    return batch_first.join(
+        store.select(sig_col).distinct(), on=sig_col, how="left_anti"
+    )
+
+
 def xxhash64_fn(c: Column, seed: int | None = None) -> Column:
     """Default 64-bit hash: Spark's codegen'd xxhash64 (the fast path)."""
     return F.xxhash64(c, F.lit(seed)) if seed is not None else F.xxhash64(c)

@@ -1810,3 +1810,26 @@ def test_scrub_pii_order_and_counts(spark):
     assert got[2]["scrubbed"] == "see <URL> call <PHONE> ok"
     assert got[3]["scrubbed"] == "clean text with no pii at all"
     assert got[3]["n_email"] == got[3]["n_url"] == got[3]["n_phone"] == 0
+
+
+def test_dedup_against_store_three_outcomes(spark):
+    from pyranges_1_x_spark.ml.dedup import dedup_against_store, fingerprint
+
+    store = spark.createDataFrame(
+        pd.DataFrame({"text": ["seen before"]})
+    ).select(fingerprint(F.col("text")).alias("sig"))
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [10, 11, 12, 13],
+                "text": [
+                    "seen before",   # store dup -> dropped
+                    "fresh twice",   # in-batch dup, smallest id -> kept
+                    "fresh twice",   # in-batch dup -> dropped
+                    "fresh once",    # fresh -> kept
+                ],
+            }
+        )
+    )
+    got = dedup_against_store(batch, store).select("doc_id").toPandas()
+    assert sorted(got.doc_id) == [11, 13]
