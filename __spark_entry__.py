@@ -546,6 +546,81 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(spark.table("documents"), k=3)
 
 
+def _pq_query_vec(dim: int = 64) -> list[float]:
+    """Deterministic formula query vector shared by q_pq_topk and its SQL
+    twin — values in [-0.9, 0.9], no parquet read needed to rebuild it."""
+    return [((i * 37) % 19 - 9) / 10.0 for i in range(dim)]
+
+
+def _duck_pq_sql(k_results: int = 10) -> str:
+    """SQL twin of q_pq_topk: the (s, c, centroid, adc) table rides as a
+    VALUES relation with literals shared verbatim with the Spark query
+    (pq_codebooks seed + pq_adc_table are the same Python calls), encode is
+    the same 0.0-seeded sequential fold DuckDB's list_sum performs (the
+    kmeans-gate-proven pairing), so per-(vec, subspace) distances are
+    bit-identical and argmin agrees unconditionally."""
+    from pyranges_1_x_spark.ml.similarity import pq_adc_table, pq_codebooks
+
+    cbs = pq_codebooks()
+    table = pq_adc_table(_pq_query_vec(), cbs)
+    dsub = len(cbs[0][0])
+    # Floats ride as QUOTED strings cast to DOUBLE: a bare many-digit numeric
+    # literal parses as DECIMAL first and the DECIMAL->DOUBLE cast double-
+    # rounds (measured: 2/8 ADC literals off by one ulp), while the
+    # string->DOUBLE cast is correctly rounded and round-trips repr exactly.
+    rows = []
+    for s, cb in enumerate(cbs):
+        for c, centroid in enumerate(cb):
+            cv = "[" + ",".join(f"'{float(x)!r}'::DOUBLE" for x in centroid) + "]"
+            rows.append(f"({s}, {c}, {cv}, '{table[s][c]!r}'::DOUBLE)")
+    values = ",\n                   ".join(rows)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id <> 0),
+        cb(s, c, cv, ad) AS (VALUES {values}),
+        d AS (
+          SELECT e.vec_id, cb.s, cb.c, cb.ad,
+                 list_reduce(list_transform(range({dsub}),
+                   j -> (e.v[CAST(cb.s*{dsub}+j+1 AS INTEGER)] - cb.cv[CAST(j+1 AS INTEGER)])
+                      * (e.v[CAST(cb.s*{dsub}+j+1 AS INTEGER)] - cb.cv[CAST(j+1 AS INTEGER)])),
+                   (x, y) -> x + y) AS dd
+          FROM e, cb
+        ),
+        enc AS (
+          SELECT vec_id, s, ad FROM (
+            SELECT vec_id, s, ad,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dd, c) AS rn
+            FROM d) WHERE rn = 1
+        ),
+        a AS (SELECT vec_id,
+                     list_reduce(LIST(ad ORDER BY s), (x, y) -> x + y) AS adist
+              FROM enc GROUP BY vec_id)
+        SELECT vec_id, adist,
+               CAST(ROW_NUMBER() OVER (ORDER BY adist, vec_id) AS BIGINT) AS rank
+        FROM a ORDER BY adist, vec_id LIMIT {k_results}
+    """
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN gate (ml/similarity.py:pq_encode/pq_topk):
+    encode every embedding to m=8 subspace codes against seeded codebooks,
+    score by ADC (driver-precomputed query-to-centroid table, m lookups per
+    row), take the global top-10. The query vector is a formula literal so
+    the twin needs no parquet read; distances fold bit-identically in both
+    engines, so encode/argmin/adist all compare exactly — see _duck_pq_sql."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.similarity import pq_codebooks, pq_topk
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return pq_topk(
+        emb.filter("vec_id <> 0"), _pq_query_vec(), pq_codebooks(), k=10
+    ).select("vec_id", "adist", "rank")
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Incremental dedup gate (ml/dedup.py:dedup_against_store): docs with
     doc_id % 3 != 0 play the persisted history — their signatures land in a
@@ -2150,6 +2225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_examples": q_pack_examples,
         "pii_scrub": q_pii_scrub,
         "incremental_dedup": q_incremental_dedup,
+        "pq_topk": q_pq_topk,
     }
 
 
@@ -2442,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
                   FROM scored)
             WHERE rk <= 3
         """,
+        "pq_topk": _duck_pq_sql(),
         "incremental_dedup": """
             WITH hist AS (
               SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 3 <> 0

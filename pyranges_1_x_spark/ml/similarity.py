@@ -409,3 +409,139 @@ def semantic_dedup_clusters(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("cluster_id"))
     )
+
+
+def pq_codebooks(
+    dim: int = 64, m: int = 8, k: int = 16, seed: int = 77, scale: float = 0.5
+) -> list[list[list[float]]]:
+    """Deterministic seeded product-quantization codebooks: ``m`` subspaces of
+    ``dim/m`` dims, ``k`` centroids each. A production pipeline trains these
+    with ``kmeans_lloyd`` per subspace (same engine, already gated); seeded
+    uniform codebooks keep the GATE deterministic while exercising the exact
+    encode+ADC machinery — the ``_lsh_planes`` shared-literal precedent."""
+    import random
+
+    if dim % m:
+        raise ValueError("dim must divide into m equal subspaces")
+    rng = random.Random(seed)
+    dsub = dim // m
+    return [
+        [[rng.uniform(-scale, scale) for _ in range(dsub)] for _ in range(k)]
+        for _ in range(m)
+    ]
+
+
+def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """PQ codes for a vector column: per subspace, the index of the nearest
+    codebook centroid (squared L2; FIRST index on ties). Returns
+    ``array<int>`` of ``m`` codes — the 100 TB ANN compression step: a
+    64-dim float vector becomes m log2(k)-bit codes (8 bytes here), so the
+    scan side of search reads ~30x less than raw embeddings.
+
+    Numeric discipline: each distance is the 0.0-seeded sequential HOF fold
+    (the ``dot`` shape — NOT an unrolled element_at chain, which blows
+    Janino's method limit and drops the stage out of codegen, see ``dot``'s
+    r6 measurement). DuckDB's ``list_sum(list_transform(...))`` reproduces
+    the fold bit-identically (proven through the kmeans gate), so argmin
+    agrees across engines unconditionally — no margin assumptions needed.
+    The per-subspace distance ARRAY is bound once as a lambda variable (the
+    one-element-transform idiom) so argmin's two consumers don't re-evaluate
+    the k folds twice.
+    """
+    dsub = len(codebooks[0][0])
+    codes = []
+    for s, cb in enumerate(codebooks):
+        sub = F.slice(vec, s * dsub + 1, dsub)
+        dists = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        sub,
+                        F.array(*[F.lit(float(x)) for x in centroid]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                for centroid in cb
+            ]
+        )
+        code = F.element_at(
+            F.transform(
+                F.array(dists),
+                lambda dl: F.array_position(dl, F.array_min(dl)),
+            ),
+            1,
+        )
+        codes.append((code - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_adc_table(
+    query_vec: list[float], codebooks: list[list[list[float]]]
+) -> list[list[float]]:
+    """Driver-side ADC lookup table: squared L2 from the query's subvectors
+    to every (subspace, centroid). Pure Python floats (``sum`` is the
+    0-seeded left fold), so an oracle twin embedding these values as
+    literals is byte-identical by construction — shared by ``pq_topk`` and
+    the driver gate's SQL generator."""
+    dsub = len(codebooks[0][0])
+    return [
+        [
+            sum(
+                (query_vec[s * dsub + j] - c[j]) * (query_vec[s * dsub + j] - c[j])
+                for j in range(dsub)
+            )
+            for c in cb
+        ]
+        for s, cb in enumerate(codebooks)
+    ]
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): encode
+    every row to PQ codes, precompute the query's distance to every
+    (subspace, centroid) pair ON THE DRIVER (m*k floats — pure Python, so
+    the table is literal-identical in any engine), and score each row as the
+    sum of m table lookups. Jegou/Douze/Schmid, "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011.
+
+    Returns (id, adist, rank) for the k best rows (ties on ascending id).
+    Scale shape: one scan of codes + a distributed TakeOrdered — at 100 TB
+    the codes column is what's stored (bytes, not float arrays) and this
+    composes with IVF partition pruning (``ivf_topk``) for the classic
+    IVF-PQ stack. The m lookups fold 0.0-seeded in subspace order so the
+    double compares bit-exactly cross-engine."""
+    table = pq_adc_table(query_vec, codebooks)
+    codes = pq_encode(F.col(vec_col), codebooks)
+    adist = F.element_at(
+        F.transform(
+            F.array(codes),
+            lambda cd: F.aggregate(
+                F.array(
+                    *[
+                        F.element_at(
+                            F.array(*[F.lit(float(x)) for x in table[s]]),
+                            F.element_at(cd, s + 1) + 1,
+                        )
+                        for s in range(len(codebooks))
+                    ]
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ),
+        1,
+    )
+    scored = df.select(F.col(id_col), adist.alias("adist"))
+    top = scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
+    w = Window.orderBy(F.col("adist").asc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

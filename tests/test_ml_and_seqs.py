@@ -1833,3 +1833,30 @@ def test_dedup_against_store_three_outcomes(spark):
     )
     got = dedup_against_store(batch, store).select("doc_id").toPandas()
     assert sorted(got.doc_id) == [11, 13]
+
+
+def test_pq_encode_and_adc_topk(spark):
+    from pyranges_1_x_spark.ml.similarity import pq_adc_table, pq_encode, pq_topk
+
+    # m=2 subspaces of 2 dims, k=2 centroids each — hand-checkable
+    cb = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),   # codes [0, 0]
+        (2, [1.0, 1.0, 2.0, 2.0]),   # codes [1, 1] — exactly the query
+        (3, [1.0, 1.0, 0.0, 0.0]),   # codes [1, 0]
+        (4, [0.5, 0.5, 0.0, 0.0]),   # subspace-0 tie -> FIRST index (0)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    codes = {
+        r.vec_id: list(r.c)
+        for r in df.select(
+            "vec_id", pq_encode(F.col("embedding"), cb).alias("c")
+        ).collect()
+    }
+    assert codes == {1: [0, 0], 2: [1, 1], 3: [1, 0], 4: [0, 0]}
+
+    q = [1.0, 1.0, 2.0, 2.0]
+    assert pq_adc_table(q, cb) == [[2.0, 0.0], [8.0, 0.0]]
+    top = pq_topk(df, q, cb, k=4).toPandas().sort_values("rank")
+    assert list(top.vec_id) == [2, 3, 1, 4]  # adist 0, 8, 10, 10 (id tiebreak)
+    assert list(top.adist) == [0.0, 8.0, 10.0, 10.0]
