@@ -546,6 +546,42 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(spark.table("documents"), k=3)
 
 
+def q_stream_incremental_dedup(spark, sf_dir):
+    """Streaming incremental dedup gate (streaming/events.py
+    stream_dedup_against_store) as a REAL availableNow run: the %3==0 docs
+    stream from staged parquet with a formula event time, anti-join the
+    %3!=0 history's signature relation (static side), and in-stream dedup
+    on signature. Which arrival survives is order-dependent, so the gate
+    projects the deterministic DISTINCT unseen-signature set (watermark
+    expiry can at most double-emit a sig >1h apart — the ADVICE r8 flake
+    class — which the distinct projection absorbs)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import fingerprint
+    from pyranges_1_x_spark.streaming.events import stream_dedup_against_store
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    store = docs.filter("doc_id % 3 <> 0").select(
+        fingerprint(F.col("text")).alias("sig")
+    )
+    batch = docs.filter("doc_id % 3 = 0").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 7200).alias("ts"),
+    )
+    tag = _stream_tag(sf_dir)
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_incdedup_{tag}")
+    batch.write.mode("overwrite").parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+    out = stream_dedup_against_store(stream, store)
+    sink = _run_stream(spark, out, f"incdedup_sink_{tag}")
+    return sink.select("sig").distinct()
+
+
 def _pq_query_vec(dim: int = 64) -> list[float]:
     """Deterministic formula query vector shared by q_pq_topk and its SQL
     twin — values in [-0.9, 0.9], no parquet read needed to rebuild it."""
@@ -2226,6 +2262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "incremental_dedup": q_incremental_dedup,
         "pq_topk": q_pq_topk,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
     }
 
 
@@ -2519,6 +2556,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 3
         """,
         "pq_topk": _duck_pq_sql(),
+        "stream_incremental_dedup": """
+            WITH hist AS (
+              SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 3 <> 0
+            ),
+            batch AS (
+              SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 3 = 0
+            )
+            SELECT b.sig FROM batch b
+            WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.sig = b.sig)
+        """,
         "incremental_dedup": """
             WITH hist AS (
               SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 3 <> 0

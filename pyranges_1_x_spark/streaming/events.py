@@ -268,3 +268,43 @@ def streaming_dedup(
     if not stream.isStreaming:
         return stream.dropDuplicates(keys)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_dedup_against_store(
+    stream: DataFrame,
+    store: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Continuous corpus intake vs a persisted signature store: the
+    streaming twin of ``ml.dedup.dedup_against_store``. Each arriving
+    document is fingerprinted, anti-joined against the HISTORICAL store
+    (a static relation — persist it sig-bucketed and the join probes it
+    without reshuffling history), then deduped in-stream so re-deliveries
+    and intra-stream duplicates within the watermark horizon emit once.
+
+    Emitted rows carry ``sig_col`` — exactly what a downstream
+    ``foreachBatch`` appends to the store for the next day's increment.
+
+    State posture: the stream-static LEFT ANTI join keeps NO stream state
+    (the static side is re-readable per micro-batch), and the dedup state
+    expires with the watermark like ``streaming_dedup`` — bounded by keys
+    per horizon, not keys ever seen. WHICH duplicate arrival survives is
+    processing-order dependent; deterministic gates must project the key
+    set (the driver gate compares the distinct unseen-signature set).
+    Batch input degrades to ``dropDuplicates`` on the signature, same
+    contract as ``streaming_dedup``.
+    """
+    from pyranges_1_x_spark.ml.text import fingerprint
+
+    s = stream.withColumn(sig_col, fingerprint(F.col(text_col)))
+    s = s.join(store.select(sig_col).distinct(), on=sig_col, how="left_anti")
+    if not stream.isStreaming:
+        return s.dropDuplicates([sig_col])
+    return s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [sig_col]
+    )

@@ -363,3 +363,44 @@ def test_streaming_dedup_drops_redeliveries(spark, tmp_path):
     # first arrival wins
     by_id = {r.doc_id: r.payload for r in got.itertuples()}
     assert by_id == {"a": 1, "b": 2, "c": 4}
+
+
+def test_stream_dedup_against_store_parity(spark, tmp_path):
+    """stream_dedup_against_store: the streamed run and the batch degrade
+    keep the SAME unseen-signature set — store-dups dropped by the static
+    anti-join, intra-stream dups collapsed by the watermark dedup; which
+    arrival survives differs, so parity pins the sig set only."""
+    from pyranges_1_x_spark.streaming.events import stream_dedup_against_store
+
+    store_docs = spark.createDataFrame(
+        pd.DataFrame({"text": ["already archived", "also archived"]})
+    )
+    from pyranges_1_x_spark.ml.dedup import fingerprint
+    from pyspark.sql import functions as F
+
+    store = store_docs.select(fingerprint(F.col("text")).alias("sig"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "already archived",   # store dup -> dropped
+                "brand new",          # fresh
+                "brand new",          # intra-stream dup -> one emit
+                "also archived",      # store dup -> dropped
+                "another fresh one",  # fresh
+            ],
+            "ts": pd.to_datetime(["2026-01-01 00:0%d" % i for i in range(5)]),
+        }
+    )
+    d = str(tmp_path / "inc_dedup_in")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(d)
+    schema = "doc_id long, text string, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(d)
+    streamed = run_stream(
+        spark, stream_dedup_against_store(stream, store), "inc_dedup_sink"
+    )
+    batch = stream_dedup_against_store(spark.read.parquet(d), store).toPandas()
+    assert sorted(streamed["sig"]) == sorted(batch["sig"])
+    assert len(streamed) == 2
+    assert sorted(streamed["doc_id"].isin([2, 3]).astype(int).tolist() ) == [0, 1]
+    assert set(streamed["doc_id"]) <= {2, 3, 5} and 5 in set(streamed["doc_id"])
