@@ -2587,6 +2587,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id,
+                   t AS text,
                    CAST(len(regexp_extract_all(t,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
                    CAST(len(regexp_extract_all(t, 'https?://[^\\s]+')) AS BIGINT) AS n_url,

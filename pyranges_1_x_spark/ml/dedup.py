@@ -76,11 +76,19 @@ def dedup_against_store(
     only relation that moves.
     """
     batch = new_docs.withColumn(sig_col, fingerprint(F.col(text_col)))
-    firsts = batch.groupBy(sig_col).agg(F.min(id_col).alias(id_col))
-    batch_first = batch.join(firsts, on=[sig_col, id_col], how="left_semi")
+    # NULL text -> NULL sig. An equi-join key of NULL never matches, so the
+    # first-occurrence semi-join would silently DROP such rows (review find,
+    # r12) while the streaming twin's dropDuplicates keeps one. Group on a
+    # null-coalesced key so NULL-sig rows form one group and the smallest id
+    # survives — and the store anti-join on the RAW sig keeps them (NULL
+    # matches nothing), agreeing with stream_dedup_against_store.
+    key = F.coalesce(F.col(sig_col), F.lit("\x00null"))
+    batch = batch.withColumn("__k__", key)
+    firsts = batch.groupBy("__k__").agg(F.min(id_col).alias(id_col))
+    batch_first = batch.join(firsts, on=["__k__", id_col], how="left_semi")
     return batch_first.join(
         store.select(sig_col).distinct(), on=sig_col, how="left_anti"
-    )
+    ).drop("__k__")
 
 
 def xxhash64_fn(c: Column, seed: int | None = None) -> Column:

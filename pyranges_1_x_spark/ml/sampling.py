@@ -118,11 +118,9 @@ def pack_training_examples(
     if tokens_col is not None:
         nt = F.col(tokens_col).cast("long")
     else:
-        nt = F.size(
-            F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
-            )
-        ).cast("long")
+        from pyranges_1_x_spark.ml.text import nonempty_tokens
+
+        nt = F.size(nonempty_tokens(F.col(text_col))).cast("long")
     shift = 60 - bucket_bits
     d = (
         df.select(F.col(id_col), nt.alias("__nt__"))

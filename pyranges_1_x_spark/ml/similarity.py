@@ -542,6 +542,11 @@ def pq_topk(
         1,
     )
     scored = df.select(F.col(id_col), adist.alias("adist"))
+    # A malformed/short embedding yields NULL codes -> NULL adist, and a
+    # plain asc sort puts NULLS FIRST — garbage rows would displace true
+    # neighbors from the top-k (review find, r12). Drop them: a row that
+    # cannot be encoded has no defensible distance.
+    scored = scored.filter(F.col("adist").isNotNull())
     top = scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
     w = Window.orderBy(F.col("adist").asc(), F.col(id_col).asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long"))

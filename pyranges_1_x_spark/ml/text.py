@@ -34,6 +34,16 @@ def tokens(text: Column) -> Column:
     return F.split(F.trim(text), TOKEN_PATTERN)
 
 
+def nonempty_tokens(text: Column, *, lowercase: bool = False) -> Column:
+    """Whitespace tokens with empties dropped (so empty/whitespace-only text
+    counts ZERO tokens, unlike raw ``split`` which yields ``['']``). The ONE
+    tokenizer shared by repetition_stats / tfidf_top_terms / sequence
+    packing — a single definition keeps their token counts synchronized
+    over the same corpus (review find, r12)."""
+    t = F.lower(F.trim(text)) if lowercase else F.trim(text)
+    return F.filter(F.split(t, TOKEN_PATTERN), lambda x: x != "")
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -264,9 +274,7 @@ def repetition_stats(
         .alias("n_chars_dup_lines"),
     )
 
-    toks = F.filter(
-        F.split(F.lower(F.trim(F.col("__t__"))), TOKEN_PATTERN), lambda x: x != ""
-    )
+    toks = nonempty_tokens(F.col("__t__"), lowercase=True)
     grams = F.zip_with(
         F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
@@ -330,12 +338,7 @@ def tfidf_top_terms(
     did = F.col(id_col)
     toks = df.select(
         did,
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), TOKEN_PATTERN),
-                lambda x: x != "",
-            )
-        ).alias("term"),
+        F.explode(nonempty_tokens(F.col(text_col), lowercase=True)).alias("term"),
     )
     tf = toks.groupBy(did, "term").agg(F.count(F.lit(1)).cast("long").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("__df__"))
@@ -394,6 +397,11 @@ def scrub_pii(
     default order is most-specific-first). Counting uses
     ``regexp_count``-style arithmetic on the original text per pattern.
 
+    Every NON-text input column passes through untouched, so the operator
+    composes in a pipeline without a recovery re-join (review find, r12);
+    pass ``out_col=text_col`` to redact in place, otherwise the original
+    text survives alongside ``out_col``.
+
     Scale shape: a pure row-local ``regexp_replace`` chain on one scan — no
     shuffle, no UDF; composes with filter/column pruning untouched. Patterns
     stay inside the Java/RE2 common subset so any oracle engine reproduces
@@ -401,17 +409,23 @@ def scrub_pii(
     """
     pats = PII_PATTERNS if patterns is None else patterns
     t = F.col(text_col)
-    cols: list[Column] = [F.col(id_col)]
+    red = t
+    for _, pat, token in pats:
+        red = F.regexp_replace(red, pat, token)
+    cols: list[Column] = []
+    for c in df.columns:
+        if c == text_col and out_col == text_col:
+            cols.append(red.alias(out_col))
+        else:
+            cols.append(F.col(c))
     for name, pat, _ in pats:
         cols.append(
             F.size(F.regexp_extract_all(t, F.lit(pat), 0))
             .cast("long")
             .alias(f"n_{name}")
         )
-    red = t
-    for _, pat, token in pats:
-        red = F.regexp_replace(red, pat, token)
-    cols.append(red.alias(out_col))
+    if out_col != text_col:
+        cols.append(red.alias(out_col))
     return df.select(*cols)
 
 

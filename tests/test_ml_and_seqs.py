@@ -1810,6 +1810,12 @@ def test_scrub_pii_order_and_counts(spark):
     assert got[2]["scrubbed"] == "see <URL> call <PHONE> ok"
     assert got[3]["scrubbed"] == "clean text with no pii at all"
     assert got[3]["n_email"] == got[3]["n_url"] == got[3]["n_phone"] == 0
+    # non-text columns pass through; out_col=text_col redacts in place
+    docs2 = docs.withColumn("source", F.lit("web"))
+    out2 = scrub_pii(docs2, out_col="text")
+    assert set(out2.columns) == {"doc_id", "text", "source", "n_email", "n_url", "n_phone"}
+    r1 = {r["doc_id"]: r["text"] for r in out2.collect()}
+    assert r1[1] == "mail <EMAIL> and <EMAIL> now"
 
 
 def test_dedup_against_store_three_outcomes(spark):
@@ -1833,6 +1839,13 @@ def test_dedup_against_store_three_outcomes(spark):
     )
     got = dedup_against_store(batch, store).select("doc_id").toPandas()
     assert sorted(got.doc_id) == [11, 13]
+    # NULL text: sig is NULL — kept once (smallest id), matching the
+    # streaming twin's dropDuplicates semantics (review fix, r12)
+    nb = spark.createDataFrame(
+        [(20, None), (21, None)], "doc_id long, text string"
+    )
+    got2 = dedup_against_store(nb, store).select("doc_id").toPandas()
+    assert sorted(got2.doc_id) == [20]
 
 
 def test_pq_encode_and_adc_topk(spark):
@@ -1860,3 +1873,10 @@ def test_pq_encode_and_adc_topk(spark):
     top = pq_topk(df, q, cb, k=4).toPandas().sort_values("rank")
     assert list(top.vec_id) == [2, 3, 1, 4]  # adist 0, 8, 10, 10 (id tiebreak)
     assert list(top.adist) == [0.0, 8.0, 10.0, 10.0]
+    # malformed (short) embeddings encode to NULL adist and are EXCLUDED,
+    # not ranked first by asc-nulls-first (review fix, r12)
+    bad = spark.createDataFrame(
+        [(9, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    top2 = pq_topk(df.union(bad), q, cb, k=5).toPandas()
+    assert 9 not in set(top2.vec_id) and len(top2) == 4
