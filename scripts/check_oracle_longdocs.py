@@ -25,9 +25,20 @@ dims, Spark ``flatten(array_repeat(...))`` vs DuckDB
 ``flatten(list_transform(range(10), ...))``), which additionally stresses
 average-rank tie handling (every value now appears 10 times per row).
 
-Usage: python scripts/check_oracle_longdocs.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle_longdocs.py [--replicate=N] [sf_dir] [query ...]
 Default queries: translate_cds, winnow (the two chunked plans) +
-minhash_lsh, simhash, spearman_rows (the no-CSE sweep APIs).
+minhash_lsh, simhash, spearman_rows (the no-CSE sweep APIs) + the r12
+exploded-aggregation text stats.
+
+``--replicate=N`` (r12) swaps the LENGTH axis for a DUPLICATION axis: the
+documents view becomes N exact copies of every doc (doc_id' = doc_id*16 +
+rep, same text), the shape a dedup pipeline actually faces — dup-group
+sizes multiply by N and candidate-pair relations by ~N^2. Both engines
+derive the twin from the same parquet with the same arithmetic, so the
+value-hash discipline carries over. Default roster in that mode:
+the dedup family (exact / signature / incremental / streaming-incremental /
+minhash-LSH) + sequence packing (global token cumsum over the inflated
+corpus).
 """
 
 from __future__ import annotations
@@ -58,12 +69,29 @@ DEFAULT_QUERIES = [
     "tfidf_topterms",
     "pack_examples",
 ]
+#: --replicate default roster: the operators whose cost/semantics follow
+#: DUPLICATE-GROUP size rather than document length.
+REPLICATE_QUERIES = [
+    "dedup_exact",
+    "doc_signature_dedup",
+    "normalize_dedup",
+    "incremental_dedup",
+    "stream_incremental_dedup",
+    "minhash_lsh",
+    "pack_examples",
+]
 N_REPS = 10
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:] or DEFAULT_QUERIES
+    argv = list(sys.argv[1:])
+    replicate = 0
+    for arg in list(argv):
+        if arg.startswith("--replicate="):
+            replicate = int(arg.split("=", 1)[1])
+            argv.remove(arg)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = argv[1:] or (REPLICATE_QUERIES if replicate else DEFAULT_QUERIES)
 
     import __spark_entry__ as em
     from pyspark.sql import SparkSession
@@ -88,6 +116,17 @@ def main() -> int:
         orig_load(s, d, tables)
         if tables is None or "documents" in tables:
             base = s.read.parquet(f"{d}/documents.parquet")
+            if replicate:
+                base.crossJoin(
+                    s.range(replicate).withColumnRenamed("id", "__rep__")
+                ).select(
+                    (F.col("doc_id") * 16 + F.col("__rep__")).alias("doc_id"),
+                    "text",
+                    "lang",
+                    "source",
+                    "n_chars",
+                ).createOrReplaceTempView("documents")
+                return
             base.select(
                 "doc_id",
                 F.repeat(F.col("text"), N_REPS).alias("text"),
@@ -109,7 +148,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in em.TABLES:
-        if t == "documents":
+        if t == "documents" and replicate:
+            con.execute(
+                "CREATE VIEW documents AS SELECT doc_id * 16 + r.i AS doc_id,"
+                f" text, lang, source, n_chars FROM '{sf_dir}/{t}.parquet',"
+                f" unnest(range({replicate})) AS r(i)"
+            )
+        elif t == "documents":
             con.execute(
                 f"CREATE VIEW documents AS SELECT doc_id, repeat(text, {N_REPS})"
                 f" AS text, lang, source, n_chars FROM '{sf_dir}/{t}.parquet'"
@@ -154,8 +199,9 @@ def main() -> int:
         g, e = normalize(got), normalize(exp)
         try:
             pd.testing.assert_frame_equal(g, e, check_exact=True)
+            mode = f"@{replicate}x-dup" if replicate else "@10x-length"
             print(
-                f"PASS {name} @10x-length: rows={len(got)}"
+                f"PASS {name} {mode}: rows={len(got)}"
                 f" [spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
             )
         except AssertionError as ex:
@@ -166,7 +212,7 @@ def main() -> int:
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
-    print("\nALL PASS (10x-length)")
+    print(f"\nALL PASS ({replicate}x-dup)" if replicate else "\nALL PASS (10x-length)")
     return 0
 
 
