@@ -31,8 +31,10 @@ minhash_lsh, simhash, spearman_rows (the no-CSE sweep APIs) + the r12
 exploded-aggregation text stats.
 
 ``--replicate=N`` (r12) swaps the LENGTH axis for a DUPLICATION axis: the
-documents view becomes N exact copies of every doc (doc_id' = doc_id*16 +
-rep, same text), the shape a dedup pipeline actually faces — dup-group
+documents view becomes N exact copies of every doc (doc_id' = doc_id*M +
+rep with M the next power of two >= N — a fixed *16 collided for N>16,
+fusing different docs under one id and making the 100x packing cell
+order-nondeterministic), the shape a dedup pipeline actually faces — dup-group
 sizes multiply by N and candidate-pair relations by ~N^2. Both engines
 derive the twin from the same parquet with the same arithmetic, so the
 value-hash discipline carries over. Default roster in that mode:
@@ -90,6 +92,7 @@ def main() -> int:
         if arg.startswith("--replicate="):
             replicate = int(arg.split("=", 1)[1])
             argv.remove(arg)
+    rep_mult = 1 << max(replicate - 1, 1).bit_length() if replicate else 0
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = argv[1:] or (REPLICATE_QUERIES if replicate else DEFAULT_QUERIES)
 
@@ -120,7 +123,9 @@ def main() -> int:
                 base.crossJoin(
                     s.range(replicate).withColumnRenamed("id", "__rep__")
                 ).select(
-                    (F.col("doc_id") * 16 + F.col("__rep__")).alias("doc_id"),
+                    (F.col("doc_id") * rep_mult + F.col("__rep__")).alias(
+                        "doc_id"
+                    ),
                     "text",
                     "lang",
                     "source",
@@ -150,7 +155,7 @@ def main() -> int:
     for t in em.TABLES:
         if t == "documents" and replicate:
             con.execute(
-                "CREATE VIEW documents AS SELECT doc_id * 16 + r.i AS doc_id,"
+                f"CREATE VIEW documents AS SELECT doc_id * {rep_mult} + r.i AS doc_id,"
                 f" text, lang, source, n_chars FROM '{sf_dir}/{t}.parquet',"
                 f" unnest(range({replicate})) AS r(i)"
             )
