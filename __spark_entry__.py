@@ -2152,7 +2152,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     video path (avi_frames); and the
     exact checkpoint-dir restore in connected_components (dedup_clusters,
     semantic_dedup — iterative-session queries run LAST inside the window
-    so a memory-tight harness death loses only these rows)."""
+    so a memory-tight harness death loses only these rows).
+
+    r13 rotation note: the SEVEN operators added late in r12
+    (doc_repetition, tfidf_topterms, pack_examples, pii_scrub,
+    incremental_dedup, pq_topk, stream_incremental_dedup) sit past the
+    window on purpose — they are local-gate-certified this round
+    (sf0.001/0.01/0.1 + the scaled twins) and, with the rest of the r12
+    tail, make the r13 window exactly the 49 r12-ungated entries + 1 fill
+    from r13's changed paths."""
     return {
         # --- not driver-gated in r11 (registry positions 51-89 last round) ---
         "upstream_flank": q_upstream_flank,
