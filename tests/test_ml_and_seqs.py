@@ -1880,3 +1880,26 @@ def test_pq_encode_and_adc_topk(spark):
     )
     top2 = pq_topk(df.union(bad), q, cb, k=5).toPandas()
     assert 9 not in set(top2.vec_id) and len(top2) == 4
+
+
+def test_ivfpq_composition(spark):
+    """The classic IVF-PQ stack (Jegou et al. IVFADC): ivf_assign prunes to
+    the probed Voronoi cells, pq_topk ADC-scores only the survivors — pins
+    the 'PQ composes with IVF partition pruning' claim with a case where
+    pruning visibly excludes a vector PQ alone would rank."""
+    from pyranges_1_x_spark.ml.similarity import ivf_assign, pq_topk
+
+    # two coarse cells along dim 0; PQ books on (dim0,dim1)/(dim2,dim3)
+    coarse = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]]
+    cb = [[[1.0, 0.0], [-1.0, 0.0]], [[0.0, 0.0], [1.0, 1.0]]]
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),    # cell 0, codes [0, 0]
+        (2, [1.0, 0.0, 1.0, 1.0]),    # cell 0, codes [0, 1]
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # cell 1 — pruned before PQ
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [1.0, 0.0, 0.0, 0.0]
+    cand = ivf_assign(df, coarse).filter(F.col("__cell__") == 0)
+    top = pq_topk(cand, q, cb, k=3).toPandas().sort_values("rank")
+    assert list(top.vec_id) == [1, 2]   # vec 3 pruned by IVF, not ranked
+    assert list(top.adist) == [0.0, 2.0]
