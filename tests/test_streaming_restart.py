@@ -286,3 +286,61 @@ def test_streaming_dedup_restart_remembers_seen_keys(spark, tmp_path):
     full = pd.concat([f0, f1], ignore_index=True)
     twin = streaming_dedup(spark.createDataFrame(full, EV_SCHEMA), "k").toPandas()
     assert sorted(final.k) == sorted(twin.k)
+
+
+def test_stream_store_dedup_restart_remembers_seen_sigs(spark, tmp_path):
+    """stream_dedup_against_store across a restart: a signature first seen
+    BEFORE the restart must drop its post-restart re-delivery (only
+    recovered dedup state can do that), store-dups stay dropped on both
+    sides, and the final sig set equals the batch twin over the full
+    input."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import fingerprint
+    from pyranges_1_x_spark.streaming.events import stream_dedup_against_store
+
+    DOC_SCHEMA = "doc_id long, text string, ts timestamp"
+    store = spark.createDataFrame(
+        pd.DataFrame({"text": ["archived text"]})
+    ).select(fingerprint(F.col("text")).alias("sig"))
+
+    f0 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["archived text", "fresh one"],
+            "ts": [T("2026-01-01 10:00"), T("2026-01-01 10:01")],
+        }
+    )
+    f1 = pd.DataFrame(
+        {"doc_id": [3], "text": ["other doc"], "ts": [T("2026-01-01 10:05")]}
+    )
+    # phase 2 (post-restart): doc 4 re-delivers doc 2's text within the
+    # watermark — droppable only if phase 1's dedup state was recovered
+    f2 = pd.DataFrame(
+        {
+            "doc_id": [4, 5, 6],
+            "text": ["fresh one", "brand new", "archived text"],
+            "ts": [
+                T("2026-01-01 10:10"),
+                T("2026-01-01 10:11"),
+                T("2026-01-01 10:12"),
+            ],
+        }
+    )
+    h = _RestartHarness(spark, tmp_path, DOC_SCHEMA, "storededup_restart")
+    op = lambda s: stream_dedup_against_store(s, store, watermark="1 hour")
+    p1, final = h.run_split([f0, f1, f2], 2, op)
+
+    # phase 1 committed exactly the two unseen docs (store-dup 1 dropped)
+    assert sorted(p1.doc_id) == [2, 3]
+
+    full = pd.concat([f0, f1, f2], ignore_index=True)
+    twin = stream_dedup_against_store(
+        spark.createDataFrame(full, DOC_SCHEMA), store
+    ).toPandas()
+    assert sorted(final.sig) == sorted(twin.sig)
+    # the straddling signature emitted ONCE, and it is the PRE-restart
+    # arrival — a cold-started phase 2 would have emitted doc 4 too
+    fresh = final[final.text == "fresh one"]
+    assert list(fresh.doc_id) == [2]
+    assert sorted(final.doc_id) == [2, 3, 5]
