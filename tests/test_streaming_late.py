@@ -387,3 +387,57 @@ def test_annotate_stream_late_rows_kept(spark, tmp_path):
     ).toPandas()
     assert sorted(got.read_id) == sorted(full.read_id) == [1, 2, 3, 4]
     pd.testing.assert_frame_equal(_sorted(got), _sorted(full))
+
+
+def test_stream_store_dedup_late_rows_dropped(spark, tmp_path):
+    """stream_dedup_against_store under out-of-order input: a doc whose
+    ONLY arrival is below the late-event watermark never emits even when
+    its signature is genuinely unseen; the emitted sig set equals the
+    batch twin restricted to on-time rows (store-dups excluded on both
+    paths)."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import fingerprint
+    from pyranges_1_x_spark.streaming.events import stream_dedup_against_store
+
+    DOC_SCHEMA = "doc_id long, text string, ts timestamp"
+    store = spark.createDataFrame(
+        pd.DataFrame({"text": ["archived text"]})
+    ).select(fingerprint(F.col("text")).alias("sig"))
+
+    f0 = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["archived text", "fresh one", "pacer doc"],
+            "ts": [
+                T("2026-01-01 10:00"),
+                T("2026-01-01 10:01"),
+                T("2026-01-01 13:00"),   # advances the watermark to 12:00
+            ],
+        }
+    )
+    f1 = pd.DataFrame(
+        {"doc_id": [4], "text": ["pacer two"], "ts": [T("2026-01-01 13:30")]}
+    )
+    f2 = pd.DataFrame(
+        {
+            "doc_id": [5, 6],
+            "text": ["late unique", "on time unique"],
+            "ts": [T("2026-01-01 10:30"), T("2026-01-01 12:30")],
+        }
+    )
+    on_time = pd.concat([f0, f1, f2.iloc[[1]]], ignore_index=True)
+    d = stage_files(spark, tmp_path, DOC_SCHEMA, [f0, f1, f2], "storededup_late")
+    got = run_staged(
+        spark,
+        d,
+        DOC_SCHEMA,
+        lambda s: stream_dedup_against_store(s, store, watermark="1 hour"),
+        "storededup_late_sink",
+    )
+    batch = stream_dedup_against_store(
+        spark.createDataFrame(on_time, DOC_SCHEMA), store
+    ).toPandas()
+    assert sorted(got.sig) == sorted(batch.sig)
+    assert sorted(got.doc_id) == [2, 3, 4, 6]  # late-only doc 5 dropped,
+    # store-dup doc 1 dropped on both paths
