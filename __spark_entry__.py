@@ -546,6 +546,34 @@ def q_tfidf_topterms(spark, sf_dir):
     return tfidf_top_terms(spark.table("documents"), k=3)
 
 
+def q_quota_sample(spark, sf_dir):
+    """Per-source deterministic quota (ml/sampling.py:quota_sample): keep at
+    most 40 docs per source by ascending (md5-hash, doc_id) — the
+    domain-balancing stage of a training mix. Two-phase bucketed rank, so no
+    per-source global window (quota groups are few and huge by design); the
+    oracle replays the identical hash order with a plain partitioned
+    row_number, tractable at gate scale."""
+    from pyranges_1_x_spark.ml.sampling import quota_sample
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents")
+    return quota_sample(docs, "source", 40, seed=7, out_col="quota_rank").select(
+        "doc_id", "source", "quota_rank"
+    )
+
+
+def q_lm_score(spark, sf_dir):
+    """Bigram-LM fluency score (ml/text.py:lm_bigram_score): corpus-trained
+    conditional bigram probabilities, per-doc weakest-link min + rare-bigram
+    count. min/count instead of mean-log-prob keeps every value ONE IEEE
+    division + order-independent aggregates, so the doubles gate bit-exactly
+    (the log-free tf-idf determinism argument)."""
+    from pyranges_1_x_spark.ml.text import lm_bigram_score
+
+    _load(spark, sf_dir, ["documents"])
+    return lm_bigram_score(spark.table("documents"))
+
+
 def q_stream_incremental_dedup(spark, sf_dir):
     """Streaming incremental dedup gate (streaming/events.py
     stream_dedup_against_store) as a REAL availableNow run: the %3==0 docs
@@ -2154,13 +2182,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup — iterative-session queries run LAST inside the window
     so a memory-tight harness death loses only these rows).
 
-    r13 rotation note: the SEVEN operators added late in r12
+    r13 rotation note: the NINE operators added late in r12
     (doc_repetition, tfidf_topterms, pack_examples, pii_scrub,
-    incremental_dedup, pq_topk, stream_incremental_dedup) sit past the
-    window on purpose — they are local-gate-certified this round
-    (sf0.001/0.01/0.1 + the scaled twins) and, with the rest of the r12
-    tail, make the r13 window exactly the 49 r12-ungated entries + 1 fill
-    from r13's changed paths."""
+    incremental_dedup, pq_topk, stream_incremental_dedup, quota_sample,
+    lm_score) sit past the window on purpose — they are
+    local-gate-certified this round (sf0.001/0.01/0.1 + the scaled twins)
+    and, with the rest of the r12 tail, make the r13 window exactly the 51
+    r12-ungated entries, of which the window takes the first 50 (one r12
+    tail query rolls to r14 — pick the least-churned)."""
     return {
         # --- not driver-gated in r11 (registry positions 51-89 last round) ---
         "upstream_flank": q_upstream_flank,
@@ -2271,6 +2300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "pq_topk": q_pq_topk,
         "stream_incremental_dedup": q_stream_incremental_dedup,
+        "quota_sample": q_quota_sample,
+        "lm_score": q_lm_score,
     }
 
 
@@ -2573,6 +2604,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.sig FROM batch b
             WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.sig = b.sig)
+        """,
+        "quota_sample": """
+            SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank
+            FROM (SELECT doc_id, source,
+                    ROW_NUMBER() OVER (PARTITION BY source
+                      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#7'),
+                                                  1, 15))::BIGINT,
+                               doc_id) AS rk
+                  FROM documents)
+            WHERE rk <= 40
+        """,
+        "lm_score": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents),
+            big AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+              FROM toks, unnest(range(1, len(ts))) AS r(i)),
+            cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+            cu AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1),
+            scored AS (SELECT b.doc_id, CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE) AS p
+                       FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)),
+            agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                           MIN(p) AS min_prob,
+                           CAST(SUM(CASE WHEN p < CAST('0.01' AS DOUBLE)
+                                         THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+                    FROM scored GROUP BY 1)
+            SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams, min_prob,
+                   COALESCE(n_rare, 0) AS n_rare
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "incremental_dedup": """
             WITH hist AS (

@@ -155,6 +155,76 @@ def pack_training_examples(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    cap: int,
+    key_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn=md5_hash64,
+    out_col: str | None = None,
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Per-group deterministic quota — the domain/source-balancing stage of a
+    corpus mix: keep at most ``cap`` rows per ``group_col`` value (web domain,
+    crawl source, language), chosen by ascending ``(hash(key, seed), key)``
+    so the SAME rows survive on any engine, partitioning, or rerun, and a
+    grown corpus evicts only rows whose hashes interleave past the cap.
+    Differs from ``stratified_sample`` (a per-stratum FRACTION) in giving a
+    hard per-group COUNT — the shape used to stop a single crawl domain from
+    dominating the training mix. ``out_col`` optionally keeps the 1-based
+    within-group rank.
+
+    Scale shape (two-phase, no per-group global window): a plain
+    ``row_number() OVER (PARTITION BY group)`` funnels each group through ONE
+    task — and quota groups are few and huge by construction (that is why
+    they need capping). Instead the hash's high ``bucket_bits`` split every
+    group into 2^bits uniform sub-buckets that PREFIX the group's hash order:
+    rank = per-(group, bucket) row_number + a broadcast per-(group, bucket)
+    prefix offset (summary relation ≤ #groups * 2^bits rows; its window is
+    per-group over ≤2^bits summary rows). Rows with local row_number > cap
+    are pruned BEFORE the offset join — the global rank can only exceed the
+    local one — so the join input is ≤ #groups * 2^bits * cap rows however
+    large the corpus.
+    """
+    from pyspark.sql import Window
+
+    if cap < 0:
+        raise ValueError("cap must be a non-negative row count")
+    if not 1 <= bucket_bits <= 40:
+        raise ValueError("bucket_bits must be in [1, 40]")
+    shift = 60 - bucket_bits
+    d = df.withColumn("__h__", hash_fn(F.col(key_col), seed)).withColumn(
+        "__bkt__", F.shiftright("__h__", shift)
+    )
+    wl = Window.partitionBy(group_col, "__bkt__").orderBy(
+        F.col("__h__").asc(), F.col(key_col).asc()
+    )
+    local = d.withColumn("__lrn__", F.row_number().over(wl).cast("long")).filter(
+        F.col("__lrn__") <= cap
+    )
+    summary = d.groupBy(group_col, "__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
+    ws = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__bkt__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summary = summary.select(
+        group_col,
+        "__bkt__",
+        F.coalesce(F.sum("__cnt__").over(ws), F.lit(0)).alias("__off__"),
+    )
+    ranked = (
+        local.join(F.broadcast(summary), on=[group_col, "__bkt__"])
+        .withColumn("__rk__", F.col("__off__") + F.col("__lrn__"))
+        .filter(F.col("__rk__") <= cap)
+    )
+    keep = list(df.columns) + ([out_col] if out_col else [])
+    if out_col:
+        ranked = ranked.withColumn(out_col, F.col("__rk__"))
+    return ranked.select(*keep)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -363,6 +363,87 @@ def tfidf_top_terms(
     )
 
 
+def lm_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    rare_threshold: float = 0.01,
+) -> DataFrame:
+    """Corpus-self-trained bigram language-model quality signal — the
+    perplexity-style fluency filter of a curation pipeline (KenLM-shaped,
+    without shipping a model): train bigram/prefix counts on the corpus
+    itself in the same pass, then score each document by its WEAKEST bigram.
+    Returns per document:
+
+    * ``n_bigrams`` — adjacent lowercase-token pair occurrences (len-1);
+    * ``min_prob`` — min over the doc's bigrams of the MLE conditional
+      ``count(w1 w2) / count(w1 *)`` (null for docs under 2 tokens);
+    * ``n_rare`` — bigram occurrences with probability < ``rare_threshold``.
+
+    The aggregate is deliberately ``min`` (weakest link) and a rare-COUNT
+    rather than the usual mean-log-probability: a sum of logs is a
+    transcendental reduced in arbitrary order — different engines (and
+    different partitionings of the SAME engine) disagree at the ulp, which
+    would break exact cross-engine verification AND bit-reproducibility of
+    the filter decision across reruns. Each probability here is ONE IEEE
+    division of two exact integers and ``min``/count are order-independent,
+    so the score is bit-identical on any engine or partitioning — the same
+    determinism argument as the log-free tf-idf above.
+
+    Scale shape: tokenize → bigram-explode → two hash aggregations (bigram
+    and prefix counts, both map-side partial) → two vocabulary-keyed joins
+    back → per-doc agg → one broadcast-shaped left join to re-attach
+    zero-bigram docs. The count relations are vocabulary²-bounded (bigram
+    types, far below occurrences at 100 TB); stopword-prefix skew on the
+    ``w1`` join is the AQE skew-join case, as with tf-idf's df join. Zero
+    UDFs; no ``collect``; one scan of the corpus.
+    """
+    did = F.col(id_col)
+    toked = df.select(
+        did, nonempty_tokens(F.col(text_col), lowercase=True).alias("__tk__")
+    )
+    # Bigram pairs via one pass over the MATERIALIZED token column (a column
+    # reference, so the split runs once per row — the HOF-CSE lesson from
+    # shingles/seqs). sequence(1, size-1) is empty-safe only for size >= 2.
+    idx = F.sequence(F.lit(1), F.size("__tk__") - 1)
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at("__tk__", i).alias("w1"),
+            F.element_at("__tk__", i + 1).alias("w2"),
+        ),
+    )
+    big = (
+        toked.filter(F.size("__tk__") >= 2)
+        .select(did, F.explode(pairs).alias("__p__"))
+        .select(did, F.col("__p__.w1").alias("w1"), F.col("__p__.w2").alias("w2"))
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("__cb__"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("__cu__"))
+    prob = F.col("__cb__").cast("double") / F.col("__cu__").cast("double")
+    scored = (
+        big.join(cb, on=["w1", "w2"])
+        .join(cu, on=["w1"])
+        .select(did, prob.alias("__p__"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.min("__p__").alias("min_prob"),
+        F.sum(
+            F.when(F.col("__p__") < F.lit(rare_threshold), F.lit(1)).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_rare"),
+    )
+    return df.select(did).join(agg, on=id_col, how="left").select(
+        did,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        F.col("min_prob"),
+        F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+    )
+
+
 #: PII patterns, restricted to the Java-regex/RE2 common subset (character
 #: classes + greedy quantifiers only — no lookaround, no backrefs) so Spark
 #: and an oracle engine replace byte-identically. Deliberately conservative

@@ -522,6 +522,65 @@ def test_deterministic_shuffle_total_order_and_reproducible(spark):
     assert ids_in_rank_order != sorted(r1, key=int)
 
 
+def test_quota_sample_caps_per_group_deterministically(spark):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import md5_hash64
+    from pyranges_1_x_spark.ml.sampling import quota_sample
+
+    docs = spark.createDataFrame(
+        [(str(i), "src%d" % (i % 3)) for i in range(330)],
+        "doc_id string, source string",
+    )
+    out = quota_sample(docs, "source", 25, seed=4, out_col="rk").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) == {"src0", "src1", "src2"}
+    # reference: single-node sort by (hash, key) per group, take cap
+    hashed = docs.withColumn("h", md5_hash64(F.col("doc_id"), 4)).collect()
+    for src, rows in by_src.items():
+        ref = sorted(
+            ((r["h"], r["doc_id"]) for r in hashed if r["source"] == src)
+        )[:25]
+        got = sorted((r["rk"], r["doc_id"]) for r in rows)
+        assert [d for _, d in got] == [d for _, d in ref]
+        assert [k for k, _ in got] == list(range(1, 26))
+    # partitioning- and bucket_bits-independent membership
+    alt = quota_sample(docs.repartition(13), "source", 25, seed=4, bucket_bits=3)
+    assert sorted(r["doc_id"] for r in alt.collect()) == sorted(
+        r["doc_id"] for r in out
+    )
+    # group smaller than cap -> kept whole; cap=0 -> empty
+    assert quota_sample(docs, "source", 1000, seed=4).count() == 330
+    assert quota_sample(docs, "source", 0, seed=4).count() == 0
+
+
+def test_lm_bigram_score_weakest_link_and_rare_counts(spark):
+    from pyranges_1_x_spark.ml.text import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "A b"), (3, "c"), (4, "")],
+        "doc_id long, text string",
+    )
+    # corpus bigrams (lowercased): cb(a,b)=3, cb(b,a)=1; cu(a)=3, cu(b)=1
+    rows = {r["doc_id"]: r for r in lm_bigram_score(docs).collect()}
+    assert rows[1]["n_bigrams"] == 3 and rows[1]["min_prob"] == 1.0
+    assert rows[2]["n_bigrams"] == 1 and rows[2]["min_prob"] == 1.0
+    # zero-bigram docs come back with nulls/zeros, not dropped
+    assert rows[3]["n_bigrams"] == 0 and rows[3]["min_prob"] is None
+    assert rows[4]["n_bigrams"] == 0 and rows[4]["n_rare"] == 0
+    # shared prefix splits the conditional mass; threshold counts the rare leg
+    docs2 = spark.createDataFrame(
+        [(1, "x y"), (2, "x z x z x z")], "doc_id long, text string"
+    )
+    # cb(x,y)=1, cb(x,z)=3, cb(z,x)=2; cu(x)=4, cu(z)=2
+    out2 = {r["doc_id"]: r for r in lm_bigram_score(
+        docs2, rare_threshold=0.3).collect()}
+    assert out2[1]["min_prob"] == 0.25 and out2[1]["n_rare"] == 1
+    assert out2[2]["min_prob"] == 0.75 and out2[2]["n_rare"] == 0
+
+
 def test_semantic_dedup_clusters_groups_near_vectors(spark):
     from pyranges_1_x_spark.ml.similarity import semantic_dedup_clusters
 
