@@ -1932,6 +1932,29 @@ def q_avi_frames(spark, sf_dir):
     )
 
 
+def q_adpcm_features(spark, sf_dir):
+    """The REAL IMA ADPCM lossy-audio decode (late r12, ml/multimodal.py
+    decode_adpcm_wav) under a driver value gate. The fixtures' data nibbles
+    are all zero with header step index 0, where the quantizer diff is
+    exactly 0 (step 7 >> 3) and the index clamps at 0 — each block decodes
+    to its header predictor P(i, b, ch) = ((i*131+b*311+ch*457+17) % 2000)
+    - 1000, so DuckDB recomputes n/mean/min/max/duration from the formula
+    without running the recursion (which the scalar-reference and
+    round-trip pytest goldens pin). std (index 5) excluded, as in
+    png_features."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.multimodal import extract_features, synthetic_adpcm_media
+
+    feats = extract_features(synthetic_adpcm_media(spark, 48))
+    picks = [(1, "f_n"), (2, "f_ch"), (3, "f_rate"), (4, "f_mean"),
+             (6, "f_min"), (7, "f_max"), (8, "f_dur")]
+    return feats.select(
+        "media_id",
+        *[F.element_at("feature", i).cast("double").alias(a) for i, a in picks],
+    )
+
+
 def q_count_matrix(spark, sf_dir):
     from pyranges_1_x_spark import count_overlaps_matrix
 
@@ -2182,14 +2205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup — iterative-session queries run LAST inside the window
     so a memory-tight harness death loses only these rows).
 
-    r13 rotation note: the NINE operators added late in r12
+    r13 rotation note: the TEN operators added late in r12
     (doc_repetition, tfidf_topterms, pack_examples, pii_scrub,
     incremental_dedup, pq_topk, stream_incremental_dedup, quota_sample,
-    lm_score) sit past the window on purpose — they are
+    lm_score, adpcm_features) sit past the window on purpose — they are
     local-gate-certified this round (sf0.001/0.01/0.1 + the scaled twins)
-    and, with the rest of the r12 tail, make the r13 window exactly the 51
-    r12-ungated entries, of which the window takes the first 50 (one r12
-    tail query rolls to r14 — pick the least-churned)."""
+    and, with the rest of the r12 tail, make the r13 window exactly the 52
+    r12-ungated entries, of which the window takes the first 50 (two r12
+    tail queries roll to r14 — pick the least-churned)."""
     return {
         # --- not driver-gated in r11 (registry positions 51-89 last round) ---
         "upstream_flank": q_upstream_flank,
@@ -2302,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_incremental_dedup": q_stream_incremental_dedup,
         "quota_sample": q_quota_sample,
         "lm_score": q_lm_score,
+        "adpcm_features": q_adpcm_features,
     }
 
 
@@ -2604,6 +2628,46 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT b.sig FROM batch b
             WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.sig = b.sig)
+        """,
+        "adpcm_features": """
+            -- Twin of ml/multimodal.py synthetic_adpcm_media + decode_adpcm_wav:
+            -- all-zero nibbles at step index 0 leave the predictor frozen, so
+            -- block b / channel ch of record i decodes to the constant
+            -- P = ((i*131 + b*311 + ch*457 + 17) % 2000) - 1000 over 33
+            -- samples. The oracle recomputes the sample statistics from the
+            -- formula — walking RIFF/blocks/nibbles is the engine's job; any
+            -- mangled byte shifts mean/min/max. All divisions are IEEE-exact
+            -- dyadic (int / 32768) or shared-operand, rounded through FLOAT
+            -- on both sides like the other media gates.
+            WITH base AS (
+              SELECT CAST(i AS BIGINT) AS media_id,
+                     CASE WHEN i % 2 = 0 THEN 1 ELSE 2 END AS nch
+              FROM unnest(range(48)) t(i)
+            ),
+            cells AS (
+              SELECT media_id, nch,
+                     ((media_id*131 + b*311 + ch*457 + 17) % 2000) - 1000 AS p
+              FROM base, unnest(range(3)) tb(b), unnest(range(2)) tc(ch)
+              WHERE ch < nch
+            ),
+            agg AS (
+              SELECT media_id, ANY_VALUE(nch) AS nch, SUM(p) AS sp,
+                     MIN(p) AS mn, MAX(p) AS mx
+              FROM cells GROUP BY media_id
+            )
+            SELECT media_id,
+                   CAST(CAST(99 AS FLOAT) AS DOUBLE) AS f_n,
+                   CAST(CAST(nch AS FLOAT) AS DOUBLE) AS f_ch,
+                   CAST(CAST(8000 AS FLOAT) AS DOUBLE) AS f_rate,
+                   CAST(CAST((CAST(sp * 33 AS DOUBLE) / CAST(32768 AS DOUBLE))
+                             / CAST(99 * nch AS DOUBLE) AS FLOAT) AS DOUBLE) AS f_mean,
+                   CAST(CAST(CAST(mn AS DOUBLE) / CAST(32768 AS DOUBLE)
+                             AS FLOAT) AS DOUBLE) AS f_min,
+                   CAST(CAST(CAST(mx AS DOUBLE) / CAST(32768 AS DOUBLE)
+                             AS FLOAT) AS DOUBLE) AS f_max,
+                   CAST(CAST(CAST(99 AS DOUBLE) / CAST(8000 AS DOUBLE)
+                             AS FLOAT) AS DOUBLE) AS f_dur
+            FROM agg
         """,
         "quota_sample": """
             SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank

@@ -25,6 +25,11 @@ numpy — no codec library needed:
   explicit quant tables) in ``ml/jpeg.py`` (r12, VERDICT r11 #5);
 * PCM WAV audio (8/16-bit, any channel count): stdlib ``wave`` +
   frombuffer into sample-statistics features;
+* IMA/DVI ADPCM WAV audio (wFormatTag 0x0011, 4-bit, any channel count) —
+  a REAL lossy audio codec, decode AND encode (late r12): manual RIFF
+  walk + the quantizer recursion vectorized across (block, channel)
+  streams, so the Python-level loop runs samples-per-block iterations
+  total regardless of corpus size;
 * uncompressed AVI video (RIFF 'AVI ', 'vids'/'DIB ' stream, BI_RGB
   8bpp-palette or 24bpp frames): container walk + per-frame bottom-up BGR
   decode, video statistics features, and REAL frame sampling
@@ -424,6 +429,213 @@ def encode_wav(samples, sample_rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+#: IMA ADPCM quantizer step sizes (89 entries) and index adjustments —
+#: the public IMA/DVI specification tables (also RFC 3551 §4.5.1 ordering).
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibbles(nibbles, pred0, idx0):
+    """Vectorized IMA ADPCM nibble decode. ``nibbles`` is int (S, T) — S
+    independent streams (block x channel), T nibbles each; ``pred0``/``idx0``
+    are the per-stream header predictor / step index, shape (S,). Returns
+    int32 samples (S, T+1) INCLUDING the header predictor as sample 0.
+
+    The quantizer recursion is sequential in T but state-independent across
+    streams, so the Python-level loop runs T times TOTAL (samples per block,
+    ~505 for standard 256-byte mono blocks) with every arithmetic op
+    vectorized across all blocks and channels of the Arrow batch — decode
+    cost is O(samples_per_block) interpreter iterations regardless of how
+    many media rows or how long the audio (the PNG-unfilter lesson,
+    ADVICE r11)."""
+    import numpy as np
+
+    steps = np.asarray(_IMA_STEPS, dtype=np.int64)
+    adj = np.asarray(_IMA_INDEX_ADJ, dtype=np.int64)
+    S, T = nibbles.shape
+    pred = np.asarray(pred0, dtype=np.int64).copy()
+    idx = np.clip(np.asarray(idx0, dtype=np.int64), 0, 88)
+    out = np.empty((S, T + 1), dtype=np.int32)
+    out[:, 0] = pred
+    for t in range(T):
+        n = nibbles[:, t]
+        step = steps[idx]
+        diff = step >> 3
+        diff += np.where(n & 1, step >> 2, 0)
+        diff += np.where(n & 2, step >> 1, 0)
+        diff += np.where(n & 4, step, 0)
+        pred = np.clip(pred + np.where(n & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + adj[n & 7], 0, 88)
+        out[:, t + 1] = pred
+    return out
+
+
+def decode_adpcm_wav(payload: bytes):
+    """REAL lossy-audio decode for IMA/DVI ADPCM WAV payloads (wFormatTag
+    0x0011, 4-bit, any channel count) — the compressed-audio format the
+    stdlib ``wave`` module rejects. Manual RIFF walk (fmt/fact/data), then
+    the vectorized per-block nibble decode above: block headers re-seed the
+    predictor, so every (block, channel) stream decodes independently and
+    in parallel. Returns ``(samples, sample_rate)`` shaped like
+    ``decode_wav`` (float64 in [-1, 1], (n_frames, n_channels)), or None
+    when the payload is not IMA ADPCM."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    fmt = data = None
+    n_total = None
+    while pos + 8 <= end:
+        cc = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cc == b"fmt " and sz >= 16:
+            fmt = body
+        elif cc == b"fact" and sz >= 4:
+            (n_total,) = struct.unpack_from("<I", body, 0)
+        elif cc == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    tag, n_ch, rate, _, block_align, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag != 0x0011 or bits != 4 or n_ch < 1 or block_align < 4 * n_ch + 4 * n_ch:
+        return None
+    if len(fmt) >= 20:
+        (spb,) = struct.unpack_from("<H", fmt, 18)  # wSamplesPerBlock
+    else:
+        spb = (block_align - 4 * n_ch) * 2 // n_ch + 1
+    groups = (block_align - 4 * n_ch) // (4 * n_ch)
+    if spb != groups * 8 + 1 or groups < 1:
+        return None
+    n_blocks = len(data) // block_align
+    if n_blocks == 0:
+        return None
+    raw = np.frombuffer(data[: n_blocks * block_align], dtype=np.uint8).reshape(
+        n_blocks, block_align
+    )
+    hdr = raw[:, : 4 * n_ch].reshape(n_blocks, n_ch, 4)
+    pred0 = (
+        hdr[:, :, 0].astype(np.int64) | (hdr[:, :, 1].astype(np.int64) << 8)
+    ).astype(np.int16).astype(np.int64)
+    idx0 = hdr[:, :, 2].astype(np.int64)
+    # Data words interleave channels in 4-byte groups; reorder to one byte
+    # stream per (block, channel), then split low-nibble-first.
+    body = raw[:, 4 * n_ch :].reshape(n_blocks, groups, n_ch, 4)
+    byts = body.transpose(0, 2, 1, 3).reshape(n_blocks, n_ch, groups * 4)
+    nib = np.empty((n_blocks, n_ch, groups * 8), dtype=np.int64)
+    nib[:, :, 0::2] = byts & 0xF
+    nib[:, :, 1::2] = byts >> 4
+    dec = _ima_decode_nibbles(
+        nib.reshape(n_blocks * n_ch, -1),
+        pred0.reshape(-1),
+        idx0.reshape(-1),
+    ).reshape(n_blocks, n_ch, spb)
+    # (block, ch, t) -> (block*t, ch) frame-major stream
+    samples = dec.transpose(0, 2, 1).reshape(n_blocks * spb, n_ch)
+    if n_total is not None:
+        samples = samples[:n_total]
+    return samples.astype(np.float64) / 32768.0, rate
+
+
+def encode_adpcm_wav(samples, sample_rate: int = 8000, groups_per_block: int = 63) -> bytes:
+    """Encode float samples in [-1, 1] (1-D mono or (n, ch)) as IMA ADPCM
+    WAV bytes. Each block header re-seeds the predictor from the block's
+    true first sample and the step index from the block's own slope (both
+    written in the header, which is authoritative for the decoder), so
+    blocks encode FULLY independently — the encoder recursion loops over
+    WITHIN-block positions only, vectorized across all (block, channel)
+    streams like the decoder. Carrying the index forward instead would
+    chain the blocks sequentially (the carried value is only known after
+    the previous block encodes); seeding it at 0 makes the quantizer fall
+    behind steep signals for the first ~20 samples of every block
+    (measured: full-scale head-of-block error on a 440 Hz sine). So the
+    seed is the step-table index of the block's mean absolute sample
+    delta — one vectorized searchsorted, blocks stay independent, and the
+    quantizer starts within one adaptation step of the signal's slope."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(samples, dtype=np.float64)
+    if a.ndim == 1:
+        a = a[:, None]
+    pcm = np.clip(np.round(a * 32768.0), -32768, 32767).astype(np.int64)
+    n, n_ch = pcm.shape
+    spb = groups_per_block * 8 + 1
+    n_blocks = max(1, -(-n // spb))
+    pad = n_blocks * spb - n
+    if pad:
+        pcm = np.vstack([pcm, np.repeat(pcm[-1:], pad, axis=0)]) if n else np.zeros(
+            (n_blocks * spb, n_ch), dtype=np.int64
+        )
+    # (block, ch, t) streams
+    st = pcm.reshape(n_blocks, spb, n_ch).transpose(0, 2, 1).reshape(-1, spb)
+    S = st.shape[0]
+    steps = np.asarray(_IMA_STEPS, dtype=np.int64)
+    adj = np.asarray(_IMA_INDEX_ADJ, dtype=np.int64)
+    pred = st[:, 0].copy()
+    # Seed the step index near the block's slope (see docstring): the
+    # largest table entry <= mean |delta| of the block's true samples.
+    mean_delta = np.abs(np.diff(st, axis=1)).mean(axis=1) if spb > 1 else np.zeros(S)
+    idx0 = np.clip(np.searchsorted(steps, mean_delta, side="right") - 1, 0, 88)
+    idx = idx0.astype(np.int64).copy()
+    nibbles = np.empty((S, spb - 1), dtype=np.uint8)
+    for t in range(1, spb):
+        step = steps[idx]
+        delta = st[:, t] - pred
+        sign = delta < 0
+        mag = np.abs(delta)
+        # magnitude bits by successive subtraction (the reference quantizer)
+        b4 = mag >= step
+        mag = mag - np.where(b4, step, 0)
+        b2 = mag >= (step >> 1)
+        mag = mag - np.where(b2, step >> 1, 0)
+        b1 = mag >= (step >> 2)
+        code = (
+            np.where(sign, 8, 0) + np.where(b4, 4, 0) + np.where(b2, 2, 0) + np.where(b1, 1, 0)
+        ).astype(np.int64)
+        diff = step >> 3
+        diff += np.where(code & 1, step >> 2, 0)
+        diff += np.where(code & 2, step >> 1, 0)
+        diff += np.where(code & 4, step, 0)
+        pred = np.clip(pred + np.where(code & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + adj[code & 7], 0, 88)
+        nibbles[:, t - 1] = code
+    hdr_idx = idx0.reshape(n_blocks, n_ch)
+    packed = (
+        (nibbles[:, 1::2].astype(np.uint16) << 4) | nibbles[:, 0::2]
+    ).astype(np.uint8).reshape(n_blocks, n_ch, groups_per_block, 4)
+    block_align = 4 * n_ch + 16 * n_ch * groups_per_block // 4
+    out = bytearray()
+    p0 = st[:, 0].reshape(n_blocks, n_ch)
+    for b in range(n_blocks):
+        for c in range(n_ch):
+            out += struct.pack("<hBB", int(p0[b, c]), int(hdr_idx[b, c]), 0)
+        out += packed[b].transpose(1, 0, 2).tobytes()  # groups interleave channels
+    fmt = struct.pack("<HHIIHHHH", 0x0011, n_ch, sample_rate,
+                      sample_rate * block_align // spb, block_align, 4, 2, spb)
+    fact = struct.pack("<I", n)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"fact" + struct.pack("<I", len(fact)) + fact
+        + b"data" + struct.pack("<I", len(out)) + bytes(out)
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
 def _decode_payload(payload: bytes, kind: str) -> list[float]:
     """Decode kernel. Binary netpbm, uncompressed BMP, 8-bit PNG and
     baseline JPEG images decode FOR REAL (``decode_netpbm``/``decode_bmp``/
@@ -441,6 +653,8 @@ def _decode_payload(payload: bytes, kind: str) -> list[float]:
         return [0.0] * 8
     if kind == "audio":
         wav = decode_wav(payload)
+        if wav is None:
+            wav = decode_adpcm_wav(payload)  # lossy IMA ADPCM (late r12)
         if wav is not None:
             samples, rate = wav
             n, ch = samples.shape
@@ -800,6 +1014,51 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
     for i in range(n):
         payload = bytes((i * 7 + j) % 256 for j in range(64 + (i % 5) * 32))
         rows.append((i, kinds[i % 3], payload, 64 + i % 128, 64, 1 + (i % 30)))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def synthetic_adpcm_media(spark, n: int = 48) -> DataFrame:
+    """Deterministic IMA ADPCM WAV fixtures whose DECODED samples are
+    formula-recomputable without running the quantizer recursion — the
+    driver-gate trick of synthetic_png_media/synthetic_jpeg_media applied
+    to lossy audio: every data nibble is 0 with header step index 0, and at
+    index 0 the step is 7, so a zero nibble's diff is ``7 >> 3 = 0`` and the
+    index update clamps at 0 — the predictor NEVER moves. Each block of
+    record i therefore decodes to a constant: its header predictor
+    ``P(i, b, ch) = ((i*131 + b*311 + ch*457 + 17) % 2000) - 1000``. Even
+    records are mono, odd stereo (pinning the channel deinterleave); 3
+    blocks x 33 samples each (4 data groups), with a fact chunk. A single
+    byte mangled anywhere in the RIFF walk, block split, header parse, or
+    nibble path shifts mean/min/max and the oracle value-hash misses; the
+    recursion DYNAMICS are pinned separately by the scalar-reference and
+    round-trip pytest goldens."""
+    import struct
+
+    rows = []
+    groups, blocks = 4, 3
+    spb = groups * 8 + 1
+    for i in range(n):
+        n_ch = 1 if i % 2 == 0 else 2
+        block_align = 4 * n_ch + 4 * n_ch * groups
+        data = bytearray()
+        for b in range(blocks):
+            for ch in range(n_ch):
+                p = ((i * 131 + b * 311 + ch * 457 + 17) % 2000) - 1000
+                data += struct.pack("<hBB", p, 0, 0)
+            data += bytes(4 * n_ch * groups)  # zero nibbles
+        fmt = struct.pack(
+            "<HHIIHHHH", 0x0011, n_ch, 8000,
+            8000 * block_align // spb, block_align, 4, 2, spb,
+        )
+        fact = struct.pack("<I", blocks * spb)
+        riff = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + bytes(data)
+        )
+        payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
+        rows.append((i, "audio", payload, 0, 0, 0))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 

@@ -70,6 +70,11 @@ DEFAULT_QUERIES = [
     "doc_repetition",
     "tfidf_topterms",
     "pack_examples",
+    # late r12: the bigram-LM score rides the same 10x twin — its exploded
+    # bigram relation (and the vocabulary-keyed joins back) grow 10x per
+    # doc, and the repeat seam adds cross-copy bigrams both engines must
+    # agree on bit-exactly (min_prob is a raw IEEE division).
+    "lm_score",
 ]
 #: --replicate default roster: the operators whose cost/semantics follow
 #: DUPLICATE-GROUP size rather than document length.

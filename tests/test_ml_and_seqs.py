@@ -1201,6 +1201,80 @@ def test_wav_real_decode_features(spark):
     assert abs(feat[7] - 0.1) < 1e-6  # 800 frames / 8000 Hz
 
 
+def test_adpcm_real_lossy_codec(spark):
+    """The IMA ADPCM path is a REAL lossy audio codec: the vectorized
+    nibble decode matches a scalar straight-from-the-spec reference on
+    random streams, encode->decode reaches transparent-for-features SNR at
+    ~4:1 compression, formats discriminate, and the formula fixture decodes
+    to per-block constants through the Arrow feature path."""
+    import numpy as np
+
+    from pyranges_1_x_spark.ml.multimodal import (
+        _IMA_INDEX_ADJ,
+        _IMA_STEPS,
+        _ima_decode_nibbles,
+        decode_adpcm_wav,
+        decode_wav,
+        encode_adpcm_wav,
+        encode_wav,
+        extract_features,
+        synthetic_adpcm_media,
+    )
+
+    def ref_decode(nibbles, pred, idx):
+        out = [pred]
+        for code in nibbles:
+            step = _IMA_STEPS[idx]
+            diff = step >> 3
+            if code & 1:
+                diff += step >> 2
+            if code & 2:
+                diff += step >> 1
+            if code & 4:
+                diff += step
+            pred = pred - diff if code & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[code & 7]))
+            out.append(pred)
+        return out
+
+    rng = np.random.default_rng(7)
+    nib = rng.integers(0, 16, size=(4, 50))
+    p0 = rng.integers(-30000, 30000, size=4)
+    i0 = rng.integers(0, 89, size=4)
+    vec = _ima_decode_nibbles(nib, p0, i0)
+    for s in range(4):
+        assert list(vec[s]) == ref_decode(list(nib[s]), int(p0[s]), int(i0[s]))
+
+    t = np.arange(4000) / 8000.0
+    sig = 0.6 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([sig, 0.3 * np.cos(2 * np.pi * 220 * t)], axis=1)
+    dec, rate = decode_adpcm_wav(encode_adpcm_wav(sig, 8000))
+    assert rate == 8000 and dec.shape == (4000, 1)
+    snr = 10 * np.log10((sig**2).mean() / ((dec[:, 0] - sig) ** 2).mean())
+    assert snr > 25, snr
+    dec2, _ = decode_adpcm_wav(encode_adpcm_wav(stereo, 16000))
+    snr2 = 10 * np.log10((stereo**2).mean() / ((dec2 - stereo) ** 2).mean())
+    assert dec2.shape == (4000, 2) and snr2 > 25, snr2
+    # ~4:1 vs 16-bit PCM, and the two WAV decoders never claim each other
+    assert len(encode_adpcm_wav(sig)) * 3 < len(encode_wav(sig))
+    assert decode_adpcm_wav(encode_wav(sig)) is None
+    assert decode_wav(encode_adpcm_wav(sig)) is None
+
+    media = synthetic_adpcm_media(spark, 4)
+    for r in media.collect():
+        smp, rate = decode_adpcm_wav(bytes(r["payload"]))
+        i = r["media_id"]
+        nch = 1 if i % 2 == 0 else 2
+        assert rate == 8000 and smp.shape == (99, nch)
+        for b in range(3):
+            for ch in range(nch):
+                p = ((i * 131 + b * 311 + ch * 457 + 17) % 2000) - 1000
+                assert np.all(smp[b * 33 : (b + 1) * 33, ch] * 32768 == p)
+    feats = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert feats[0][0] == 99.0 and feats[1][1] == 2.0 and feats[2][2] == 8000.0
+
+
 def test_png_real_decode_features_and_resize(spark):
     """The PNG decode path is REAL (r11, VERDICT r10 #5): stdlib zlib
     inflate + per-scanline unfilter. Round-trips through encode_png (filter
