@@ -574,6 +574,34 @@ def q_lm_score(spark, sf_dir):
     return lm_bigram_score(spark.table("documents"))
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """C4-style corpus boilerplate stripping (ml/text.py
+    remove_boilerplate_lines). The source docs are single-line, so the gate
+    injects multi-line structure BY FORMULA on both engines (the pii_scrub
+    fixture precedent): a universal nav line, a cookie-banner line shared by
+    every 7th doc, and a footer shared by every 3rd — all cross-doc
+    boilerplate the operator must strip, while the payload line survives
+    unless the corpus itself duplicates it (it does, for exact-dup docs —
+    and the oracle agrees, because both engines count the same distinct-doc
+    line frequencies)."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.text import remove_boilerplate_lines
+
+    _load(spark, sf_dir, ["documents"])
+    nl = F.lit("\n")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HOME | ABOUT | CONTACT"), nl,
+            F.lit("cookie notice v"), (F.col("doc_id") % 7).cast("string"), nl,
+            F.col("text"), nl,
+            F.lit("footer "), (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(docs, min_docs=2)
+
+
 def q_stream_incremental_dedup(spark, sf_dir):
     """Streaming incremental dedup gate (streaming/events.py
     stream_dedup_against_store) as a REAL availableNow run: the %3==0 docs
@@ -2205,14 +2233,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup — iterative-session queries run LAST inside the window
     so a memory-tight harness death loses only these rows).
 
-    r13 rotation note: the TEN operators added late in r12
+    r13 rotation note: the ELEVEN operators added late in r12
     (doc_repetition, tfidf_topterms, pack_examples, pii_scrub,
     incremental_dedup, pq_topk, stream_incremental_dedup, quota_sample,
-    lm_score, adpcm_features) sit past the window on purpose — they are
-    local-gate-certified this round (sf0.001/0.01/0.1 + the scaled twins)
-    and, with the rest of the r12 tail, make the r13 window exactly the 52
-    r12-ungated entries, of which the window takes the first 50 (two r12
-    tail queries roll to r14 — pick the least-churned)."""
+    lm_score, adpcm_features, boilerplate_lines) sit past the window on
+    purpose — they are local-gate-certified this round (sf0.001/0.01/0.1 +
+    the scaled twins) and, with the rest of the r12 tail, make the r13
+    window exactly the 53 r12-ungated entries, of which the window takes
+    the first 50 (three r12 tail queries roll to r14 — pick the
+    least-churned)."""
     return {
         # --- not driver-gated in r11 (registry positions 51-89 last round) ---
         "upstream_flank": q_upstream_flank,
@@ -2326,6 +2355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quota_sample": q_quota_sample,
         "lm_score": q_lm_score,
         "adpcm_features": q_adpcm_features,
+        "boilerplate_lines": q_boilerplate_lines,
     }
 
 
@@ -2668,6 +2698,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(CAST(99 AS DOUBLE) / CAST(8000 AS DOUBLE)
                              AS FLOAT) AS DOUBLE) AS f_dur
             FROM agg
+        """,
+        "boilerplate_lines": """
+            WITH d AS (
+              SELECT doc_id,
+                     'HOME | ABOUT | CONTACT' || chr(10)
+                       || 'cookie notice v' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                       || text || chr(10)
+                       || 'footer ' || CAST(doc_id % 3 AS VARCHAR) AS t
+              FROM documents
+            ),
+            ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM d),
+            lines AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS ln
+              FROM ls, unnest(range(1, len(arr) + 1)) r(i)
+            ),
+            freq AS (
+              SELECT ln FROM lines WHERE trim(ln) <> ''
+              GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            tagged AS (
+              SELECT l.doc_id, l.pos, l.ln,
+                     (f.ln IS NULL OR trim(l.ln) = '') AS kept
+              FROM lines l LEFT JOIN freq f ON l.ln = f.ln
+            ),
+            agg AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(CASE WHEN kept THEN ln END,
+                                         chr(10) ORDER BY pos), '') AS clean_text,
+                     CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+                     CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+              FROM tagged GROUP BY doc_id
+            )
+            SELECT doc_id, clean_text, n_removed, n_kept FROM agg
         """,
         "quota_sample": """
             SELECT doc_id, source, CAST(rk AS BIGINT) AS quota_rank

@@ -363,6 +363,67 @@ def tfidf_top_terms(
     )
 
 
+def remove_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate stripping (the C4-style cleanup stage): any
+    line whose exact text appears in at least ``min_docs`` DISTINCT
+    documents (navigation chrome, cookie banners, boilerplate footers) is
+    removed from every document, and each document is reassembled with its
+    surviving lines in original order. Blank/whitespace-only lines are kept
+    verbatim and never counted — they occur everywhere and dropping them
+    would mangle formatting rather than remove boilerplate. Returns
+    ``id_col``, the rebuilt ``clean_text`` (empty string when every line was
+    boilerplate), and ``n_removed`` / ``n_kept`` line counts.
+
+    Scale shape: one posexplode scan → distinct-doc line frequency (two
+    hash aggregations, map-side partial) → line-keyed join back (the
+    frequency relation is distinct-LINE-sized, far below occurrences;
+    ubiquitous lines skew the key, which is the AQE skew-join case) → one
+    per-doc aggregation to reassemble. Zero UDFs; ordering is carried by
+    the explode position, so reassembly is deterministic on any
+    partitioning.
+    """
+    did = F.col(id_col)
+    lines = df.select(
+        did, F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__ln__")
+    )
+    blank = F.trim(F.col("__ln__")) == ""
+    freq = (
+        lines.filter(~blank)
+        .groupBy("__ln__")
+        .agg(F.countDistinct(id_col).alias("__nd__"))
+        .filter(F.col("__nd__") >= min_docs)
+    )
+    tagged = lines.join(freq, on="__ln__", how="left")
+    kept = F.col("__nd__").isNull() | blank
+    agg = tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("__pos__"), F.col("__ln__")))
+                    )
+                ),
+                lambda s: s["__ln__"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_removed"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+    )
+    return df.select(did).join(agg, on=id_col, how="left").select(
+        did,
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 def lm_bigram_score(
     df: DataFrame,
     text_col: str = "text",

@@ -556,6 +556,32 @@ def test_quota_sample_caps_per_group_deterministically(spark):
     assert quota_sample(docs, "source", 0, seed=4).count() == 0
 
 
+def test_remove_boilerplate_lines_strips_shared_keeps_order(spark):
+    from pyranges_1_x_spark.ml.text import remove_boilerplate_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "NAV\nalpha\n\nbeta\nFOOTER"),
+            (2, "NAV\ngamma\nFOOTER"),
+            (3, "NAV"),          # all lines boilerplate -> empty text
+            (4, "delta\n   \ndelta two"),  # whitespace-only line kept verbatim
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in remove_boilerplate_lines(docs).collect()}
+    # NAV appears in 3 docs, FOOTER in 2 -> both stripped everywhere
+    assert rows[1]["clean_text"] == "alpha\n\nbeta"
+    assert rows[1]["n_removed"] == 2 and rows[1]["n_kept"] == 3
+    assert rows[2]["clean_text"] == "gamma"
+    assert rows[3]["clean_text"] == "" and rows[3]["n_kept"] == 0
+    # blank lines never count toward frequency and survive verbatim
+    assert rows[4]["clean_text"] == "delta\n   \ndelta two"
+    # raising min_docs above the max frequency keeps everything
+    untouched = {r["doc_id"]: r["clean_text"]
+                 for r in remove_boilerplate_lines(docs, min_docs=9).collect()}
+    assert untouched[1] == "NAV\nalpha\n\nbeta\nFOOTER"
+
+
 def test_lm_bigram_score_weakest_link_and_rare_counts(spark):
     from pyranges_1_x_spark.ml.text import lm_bigram_score
 
