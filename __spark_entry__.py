@@ -602,6 +602,21 @@ def q_boilerplate_lines(spark, sf_dir):
     return remove_boilerplate_lines(docs, min_docs=2)
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Exact-substring repeat spans (ml/dedup.py repeated_substring_spans —
+    the Lee et al. substring-dedup core): maximal character regions whose
+    30-grams all occur >= 2 times in the corpus, found WITHOUT a suffix
+    array — gram hits become per-document intervals and the interval
+    engine's own island planner merges them. md5 hash twin so DuckDB
+    reproduces the span set bit-identically (same collisions, if any)."""
+    from pyranges_1_x_spark.ml.dedup import md5_hash64, repeated_substring_spans
+
+    _load(spark, sf_dir, ["documents"])
+    return repeated_substring_spans(
+        spark.table("documents"), min_len=30, hash_fn=md5_hash64
+    )
+
+
 def q_stream_incremental_dedup(spark, sf_dir):
     """Streaming incremental dedup gate (streaming/events.py
     stream_dedup_against_store) as a REAL availableNow run: the %3==0 docs
@@ -2233,15 +2248,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup — iterative-session queries run LAST inside the window
     so a memory-tight harness death loses only these rows).
 
-    r13 rotation note: the ELEVEN operators added late in r12
+    r13 rotation note: the TWELVE operators added late in r12
     (doc_repetition, tfidf_topterms, pack_examples, pii_scrub,
     incremental_dedup, pq_topk, stream_incremental_dedup, quota_sample,
-    lm_score, adpcm_features, boilerplate_lines) sit past the window on
-    purpose — they are local-gate-certified this round (sf0.001/0.01/0.1 +
-    the scaled twins) and, with the rest of the r12 tail, make the r13
-    window exactly the 53 r12-ungated entries, of which the window takes
-    the first 50 (three r12 tail queries roll to r14 — pick the
-    least-churned)."""
+    lm_score, adpcm_features, boilerplate_lines, repeated_spans) sit past
+    the window on purpose — they are local-gate-certified this round
+    (sf0.001/0.01/0.1 + the scaled twins) and, with the rest of the r12
+    tail, make the r13 window exactly the 54 r12-ungated entries, of which
+    the window takes the first 50 (four r12 tail queries roll to r14 —
+    pick the least-churned)."""
     return {
         # --- not driver-gated in r11 (registry positions 51-89 last round) ---
         "upstream_flank": q_upstream_flank,
@@ -2356,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "adpcm_features": q_adpcm_features,
         "boilerplate_lines": q_boilerplate_lines,
+        "repeated_spans": q_repeated_spans,
     }
 
 
@@ -2698,6 +2714,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(CAST(99 AS DOUBLE) / CAST(8000 AS DOUBLE)
                              AS FLOAT) AS DOUBLE) AS f_dur
             FROM agg
+        """,
+        "repeated_spans": f"""
+            WITH d AS (
+              SELECT doc_id, text AS t FROM documents WHERE length(text) >= 30
+            ),
+            g AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     ('0x' || substring(md5(substr(t, i + 1, 30)), 1, 15))::BIGINT AS h
+              FROM d, unnest(range(0, length(t) - 29)) r(i)
+            ),
+            rep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+            sp AS (
+              SELECT doc_id, pos AS Start, pos + 30 AS "End" FROM g JOIN rep USING (h)
+            ),
+            {_merged_runs("sp", ["doc_id"], "mr")}
+            SELECT m.doc_id, m.s AS Start, m.e AS "End",
+                   CAST(COUNT(*) AS BIGINT) AS n_grams
+            FROM mr m JOIN sp p
+              ON p.doc_id = m.doc_id AND p.Start >= m.s AND p."End" <= m.e
+            GROUP BY m.doc_id, m.s, m.e
         """,
         "boilerplate_lines": """
             WITH d AS (

@@ -831,3 +831,127 @@ def ngram_contamination(
             (F.col("n_hit_ngrams") / F.col("n_ngrams")).alias("contamination_rate"),
         )
     )
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 20,
+    min_count: int = 2,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Exact-substring repeat detection (the span-finding core of
+    suffix-array substring dedup, Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22): every maximal character span
+    whose ``min_len``-grams ALL occur at least ``min_count`` times in the
+    corpus (occurrences, not distinct docs — a doc self-repeating counts).
+    Returns one row per merged span: ``id_col``, ``Start``/``End`` (0-based,
+    half-open character coordinates into the ORIGINAL text) and ``n_grams``
+    (repeated gram starts inside the span).
+
+    This is the interval engine eating its own dog food: gram hits become
+    genomic-style intervals keyed by document, and the merge is the same
+    two-phase island planner (plans/islands.py island_agg) that backs
+    merge_overlaps — if two repeated grams overlap, their spans fuse into
+    one maximal region, exactly the semantics of the suffix-array span
+    union. Bookended-but-not-overlapping spans stay separate (slack=0 —
+    distinct repeat regions that merely touch).
+
+    Scale shape: sqrt-chunked gram hashing (O(len^1.5) char scans per doc,
+    the winnow plan), one (id, pos, hash64) exploded relation — 8 bytes a
+    gram, never the gram text — a map-side-partial count aggregation, a
+    hash-keyed join back (frequency relation is distinct-gram-sized;
+    boilerplate grams skew it, the AQE skew-join case), and the bucketed
+    island merge. No suffix array, no sort of the corpus text, no
+    all-pairs. ``hash_fn`` collisions can only ADD a false span (never lose
+    one); the default 64-bit xxhash makes that ~2^-64 per pair, and the
+    driver oracle runs the md5-based twin bit-identically.
+    """
+    from pyranges_1_x_spark.ml.text import chunked_gram_hashes
+    from pyranges_1_x_spark.plans.islands import island_agg
+
+    base = df.filter(F.length(F.col(text_col)) >= min_len).select(
+        F.col(id_col), F.col(text_col).alias("__t__")
+    )
+    g = base.select(
+        F.col(id_col),
+        F.posexplode(chunked_gram_hashes(F.col("__t__"), min_len, hash_fn)).alias(
+            "__pos__", "__h__"
+        ),
+    )
+    rep = (
+        g.groupBy("__h__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .filter(F.col("__n__") >= min_count)
+        .select("__h__")
+    )
+    spans = g.join(rep, on="__h__").select(
+        F.col(id_col),
+        F.col("__pos__").cast("long").alias("Start"),
+        (F.col("__pos__") + min_len).cast("long").alias("End"),
+    )
+    return island_agg(
+        spans, [id_col], slack=0, count_col="n_grams", bucket_width=1 << 14, adaptive=True
+    )
+
+
+def strip_repeated_substrings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 20,
+    min_count: int = 2,
+    hash_fn=xxhash64_fn,
+) -> DataFrame:
+    """Remove every repeated span found by ``repeated_substring_spans`` from
+    every document (the simplification most substring-dedup reproductions
+    ship; keeping one canonical copy per span requires a global
+    occurrence-election pass) and return ``id_col``, the rebuilt
+    ``clean_text``, and ``n_chars_removed``. Docs with no repeated span pass
+    through byte-identical.
+
+    The rebuild is a row-local ``aggregate`` over the doc's sorted spans
+    carrying (chars-consumed-so-far, rebuilt-prefix) — substring slices off
+    the materialized text column between consecutive spans, then the finish
+    lambda appends the tail. Spans per doc are bounded by len/min_len, and
+    each slice scans from its offset (the O(pos) substring cost is paid
+    once per GAP, not per char)."""
+    spans = repeated_substring_spans(
+        df, text_col, id_col, min_len=min_len, min_count=min_count, hash_fn=hash_fn
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("Start", "End"))).alias("__sp__")
+    )
+    base = df.select(F.col(id_col), F.col(text_col).alias("__t__")).join(
+        per_doc, on=id_col, how="left"
+    )
+    t = F.col("__t__")
+    rebuilt = F.aggregate(
+        F.col("__sp__"),
+        F.struct(F.lit(0).cast("long").alias("done"), F.lit("").alias("acc")),
+        lambda a, s: F.struct(
+            s["End"].alias("done"),
+            F.concat(
+                a["acc"], F.substring(t, (a["done"] + 1).cast("int"), (s["Start"] - a["done"]).cast("int"))
+            ).alias("acc"),
+        ),
+        lambda a: F.concat(
+            a["acc"], F.substring(t, (a["done"] + 1).cast("int"), (F.length(t) - a["done"]).cast("int"))
+        ),
+    )
+    removed = F.aggregate(
+        F.col("__sp__"),
+        F.lit(0).cast("long"),
+        lambda a, s: a + (s["End"] - s["Start"]),
+    )
+    return base.select(
+        F.col(id_col),
+        F.when(F.col("__sp__").isNull(), t).otherwise(rebuilt).alias("clean_text"),
+        F.coalesce(
+            F.when(F.col("__sp__").isNull(), F.lit(0).cast("long")).otherwise(removed),
+            F.lit(0).cast("long"),
+        ).alias("n_chars_removed"),
+    )

@@ -111,6 +111,37 @@ def bow_signature(text: Column) -> Column:
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
 
 
+def chunked_gram_hashes(t: Column, k: int, hash_fn) -> Column:
+    """Array of hashes of every character ``k``-gram of the (materialized)
+    text column ``t``, position-ordered — the sqrt-chunked expression shared
+    by ``winnow_fingerprints`` and ``repeated_substring_spans``. Per-element
+    ``substring(s, pos, n)`` is O(pos) on UTF8String, so hashing grams
+    straight off the document is O(len^2) per doc; cutting it into
+    ``ceil(sqrt(n_grams))``-gram-start chunks with a k-1 char overlap keeps
+    boundary-spanning grams intact at O(len^1.5) total char scans. Each
+    chunk is a bound, materialized lambda variable (higher-order functions
+    get no CSE — the r8/r10 lesson; ``t`` itself must be a column
+    reference, not an inlined expression). Sub-k documents emit one hash of
+    the whole (short) text at position 0."""
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+    c = F.greatest(F.ceil(F.sqrt(n_grams)).cast("int"), F.lit(1))
+    n_chunks = F.ceil(n_grams / c).cast("int")
+    chunk_idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.transform(chunk_idx, lambda j: F.substring(t, j * c + 1, c + k - 1))
+
+    def _chunk_hashes(ch: Column) -> Column:
+        # Grams starting in this chunk: length(ch)-k+1 — exact for every
+        # chunk (the last chunk's substring is truncated to just cover its
+        # own gram starts). greatest(..,1) reproduces the whole-document
+        # plan's position-0 hash for sub-k documents (t shorter than k).
+        ng = F.greatest(F.length(ch) - k + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), ng - 1), lambda i: hash_fn(F.substring(ch, i + 1, k))
+        )
+
+    return F.flatten(F.transform(chunks, _chunk_hashes))
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -159,24 +190,7 @@ def winnow_fingerprints(
     # shape that avoids it.) __t__ is materialized in its own projection so
     # the chunk lambda references an attribute, not an inlined trim().
     base = df.select(F.col(id_col), F.trim(F.col(text_col)).alias("__t__"))
-    t = F.col("__t__")
-    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
-    c = F.greatest(F.ceil(F.sqrt(n_grams)).cast("int"), F.lit(1))
-    n_chunks = F.ceil(n_grams / c).cast("int")
-    chunk_idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
-    chunks = F.transform(chunk_idx, lambda j: F.substring(t, j * c + 1, c + k - 1))
-
-    def _chunk_hashes(ch: Column) -> Column:
-        # Grams starting in this chunk: length(ch)-k+1 — exact for every
-        # chunk (the last chunk's substring is truncated to just cover its
-        # own gram starts). greatest(..,1) reproduces the whole-document
-        # plan's position-0 hash for sub-k documents (t shorter than k).
-        ng = F.greatest(F.length(ch) - k + 1, F.lit(1))
-        return F.transform(
-            F.sequence(F.lit(0), ng - 1), lambda i: hash_fn(F.substring(ch, i + 1, k))
-        )
-
-    h_arr = F.flatten(F.transform(chunks, _chunk_hashes))
+    h_arr = chunked_gram_hashes(F.col("__t__"), k, hash_fn)
     d = base.select(
         F.col(id_col),
         F.posexplode(h_arr).alias("__pos__", "__h__"),

@@ -75,6 +75,11 @@ DEFAULT_QUERIES = [
     # doc, and the repeat seam adds cross-copy bigrams both engines must
     # agree on bit-exactly (min_prob is a raw IEEE division).
     "lm_score",
+    # late r12: substring-repeat spans on 10x text — the gram relation grows
+    # 10x AND the repeat construction makes nearly every gram repeated, so
+    # the island merge has to fuse ~whole-document span chains with exact
+    # character coordinates (~30 sqrt-chunks per doc at 3 kb).
+    "repeated_spans",
 ]
 #: --replicate default roster: the operators whose cost/semantics follow
 #: DUPLICATE-GROUP size rather than document length.

@@ -556,6 +556,47 @@ def test_quota_sample_caps_per_group_deterministically(spark):
     assert quota_sample(docs, "source", 0, seed=4).count() == 0
 
 
+def test_repeated_substring_spans_and_strip(spark):
+    """Lee-et-al-style exact substring dedup over the interval engine:
+    shared 30-char boilerplate surfaces as one merged span per occurrence
+    with exact character coordinates, internal self-repeats are found
+    within a single doc, sub-min_len docs never match, and the strip
+    rebuild removes exactly the spanned characters."""
+    from pyranges_1_x_spark.ml.dedup import (
+        repeated_substring_spans,
+        strip_repeated_substrings,
+    )
+
+    boiler = "All rights reserved worldwide."  # 30 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "unique head one. " + boiler + " unique tail one."),
+            (2, "different head! " + boiler + " other tail."),
+            (3, "totally original content with no repeats at all here"),
+            (4, "selfrepeat selfrepeat selfrepeat selfrepeat xx"),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = sorted(
+        tuple(r) for r in repeated_substring_spans(docs, min_len=20).collect()
+    )
+    # the shared region includes the spaces flanking the boilerplate on
+    # both sides of doc 1/2 (they are part of the common 20-grams)
+    assert spans == [(1, 16, 48, 13), (2, 15, 47, 13), (4, 0, 44, 25)]
+    out = {r["doc_id"]: r for r in strip_repeated_substrings(docs, min_len=20).collect()}
+    assert out[1]["clean_text"] == "unique head one.unique tail one."
+    assert out[1]["n_chars_removed"] == 32
+    assert out[3]["clean_text"].startswith("totally") and out[3]["n_chars_removed"] == 0
+    assert out[4]["clean_text"] == "xx" and out[4]["n_chars_removed"] == 44
+    assert out[5]["clean_text"] == "short"
+    # min_count raises the evidence bar: nothing occurs 3x here except the
+    # self-repeat grams of doc 4
+    tri = {r["doc_id"] for r in
+           repeated_substring_spans(docs, min_len=20, min_count=3).collect()}
+    assert tri == {4}
+
+
 def test_remove_boilerplate_lines_strips_shared_keeps_order(spark):
     from pyranges_1_x_spark.ml.text import remove_boilerplate_lines
 
