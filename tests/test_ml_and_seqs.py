@@ -522,6 +522,75 @@ def test_deterministic_shuffle_total_order_and_reproducible(spark):
     assert ids_in_rank_order != sorted(r1, key=int)
 
 
+def test_curation_pipeline_end_to_end(spark):
+    """The README's curation tour actually composes: scrub -> boilerplate
+    strip -> substring dedup -> quality filter -> LM signal -> quota ->
+    shuffle -> pack runs as one chain of DataFrame transforms and every
+    stage's contract holds on the way through."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import strip_repeated_substrings
+    from pyranges_1_x_spark.ml.sampling import (
+        pack_training_examples,
+        quota_sample,
+    )
+    from pyranges_1_x_spark.ml.text import (
+        filter_corpus,
+        lm_bigram_score,
+        remove_boilerplate_lines,
+        scrub_pii,
+    )
+
+    boiler = "COOKIE BANNER ACCEPT ALL"
+    shared = "this exact sentence repeats across documents verbatim"
+    # bodies must be genuinely unique per doc — templated filler would be
+    # (correctly!) eaten by the substring dedup stage
+    rows = [
+        (i,
+         f"{boiler}\nwrite to u{i}@example.com "
+         + " ".join(f"w{(i * 13 + j * 7) % 211}q{j}" for j in range(15))
+         + (f" {shared}" if i % 2 == 0 else f" solo trailer {i}"),
+         "web" if i % 3 else "books")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    scrubbed = scrub_pii(docs, out_col="text")
+    assert scrubbed.filter("n_email = 0").count() == 0
+    assert scrubbed.filter(F.col("text").contains("@example.com")).count() == 0
+
+    stripped = remove_boilerplate_lines(scrubbed)
+    assert stripped.filter(F.col("clean_text").contains(boiler)).count() == 0
+
+    deduped = strip_repeated_substrings(
+        stripped, text_col="clean_text", min_len=30
+    )
+    kept_shared = deduped.filter(F.col("clean_text").contains(shared)).count()
+    assert kept_shared == 0  # the verbatim cross-doc sentence is gone
+
+    docs2 = deduped.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id", F.col("clean_text").alias("text"), "source"
+    )
+    quality = filter_corpus(docs2, min_chars=40, min_tokens=5)
+    assert quality.filter("keep").count() > 0
+
+    lm = lm_bigram_score(docs2)
+    assert lm.count() == 12 and lm.filter("n_bigrams > 0").count() == 12
+
+    quota = quota_sample(docs2, "source", 3, seed=1)
+    per_src = {r["source"]: r["n"] for r in
+               quota.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert all(v <= 3 for v in per_src.values())
+
+    pack = pack_training_examples(quota, budget=16)
+    got = pack.orderBy("start_offset").collect()
+    # offsets tile the packed stream exactly
+    pos = 0
+    for r in got:
+        assert r["start_offset"] == pos
+        pos += r["n_tokens"]
+
+
 def test_quota_sample_caps_per_group_deterministically(spark):
     from pyspark.sql import functions as F
 
