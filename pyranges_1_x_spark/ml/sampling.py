@@ -185,7 +185,9 @@ def quota_sample(
     per-group over ≤2^bits summary rows). Rows with local row_number > cap
     are pruned BEFORE the offset join — the global rank can only exceed the
     local one — so the join input is ≤ #groups * 2^bits * cap rows however
-    large the corpus.
+    large the corpus. A NULL group value is its own quota group (null-safe
+    offset join); ``key_col`` values are assumed non-null (a NULL key hashes
+    to NULL and would sort engine-dependently).
     """
     from pyspark.sql import Window
 
@@ -214,8 +216,18 @@ def quota_sample(
         "__bkt__",
         F.coalesce(F.sum("__cnt__").over(ws), F.lit(0)).alias("__off__"),
     )
+    # Null-safe on the group key: a NULL group (missing domain/source) is a
+    # legitimate quota group of its own — the window already treats it as
+    # one partition, and a plain equi-join would silently DROP those rows.
+    summary = summary.withColumnRenamed(group_col, "__g2__").withColumnRenamed(
+        "__bkt__", "__b2__"
+    )
     ranked = (
-        local.join(F.broadcast(summary), on=[group_col, "__bkt__"])
+        local.join(
+            F.broadcast(summary),
+            on=F.col(group_col).eqNullSafe(F.col("__g2__"))
+            & (F.col("__bkt__") == F.col("__b2__")),
+        )
         .withColumn("__rk__", F.col("__off__") + F.col("__lrn__"))
         .filter(F.col("__rk__") <= cap)
     )

@@ -31,6 +31,10 @@ DEFAULT = [
     "dedup_clusters", "semantic_dedup", "shuffle_rank", "decontaminate",
     "stratified_sample", "fasta_roundtrip", "kmv_vocab", "corpus_filter",
     "bpe_tokens", "normalize_dedup",
+    # late-r12 additions whose oracles carry windows: the quota ROW_NUMBER
+    # rank replay, the repeated-span SUM-sweep island merge, and the
+    # boilerplate ordered string_agg reassembly.
+    "quota_sample", "repeated_spans", "boilerplate_lines",
 ]
 
 

@@ -623,6 +623,14 @@ def test_quota_sample_caps_per_group_deterministically(spark):
     # group smaller than cap -> kept whole; cap=0 -> empty
     assert quota_sample(docs, "source", 1000, seed=4).count() == 330
     assert quota_sample(docs, "source", 0, seed=4).count() == 0
+    # NULL group is a quota group of its own, not silently dropped
+    withnull = spark.createDataFrame(
+        [(str(i), None if i < 40 else "srcA") for i in range(100)],
+        "doc_id string, source string",
+    )
+    got = quota_sample(withnull, "source", 15, seed=4).groupBy("source").count()
+    counts = {r["source"]: r["count"] for r in got.collect()}
+    assert counts == {None: 15, "srcA": 15}
 
 
 def test_repeated_substring_spans_and_strip(spark):
