@@ -562,6 +562,20 @@ def q_quota_sample(spark, sf_dir):
     )
 
 
+def q_token_quota(spark, sf_dir):
+    """Per-source TOKEN-budget quota (ml/sampling.py token_quota_sample):
+    keep each source's docs in deterministic hash order until 2000
+    cumulative whitespace tokens — the budget semantics a training mix
+    actually wants. The oracle replays the same running SUM with a plain
+    partitioned window; integer arithmetic end-to-end."""
+    from pyranges_1_x_spark.ml.sampling import token_quota_sample
+
+    _load(spark, sf_dir, ["documents"])
+    return token_quota_sample(spark.table("documents"), "source", 2000, seed=11).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
 def q_lm_score(spark, sf_dir):
     """Bigram-LM fluency score (ml/text.py:lm_bigram_score): corpus-trained
     conditional bigram probabilities, per-doc weakest-link min + rare-bigram
@@ -2248,15 +2262,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup — iterative-session queries run LAST inside the window
     so a memory-tight harness death loses only these rows).
 
-    r13 rotation note: the TWELVE operators added late in r12
+    r13 rotation note: the THIRTEEN operators added late in r12
     (doc_repetition, tfidf_topterms, pack_examples, pii_scrub,
     incremental_dedup, pq_topk, stream_incremental_dedup, quota_sample,
-    lm_score, adpcm_features, boilerplate_lines, repeated_spans) sit past
-    the window on purpose — they are local-gate-certified this round
-    (sf0.001/0.01/0.1 + the scaled twins) and, with the rest of the r12
-    tail, make the r13 window exactly the 54 r12-ungated entries, of which
-    the window takes the first 50 (four r12 tail queries roll to r14 —
-    pick the least-churned)."""
+    lm_score, adpcm_features, boilerplate_lines, repeated_spans,
+    token_quota) sit past the window on purpose — they are
+    local-gate-certified this round (sf0.001/0.01/0.1 + the scaled twins)
+    and, with the rest of the r12 tail, make the r13 window exactly the 55
+    r12-ungated entries, of which the window takes the first 50 (five r12
+    tail queries roll to r14 — pick the least-churned)."""
     return {
         # --- not driver-gated in r11 (registry positions 51-89 last round) ---
         "upstream_flank": q_upstream_flank,
@@ -2372,6 +2386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "adpcm_features": q_adpcm_features,
         "boilerplate_lines": q_boilerplate_lines,
         "repeated_spans": q_repeated_spans,
+        "token_quota": q_token_quota,
     }
 
 
@@ -2777,6 +2792,21 @@ def oracle_sql() -> dict[str, str]:
                                doc_id) AS rk
                   FROM documents)
             WHERE rk <= 40
+        """,
+        "token_quota": """
+            SELECT doc_id, source, n_tokens FROM (
+              SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source
+                       ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#11'),
+                                                   1, 15))::BIGINT,
+                                doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM (SELECT doc_id, source,
+                           CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                                x -> x <> '')) AS BIGINT) AS n_tokens
+                    FROM documents)
+            )
+            WHERE cum <= 2000
         """,
         "lm_score": """
             WITH toks AS (

@@ -237,6 +237,84 @@ def quota_sample(
     return ranked.select(*keep)
 
 
+def token_quota_sample(
+    df: DataFrame,
+    group_col: str,
+    token_budget: int,
+    key_col: str = "doc_id",
+    *,
+    text_col: str = "text",
+    tokens_col: str | None = None,
+    seed: int = 0,
+    hash_fn=md5_hash64,
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Per-group TOKEN-budget quota — ``quota_sample``'s sibling where the
+    cap is what actually matters to a training mix: keep documents per
+    group (domain, source, language) in ascending ``(hash(key, seed),
+    key)`` order until the group's cumulative token count would exceed
+    ``token_budget``; the first overflowing doc and everything after it (in
+    that deterministic order) are dropped. Membership is a prefix of the
+    group's hash order, so the same budget reproduces the same mix
+    anywhere, and a grown corpus only moves docs whose hashes interleave
+    before the cut. Emits the input row plus ``n_tokens``.
+
+    Scale shape: the quota_sample two-phase bucketed plan carrying a
+    running SUM instead of a row_number (the pack_training_examples
+    decomposition, per group): per-(group, bucket) cumulative token window
+    + a broadcast per-(group, bucket) token-total prefix offset; rows whose
+    BUCKET-LOCAL cumsum already exceeds the budget are pruned before the
+    offset join (the global cumsum only grows). NULL groups form their own
+    quota group (null-safe join), as in quota_sample.
+    """
+    from pyspark.sql import Window
+
+    if token_budget < 0:
+        raise ValueError("token_budget must be a non-negative token count")
+    if not 1 <= bucket_bits <= 40:
+        raise ValueError("bucket_bits must be in [1, 40]")
+    if tokens_col is not None:
+        nt = F.col(tokens_col).cast("long")
+    else:
+        from pyranges_1_x_spark.ml.text import nonempty_tokens
+
+        nt = F.size(nonempty_tokens(F.col(text_col))).cast("long")
+    shift = 60 - bucket_bits
+    d = (
+        df.withColumn("__nt__", nt)
+        .withColumn("__h__", hash_fn(F.col(key_col), seed))
+        .withColumn("__bkt__", F.shiftright("__h__", shift))
+    )
+    wl = (
+        Window.partitionBy(group_col, "__bkt__")
+        .orderBy(F.col("__h__").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__lcum__", F.sum("__nt__").over(wl)).filter(
+        F.col("__lcum__") <= token_budget
+    )
+    summary = d.groupBy(group_col, "__bkt__").agg(F.sum("__nt__").alias("__tot__"))
+    ws = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__bkt__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summary = summary.select(
+        F.col(group_col).alias("__g2__"),
+        F.col("__bkt__").alias("__b2__"),
+        F.coalesce(F.sum("__tot__").over(ws), F.lit(0)).alias("__off__"),
+    )
+    kept = (
+        local.join(
+            F.broadcast(summary),
+            on=F.col(group_col).eqNullSafe(F.col("__g2__"))
+            & (F.col("__bkt__") == F.col("__b2__")),
+        )
+        .filter(F.col("__off__") + F.col("__lcum__") <= token_budget)
+    )
+    return kept.select(*df.columns, F.col("__nt__").alias("n_tokens"))
+
+
 def deterministic_shuffle(
     df: DataFrame,
     key_col: str = "doc_id",

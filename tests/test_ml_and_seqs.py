@@ -700,6 +700,46 @@ def test_remove_boilerplate_lines_strips_shared_keeps_order(spark):
     assert untouched[1] == "NAV\nalpha\n\nbeta\nFOOTER"
 
 
+def test_token_quota_sample_prefix_budget(spark):
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import md5_hash64
+    from pyranges_1_x_spark.ml.sampling import token_quota_sample
+
+    docs = spark.createDataFrame(
+        [(str(i), "s%d" % (i % 2), " ".join(["tok"] * ((i % 5) + 1)))
+         for i in range(200)],
+        "doc_id string, source string, text string",
+    )
+    out = token_quota_sample(docs, "source", 60, seed=2).collect()
+    # reference: per group, accumulate token counts in (hash, key) order
+    hashed = docs.withColumn("h", md5_hash64(F.col("doc_id"), 2)).collect()
+    expect = {}
+    for src in ("s0", "s1"):
+        cum = 0
+        for r in sorted((r for r in hashed if r["source"] == src),
+                        key=lambda r: (r["h"], r["doc_id"])):
+            nt = (int(r["doc_id"]) % 5) + 1
+            cum += nt
+            if cum > 60:
+                break
+            expect[r["doc_id"]] = nt
+    got = {r["doc_id"]: r["n_tokens"] for r in out}
+    assert got == expect
+    # budget honored exactly per group
+    per_src = {}
+    for r in out:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_tokens"]
+    assert all(v <= 60 for v in per_src.values())
+    # partitioning- and bucket_bits-independent membership; tokens_col path
+    alt = token_quota_sample(
+        docs.repartition(7).withColumn("nt", F.lit(1) + F.col("doc_id") % 5),
+        "source", 60, tokens_col="nt", seed=2, bucket_bits=3,
+    )
+    assert sorted(r["doc_id"] for r in alt.collect()) == sorted(got)
+    assert token_quota_sample(docs, "source", 0, seed=2).count() == 0
+
+
 def test_lm_bigram_score_weakest_link_and_rare_counts(spark):
     from pyranges_1_x_spark.ml.text import lm_bigram_score
 
