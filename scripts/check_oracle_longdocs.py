@@ -91,6 +91,11 @@ REPLICATE_QUERIES = [
     "stream_incremental_dedup",
     "minhash_lsh",
     "pack_examples",
+    # late r12: substring-repeat spans under corpus duplication — N exact
+    # copies make EVERY gram repeated, so the island merge must produce one
+    # whole-text span per copy (the shape a dedup pipeline faces on a
+    # crawl with heavy mirroring).
+    "repeated_spans",
 ]
 N_REPS = 10
 
