@@ -562,6 +562,17 @@ def q_quota_sample(spark, sf_dir):
     )
 
 
+def q_chunk_docs(spark, sf_dir):
+    """RAG-style document chunking (ml/text.py chunk_documents): 16-token
+    windows with 4-token overlap, row-local end-to-end (tokenize once,
+    bound-variable window slices, explode — zero shuffle). The oracle
+    replays the slicing with DuckDB 1-based inclusive list slices."""
+    from pyranges_1_x_spark.ml.text import chunk_documents
+
+    _load(spark, sf_dir, ["documents"])
+    return chunk_documents(spark.table("documents"), chunk_tokens=16, overlap=4)
+
+
 def q_token_quota(spark, sf_dir):
     """Per-source TOKEN-budget quota (ml/sampling.py token_quota_sample):
     keep each source's docs in deterministic hash order until 2000
@@ -2262,14 +2273,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup — iterative-session queries run LAST inside the window
     so a memory-tight harness death loses only these rows).
 
-    r13 rotation note: the THIRTEEN operators added late in r12
+    r13 rotation note: the FOURTEEN operators added late in r12
     (doc_repetition, tfidf_topterms, pack_examples, pii_scrub,
     incremental_dedup, pq_topk, stream_incremental_dedup, quota_sample,
     lm_score, adpcm_features, boilerplate_lines, repeated_spans,
-    token_quota) sit past the window on purpose — they are
+    token_quota, chunk_docs) sit past the window on purpose — they are
     local-gate-certified this round (sf0.001/0.01/0.1 + the scaled twins)
-    and, with the rest of the r12 tail, make the r13 window exactly the 55
-    r12-ungated entries, of which the window takes the first 50 (five r12
+    and, with the rest of the r12 tail, make the r13 window exactly the 56
+    r12-ungated entries, of which the window takes the first 50 (six r12
     tail queries roll to r14 — pick the least-churned)."""
     return {
         # --- not driver-gated in r11 (registry positions 51-89 last round) ---
@@ -2387,6 +2398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_lines": q_boilerplate_lines,
         "repeated_spans": q_repeated_spans,
         "token_quota": q_token_quota,
+        "chunk_docs": q_chunk_docs,
     }
 
 
@@ -2792,6 +2804,26 @@ def oracle_sql() -> dict[str, str]:
                                doc_id) AS rk
                   FROM documents)
             WHERE rk <= 40
+        """,
+        "chunk_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS ts
+              FROM documents
+            ),
+            nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+            ch AS (
+              SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+                     ts[c * 12 + 1 : c * 12 + 16] AS w,
+                     CAST(c * 12 AS BIGINT) AS token_start
+              FROM nz,
+                   unnest(range(0, GREATEST(CAST(ceil((n - 4) * 1.0 / 12)
+                                                 AS BIGINT), 1))) r(c)
+            )
+            SELECT doc_id, chunk_id, array_to_string(w, ' ') AS chunk_text,
+                   CAST(len(w) AS BIGINT) AS n_tokens, token_start
+            FROM ch
         """,
         "token_quota": """
             SELECT doc_id, source, n_tokens FROM (

@@ -377,6 +377,67 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split every document into fixed-size token windows (the
+    RAG/embedding-indexing chunker): chunk ``c`` covers tokens
+    ``[c*(chunk_tokens-overlap), ...)`` — consecutive chunks share
+    ``overlap`` tokens so a sentence straddling a boundary is retrievable
+    from either side. Returns one row per chunk: ``id_col``, ``chunk_id``
+    (0-based), ``chunk_text`` (tokens re-joined with single spaces),
+    ``n_tokens`` (tokens in this chunk; only the last chunk is short),
+    ``token_start`` (the chunk's first-token offset in the doc). Empty/
+    whitespace-only docs produce no chunks; a doc shorter than
+    ``chunk_tokens`` produces exactly one.
+
+    Scale shape: entirely row-local — tokenize once into a materialized
+    array column, slice windows with a bound-variable transform (no
+    re-tokenization per chunk, the HOF-CSE rule), explode. No shuffle at
+    all; composes with scan pruning untouched. Chunk identity is
+    (id, chunk_id), deterministic on any partitioning.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+    toked = df.select(
+        F.col(id_col), nonempty_tokens(F.col(text_col)).alias("__tk__")
+    ).filter(F.size("__tk__") > 0)
+    tk = F.col("__tk__")
+    # chunk starts: 0, step, 2*step, ... while start < n (last chunk may be
+    # short but never empty; an overlap-only tail that would start past the
+    # end is not emitted)
+    n = F.size(tk)
+    # Emit chunk c iff it introduces at least one token beyond the previous
+    # chunk's overlap: c*step < n - overlap, so n_chunks =
+    # ceil((n - overlap) / step) — clamped to 1 below so a doc shorter than
+    # the overlap still produces its single (short) chunk.
+    n_chunks = F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda c: F.struct(
+            c.cast("long").alias("chunk_id"),
+            (c * step).cast("long").alias("token_start"),
+            F.slice(tk, c * step + 1, chunk_tokens).alias("toks"),
+        ),
+    )
+    out = toked.select(F.col(id_col), F.explode(chunks).alias("__c__"))
+    return out.select(
+        F.col(id_col),
+        F.col("__c__.chunk_id").alias("chunk_id"),
+        F.concat_ws(" ", F.col("__c__.toks")).alias("chunk_text"),
+        F.size(F.col("__c__.toks")).cast("long").alias("n_tokens"),
+        F.col("__c__.token_start").alias("token_start"),
+    )
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -80,6 +80,9 @@ DEFAULT_QUERIES = [
     # the island merge has to fuse ~whole-document span chains with exact
     # character coordinates (~30 sqrt-chunks per doc at 3 kb).
     "repeated_spans",
+    # late r12: RAG chunking on 10x text — ~10x windows per doc, slice
+    # boundaries and the short final chunk exercised at every length.
+    "chunk_docs",
 ]
 #: --replicate default roster: the operators whose cost/semantics follow
 #: DUPLICATE-GROUP size rather than document length.

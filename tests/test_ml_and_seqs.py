@@ -674,6 +674,39 @@ def test_repeated_substring_spans_and_strip(spark):
     assert tri == {4}
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    from pyranges_1_x_spark.ml.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "a b c"),                                # shorter than chunk
+            (3, "   "),                                  # whitespace-only: no chunks
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["chunk_id"], r["chunk_text"], r["n_tokens"], r["token_start"])
+        for r in chunk_documents(docs, chunk_tokens=4, overlap=1).collect()
+    )
+    # step = 3: starts 0,3,6 — a start-9 chunk would hold only t9, which
+    # chunk 2 (t6..t9) already covers, so it is not emitted
+    assert [r for r in rows if r[0] == 1] == [
+        (1, 0, "t0 t1 t2 t3", 4, 0),
+        (1, 1, "t3 t4 t5 t6", 4, 3),
+        (1, 2, "t6 t7 t8 t9", 4, 6),
+    ]
+    assert [r for r in rows if r[0] == 2] == [(2, 0, "a b c", 3, 0)]
+    assert not [r for r in rows if r[0] == 3]
+    # zero overlap tiles exactly
+    tiled = chunk_documents(docs.filter("doc_id = 1"), chunk_tokens=5).collect()
+    assert sorted((r["chunk_id"], r["n_tokens"]) for r in tiled) == [(0, 5), (1, 5)]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
 def test_remove_boilerplate_lines_strips_shared_keeps_order(spark):
     from pyranges_1_x_spark.ml.text import remove_boilerplate_lines
 
