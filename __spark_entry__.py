@@ -562,6 +562,17 @@ def q_quota_sample(spark, sf_dir):
     )
 
 
+def q_char_diversity(spark, sf_dir):
+    """Character-diversity counters (ml/text.py char_diversity_stats): the
+    gibberish/binary-junk signal as exact integers — Simpson-index numerator
+    instead of a transcendental entropy, the log-free determinism pattern on
+    the character axis."""
+    from pyranges_1_x_spark.ml.text import char_diversity_stats
+
+    _load(spark, sf_dir, ["documents"])
+    return char_diversity_stats(spark.table("documents"))
+
+
 def q_chunk_docs(spark, sf_dir):
     """RAG-style document chunking (ml/text.py chunk_documents): 16-token
     windows with 4-token overlap, row-local end-to-end (tokenize once,
@@ -2273,15 +2284,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     semantic_dedup — iterative-session queries run LAST inside the window
     so a memory-tight harness death loses only these rows).
 
-    r13 rotation note: the FOURTEEN operators added late in r12
+    r13 rotation note: the FIFTEEN operators added late in r12
     (doc_repetition, tfidf_topterms, pack_examples, pii_scrub,
     incremental_dedup, pq_topk, stream_incremental_dedup, quota_sample,
     lm_score, adpcm_features, boilerplate_lines, repeated_spans,
-    token_quota, chunk_docs) sit past the window on purpose — they are
-    local-gate-certified this round (sf0.001/0.01/0.1 + the scaled twins)
-    and, with the rest of the r12 tail, make the r13 window exactly the 56
-    r12-ungated entries, of which the window takes the first 50 (six r12
-    tail queries roll to r14 — pick the least-churned)."""
+    token_quota, chunk_docs, char_diversity) sit past the window on
+    purpose — they are local-gate-certified this round (sf0.001/0.01/0.1 +
+    the scaled twins) and, with the rest of the r12 tail, make the r13
+    window exactly the 57 r12-ungated entries, of which the window takes
+    the first 50 (seven r12 tail queries roll to r14 — pick the
+    least-churned)."""
     return {
         # --- not driver-gated in r11 (registry positions 51-89 last round) ---
         "upstream_flank": q_upstream_flank,
@@ -2399,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "token_quota": q_token_quota,
         "chunk_docs": q_chunk_docs,
+        "char_diversity": q_char_diversity,
     }
 
 
@@ -2804,6 +2817,25 @@ def oracle_sql() -> dict[str, str]:
                                doc_id) AS rk
                   FROM documents)
             WHERE rk <= 40
+        """,
+        "char_diversity": """
+            WITH chars AS (
+              SELECT doc_id, substr(text, CAST(i AS INTEGER), 1) AS ch
+              FROM documents, unnest(range(1, length(text) + 1)) r(i)
+            ),
+            per AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+            agg AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_chars,
+                     CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+                     CAST(MAX(c) AS BIGINT) AS top_char_count,
+                     CAST(SUM(c * c) AS BIGINT) AS simpson_num
+              FROM per GROUP BY 1
+            )
+            SELECT d.doc_id, COALESCE(agg.n_chars, 0) AS n_chars,
+                   COALESCE(agg.n_distinct_chars, 0) AS n_distinct_chars,
+                   COALESCE(agg.top_char_count, 0) AS top_char_count,
+                   COALESCE(agg.simpson_num, 0) AS simpson_num
+            FROM documents d LEFT JOIN agg USING (doc_id)
         """,
         "chunk_docs": """
             WITH toks AS (

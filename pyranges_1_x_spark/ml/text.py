@@ -87,6 +87,46 @@ def quality_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def char_diversity_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-diversity counters — the gibberish / binary-junk
+    detector of a curation pipeline (base64 blobs, minified code, and
+    mojibake all sit at diversity extremes): ``n_chars``,
+    ``n_distinct_chars``, ``top_char_count`` (the modal character's
+    occurrences), and ``simpson_num`` = Σ count(c)² — the numerator of the
+    Simpson/collision index, whose ratio to n² plays Shannon entropy's role
+    as a concentration signal WITHOUT a logarithm. Deliberate, again: a
+    per-doc entropy would sum transcendental logs in arbitrary order
+    (engine/partition-dependent at the ulp), while these are exact integers
+    and the index is one division away — the lm_score / tf-idf determinism
+    argument applied to the character axis.
+
+    Scale shape: one character explode per doc (rows = total corpus chars,
+    the same relation the gram hasher reads) into a per-(doc, char) count
+    and a per-doc aggregation — both map-side partial; no joins, no
+    windows, no UDFs.
+    """
+    did = F.col(id_col)
+    chars = df.select(
+        did, F.explode(F.split(F.col(text_col), "")).alias("__ch__")
+    ).filter(F.col("__ch__") != "")
+    per = chars.groupBy(id_col, "__ch__").agg(F.count(F.lit(1)).alias("__c__"))
+    agg = per.groupBy(id_col).agg(
+        F.sum("__c__").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.max("__c__").cast("long").alias("top_char_count"),
+        F.sum(F.col("__c__") * F.col("__c__")).cast("long").alias("simpson_num"),
+    )
+    return df.select(did).join(agg, on=id_col, how="left").select(
+        did,
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in ("n_chars", "n_distinct_chars", "top_char_count", "simpson_num")
+        ],
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                 threshold: float = 0.05) -> DataFrame:
     """N-gram-free heuristic language ID: english iff stopword ratio exceeds

@@ -83,6 +83,10 @@ DEFAULT_QUERIES = [
     # late r12: RAG chunking on 10x text — ~10x windows per doc, slice
     # boundaries and the short final chunk exercised at every length.
     "chunk_docs",
+    # late r12: character-diversity counters on 10x text — the exploded
+    # char relation grows 10x; simpson_num scales by exactly 100x under
+    # pure repetition (counts x10, squares x100), a value the twin must hit.
+    "char_diversity",
 ]
 #: --replicate default roster: the operators whose cost/semantics follow
 #: DUPLICATE-GROUP size rather than document length.

@@ -674,6 +674,24 @@ def test_repeated_substring_spans_and_strip(spark):
     assert tri == {4}
 
 
+def test_char_diversity_stats_simpson_counters(spark):
+    from pyranges_1_x_spark.ml.text import char_diversity_stats
+
+    docs = spark.createDataFrame(
+        [(1, "aab"), (2, "aaaa"), (3, ""), (4, "abcd")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in char_diversity_stats(docs).collect()}
+    # "aab": counts a=2,b=1 -> simpson 4+1=5, top 2
+    assert tuple(rows[1])[1:] == (3, 2, 2, 5)
+    # maximal concentration: simpson_num == n^2
+    assert tuple(rows[2])[1:] == (4, 1, 4, 16)
+    # empty text -> zeros, not a dropped row
+    assert tuple(rows[3])[1:] == (0, 0, 0, 0)
+    # maximal diversity: simpson_num == n
+    assert tuple(rows[4])[1:] == (4, 4, 1, 4)
+
+
 def test_chunk_documents_windows_and_overlap(spark):
     from pyranges_1_x_spark.ml.text import chunk_documents
 
