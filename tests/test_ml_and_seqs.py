@@ -674,6 +674,37 @@ def test_repeated_substring_spans_and_strip(spark):
     assert tri == {4}
 
 
+def test_text_operators_unicode_character_semantics(spark):
+    """The text operators count CHARACTERS, not bytes, for multi-byte
+    input: CJK/emoji are one unit each in diversity counters, chunk slicing
+    respects token boundaries whatever the script, and repeated-span
+    coordinates slice the original Python string exactly."""
+    from pyranges_1_x_spark.ml.dedup import repeated_substring_spans
+    from pyranges_1_x_spark.ml.text import char_diversity_stats, chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "héllo wörld 日本語 テスト emoji 🚀 done")],
+        "doc_id long, text string",
+    )
+    (row,) = char_diversity_stats(docs).collect()
+    assert row["n_chars"] == 32 and row["top_char_count"] == 6  # spaces
+    chunks = [r["chunk_text"] for r in
+              chunk_documents(docs, chunk_tokens=3).orderBy("chunk_id").collect()]
+    assert chunks == ["héllo wörld 日本語", "テスト emoji 🚀", "done"]
+
+    shared = " 東京タワーは高いです 都市の景色 "
+    d2 = spark.createDataFrame(
+        [(1, "prefix one" + shared + "suffix aa"),
+         (2, "other start" + shared + "tail bb")],
+        "doc_id long, text string",
+    )
+    texts = {r["doc_id"]: r["text"] for r in d2.collect()}
+    spans = repeated_substring_spans(d2, min_len=10).collect()
+    assert {r["doc_id"] for r in spans} == {1, 2}
+    for r in spans:
+        assert texts[r["doc_id"]][r["Start"]:r["End"]] == shared
+
+
 def test_char_diversity_stats_simpson_counters(spark):
     from pyranges_1_x_spark.ml.text import char_diversity_stats
 
