@@ -635,7 +635,9 @@ def q_boilerplate_lines(spark, sf_dir):
             F.lit("footer "), (F.col("doc_id") % 3).cast("string"),
         ).alias("text"),
     )
-    return remove_boilerplate_lines(docs, min_docs=2)
+    return remove_boilerplate_lines(docs, min_docs=2).select(
+        "doc_id", "clean_text", "n_removed", "n_kept"
+    )
 
 
 def q_repeated_spans(spark, sf_dir):

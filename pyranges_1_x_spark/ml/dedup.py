@@ -912,12 +912,15 @@ def strip_repeated_substrings(
     min_len: int = 20,
     min_count: int = 2,
     hash_fn=xxhash64_fn,
+    out_col: str = "clean_text",
 ) -> DataFrame:
     """Remove every repeated span found by ``repeated_substring_spans`` from
     every document (the simplification most substring-dedup reproductions
     ship; keeping one canonical copy per span requires a global
-    occurrence-election pass) and return ``id_col``, the rebuilt
-    ``clean_text``, and ``n_chars_removed``. Docs with no repeated span pass
+    occurrence-election pass). Every input column passes through untouched
+    (the scrub_pii convention, so pipeline stages compose); the rebuilt
+    text lands in ``out_col`` — pass ``out_col=text_col`` to strip in
+    place — plus ``n_chars_removed``. Docs with no repeated span pass
     through byte-identical.
 
     The rebuild is a row-local ``aggregate`` over the doc's sorted spans
@@ -932,10 +935,8 @@ def strip_repeated_substrings(
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("Start", "End"))).alias("__sp__")
     )
-    base = df.select(F.col(id_col), F.col(text_col).alias("__t__")).join(
-        per_doc, on=id_col, how="left"
-    )
-    t = F.col("__t__")
+    base = df.join(per_doc, on=id_col, how="left")
+    t = F.col(text_col)
     rebuilt = F.aggregate(
         F.col("__sp__"),
         F.struct(F.lit(0).cast("long").alias("done"), F.lit("").alias("acc")),
@@ -954,9 +955,12 @@ def strip_repeated_substrings(
         F.lit(0).cast("long"),
         lambda a, s: a + (s["End"] - s["Start"]),
     )
+    clean = F.when(F.col("__sp__").isNull(), t).otherwise(rebuilt)
+    cols = [clean.alias(out_col) if c == out_col else F.col(c) for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(clean.alias(out_col))
     return base.select(
-        F.col(id_col),
-        F.when(F.col("__sp__").isNull(), t).otherwise(rebuilt).alias("clean_text"),
+        *cols,
         F.coalesce(
             F.when(F.col("__sp__").isNull(), F.lit(0).cast("long")).otherwise(removed),
             F.lit(0).cast("long"),

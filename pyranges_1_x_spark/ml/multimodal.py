@@ -500,6 +500,12 @@ def decode_adpcm_wav(payload: bytes):
         cc = payload[pos : pos + 4]
         (sz,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + sz]
+        if len(body) < sz:
+            # Truncated file: the declared chunk extends past the payload.
+            # Every decoder here returns None for malformed input rather
+            # than raising — one corrupt document must not fail the whole
+            # mapInPandas feature job (review find, late r12).
+            return None
         if cc == b"fmt " and sz >= 16:
             fmt = body
         elif cc == b"fact" and sz >= 4:

@@ -155,6 +155,72 @@ def pack_training_examples(
     )
 
 
+def _grouped_prefix_keep(
+    df, group_col, key_col, seed, hash_fn, bucket_bits, measure, limit
+):
+    """Shared two-phase engine of the quota pair: per ``group_col``, the
+    running total of ``measure`` (a Column; ``lit(1)`` makes it a rank) in
+    ascending ``(hash(key_col, seed), key_col)`` order, keeping only rows
+    whose INCLUSIVE running total is <= ``limit``. No per-group global
+    window: the hash's high ``bucket_bits`` split each group into 2^bits
+    uniform sub-buckets that prefix the group's order; the running total is
+    a per-(group, bucket) window plus a broadcast per-(group, bucket)
+    prefix offset (summary <= #groups * 2^bits rows, its window per-group
+    over <= 2^bits rows). Rows whose BUCKET-LOCAL total already exceeds
+    ``limit`` are pruned before the offset join — the global total only
+    grows — so the join input is bounded however large the corpus. The
+    offset join is null-safe: a NULL group (missing domain/source) is a
+    legitimate quota group of its own; the window already treats it as one
+    partition, and a plain equi-join would silently DROP those rows.
+    ``key_col`` values are assumed non-null (a NULL key hashes to NULL and
+    would sort engine-dependently).
+
+    Returns the input columns + ``__m__`` (the row's measure) + ``__run__``
+    (the group's inclusive running total at this row).
+    """
+    from pyspark.sql import Window
+
+    if limit < 0:
+        raise ValueError("the quota limit must be non-negative")
+    if not 1 <= bucket_bits <= 40:
+        raise ValueError("bucket_bits must be in [1, 40]")
+    shift = 60 - bucket_bits
+    d = (
+        df.withColumn("__m__", measure)
+        .withColumn("__h__", hash_fn(F.col(key_col), seed))
+        .withColumn("__bkt__", F.shiftright("__h__", shift))
+    )
+    wl = (
+        Window.partitionBy(group_col, "__bkt__")
+        .orderBy(F.col("__h__").asc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = d.withColumn("__lrun__", F.sum("__m__").over(wl)).filter(
+        F.col("__lrun__") <= limit
+    )
+    summary = d.groupBy(group_col, "__bkt__").agg(F.sum("__m__").alias("__tot__"))
+    ws = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__bkt__").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    summary = summary.select(
+        F.col(group_col).alias("__g2__"),
+        F.col("__bkt__").alias("__b2__"),
+        F.coalesce(F.sum("__tot__").over(ws), F.lit(0)).alias("__off__"),
+    )
+    return (
+        local.join(
+            F.broadcast(summary),
+            on=F.col(group_col).eqNullSafe(F.col("__g2__"))
+            & (F.col("__bkt__") == F.col("__b2__")),
+        )
+        .withColumn("__run__", F.col("__off__") + F.col("__lrun__"))
+        .filter(F.col("__run__") <= limit)
+        .select(*df.columns, "__m__", "__run__")
+    )
+
+
 def quota_sample(
     df: DataFrame,
     group_col: str,
@@ -175,66 +241,17 @@ def quota_sample(
     dominating the training mix. ``out_col`` optionally keeps the 1-based
     within-group rank.
 
-    Scale shape (two-phase, no per-group global window): a plain
-    ``row_number() OVER (PARTITION BY group)`` funnels each group through ONE
-    task — and quota groups are few and huge by construction (that is why
-    they need capping). Instead the hash's high ``bucket_bits`` split every
-    group into 2^bits uniform sub-buckets that PREFIX the group's hash order:
-    rank = per-(group, bucket) row_number + a broadcast per-(group, bucket)
-    prefix offset (summary relation ≤ #groups * 2^bits rows; its window is
-    per-group over ≤2^bits summary rows). Rows with local row_number > cap
-    are pruned BEFORE the offset join — the global rank can only exceed the
-    local one — so the join input is ≤ #groups * 2^bits * cap rows however
-    large the corpus. A NULL group value is its own quota group (null-safe
-    offset join); ``key_col`` values are assumed non-null (a NULL key hashes
-    to NULL and would sort engine-dependently).
+    Physical plan: ``_grouped_prefix_keep`` with measure ``lit(1)`` (a
+    running count IS a rank under a total order) — see the helper for the
+    two-phase bucketed shape, the pre-join prune, and NULL-group semantics.
     """
-    from pyspark.sql import Window
-
-    if cap < 0:
-        raise ValueError("cap must be a non-negative row count")
-    if not 1 <= bucket_bits <= 40:
-        raise ValueError("bucket_bits must be in [1, 40]")
-    shift = 60 - bucket_bits
-    d = df.withColumn("__h__", hash_fn(F.col(key_col), seed)).withColumn(
-        "__bkt__", F.shiftright("__h__", shift)
-    )
-    wl = Window.partitionBy(group_col, "__bkt__").orderBy(
-        F.col("__h__").asc(), F.col(key_col).asc()
-    )
-    local = d.withColumn("__lrn__", F.row_number().over(wl).cast("long")).filter(
-        F.col("__lrn__") <= cap
-    )
-    summary = d.groupBy(group_col, "__bkt__").agg(F.count(F.lit(1)).alias("__cnt__"))
-    ws = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col("__bkt__").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    summary = summary.select(
-        group_col,
-        "__bkt__",
-        F.coalesce(F.sum("__cnt__").over(ws), F.lit(0)).alias("__off__"),
-    )
-    # Null-safe on the group key: a NULL group (missing domain/source) is a
-    # legitimate quota group of its own — the window already treats it as
-    # one partition, and a plain equi-join would silently DROP those rows.
-    summary = summary.withColumnRenamed(group_col, "__g2__").withColumnRenamed(
-        "__bkt__", "__b2__"
-    )
-    ranked = (
-        local.join(
-            F.broadcast(summary),
-            on=F.col(group_col).eqNullSafe(F.col("__g2__"))
-            & (F.col("__bkt__") == F.col("__b2__")),
-        )
-        .withColumn("__rk__", F.col("__off__") + F.col("__lrn__"))
-        .filter(F.col("__rk__") <= cap)
+    kept = _grouped_prefix_keep(
+        df, group_col, key_col, seed, hash_fn, bucket_bits, F.lit(1).cast("long"), cap
     )
     keep = list(df.columns) + ([out_col] if out_col else [])
     if out_col:
-        ranked = ranked.withColumn(out_col, F.col("__rk__"))
-    return ranked.select(*keep)
+        kept = kept.withColumn(out_col, F.col("__run__"))
+    return kept.select(*keep)
 
 
 def token_quota_sample(
@@ -259,60 +276,21 @@ def token_quota_sample(
     anywhere, and a grown corpus only moves docs whose hashes interleave
     before the cut. Emits the input row plus ``n_tokens``.
 
-    Scale shape: the quota_sample two-phase bucketed plan carrying a
-    running SUM instead of a row_number (the pack_training_examples
-    decomposition, per group): per-(group, bucket) cumulative token window
-    + a broadcast per-(group, bucket) token-total prefix offset; rows whose
-    BUCKET-LOCAL cumsum already exceeds the budget are pruned before the
-    offset join (the global cumsum only grows). NULL groups form their own
-    quota group (null-safe join), as in quota_sample.
+    Physical plan: ``_grouped_prefix_keep`` with the token count as the
+    measure (the pack_training_examples decomposition, per group) — see
+    the helper for the two-phase bucketed shape, the pre-join prune, and
+    NULL-group semantics.
     """
-    from pyspark.sql import Window
-
-    if token_budget < 0:
-        raise ValueError("token_budget must be a non-negative token count")
-    if not 1 <= bucket_bits <= 40:
-        raise ValueError("bucket_bits must be in [1, 40]")
     if tokens_col is not None:
         nt = F.col(tokens_col).cast("long")
     else:
         from pyranges_1_x_spark.ml.text import nonempty_tokens
 
         nt = F.size(nonempty_tokens(F.col(text_col))).cast("long")
-    shift = 60 - bucket_bits
-    d = (
-        df.withColumn("__nt__", nt)
-        .withColumn("__h__", hash_fn(F.col(key_col), seed))
-        .withColumn("__bkt__", F.shiftright("__h__", shift))
+    kept = _grouped_prefix_keep(
+        df, group_col, key_col, seed, hash_fn, bucket_bits, nt, token_budget
     )
-    wl = (
-        Window.partitionBy(group_col, "__bkt__")
-        .orderBy(F.col("__h__").asc(), F.col(key_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = d.withColumn("__lcum__", F.sum("__nt__").over(wl)).filter(
-        F.col("__lcum__") <= token_budget
-    )
-    summary = d.groupBy(group_col, "__bkt__").agg(F.sum("__nt__").alias("__tot__"))
-    ws = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col("__bkt__").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    summary = summary.select(
-        F.col(group_col).alias("__g2__"),
-        F.col("__bkt__").alias("__b2__"),
-        F.coalesce(F.sum("__tot__").over(ws), F.lit(0)).alias("__off__"),
-    )
-    kept = (
-        local.join(
-            F.broadcast(summary),
-            on=F.col(group_col).eqNullSafe(F.col("__g2__"))
-            & (F.col("__bkt__") == F.col("__b2__")),
-        )
-        .filter(F.col("__off__") + F.col("__lcum__") <= token_budget)
-    )
-    return kept.select(*df.columns, F.col("__nt__").alias("n_tokens"))
+    return kept.select(*df.columns, F.col("__m__").alias("n_tokens"))
 
 
 def deterministic_shuffle(

@@ -484,6 +484,7 @@ def remove_boilerplate_lines(
     id_col: str = "doc_id",
     *,
     min_docs: int = 2,
+    out_col: str = "clean_text",
 ) -> DataFrame:
     """Corpus-level boilerplate stripping (the C4-style cleanup stage): any
     line whose exact text appears in at least ``min_docs`` DISTINCT
@@ -491,9 +492,11 @@ def remove_boilerplate_lines(
     removed from every document, and each document is reassembled with its
     surviving lines in original order. Blank/whitespace-only lines are kept
     verbatim and never counted — they occur everywhere and dropping them
-    would mangle formatting rather than remove boilerplate. Returns
-    ``id_col``, the rebuilt ``clean_text`` (empty string when every line was
-    boilerplate), and ``n_removed`` / ``n_kept`` line counts.
+    would mangle formatting rather than remove boilerplate. Every input
+    column passes through untouched (the scrub_pii convention, so pipeline
+    stages compose); the rebuilt text lands in ``out_col`` (empty string
+    when every line was boilerplate) — pass ``out_col=text_col`` to redact
+    in place — plus ``n_removed`` / ``n_kept`` line counts.
 
     Scale shape: one posexplode scan → distinct-doc line frequency (two
     hash aggregations, map-side partial) → line-keyed join back (the
@@ -527,15 +530,19 @@ def remove_boilerplate_lines(
                 ),
                 lambda s: s["__ln__"],
             ),
-        ).alias("clean_text"),
-        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("n_removed"),
-        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("n_kept"),
+        ).alias("__ct__"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("__nr__"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("__nk__"),
     )
-    return df.select(did).join(agg, on=id_col, how="left").select(
-        did,
-        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-        F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias("n_removed"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    joined = df.join(agg, on=id_col, how="left")
+    clean = F.coalesce(F.col("__ct__"), F.lit(""))
+    cols = [clean.alias(out_col) if c == out_col else F.col(c) for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(clean.alias(out_col))
+    return joined.select(
+        *cols,
+        F.coalesce(F.col("__nr__"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("__nk__"), F.lit(0)).cast("long").alias("n_kept"),
     )
 
 

@@ -555,22 +555,20 @@ def test_curation_pipeline_end_to_end(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
 
+    # the README chain verbatim: every stage passes non-text columns
+    # through, so the stages compose without manual re-joins
     scrubbed = scrub_pii(docs, out_col="text")
     assert scrubbed.filter("n_email = 0").count() == 0
     assert scrubbed.filter(F.col("text").contains("@example.com")).count() == 0
 
-    stripped = remove_boilerplate_lines(scrubbed)
-    assert stripped.filter(F.col("clean_text").contains(boiler)).count() == 0
+    stripped = remove_boilerplate_lines(scrubbed, out_col="text")
+    assert stripped.filter(F.col("text").contains(boiler)).count() == 0
+    assert "source" in stripped.columns  # passthrough
 
-    deduped = strip_repeated_substrings(
-        stripped, text_col="clean_text", min_len=30
-    )
-    kept_shared = deduped.filter(F.col("clean_text").contains(shared)).count()
-    assert kept_shared == 0  # the verbatim cross-doc sentence is gone
+    docs2 = strip_repeated_substrings(stripped, out_col="text", min_len=30)
+    assert docs2.filter(F.col("text").contains(shared)).count() == 0
+    assert "source" in docs2.columns
 
-    docs2 = deduped.join(docs.select("doc_id", "source"), "doc_id").select(
-        "doc_id", F.col("clean_text").alias("text"), "source"
-    )
     quality = filter_corpus(docs2, min_chars=40, min_tokens=5)
     assert quality.filter("keep").count() > 0
 
@@ -1526,6 +1524,17 @@ def test_adpcm_real_lossy_codec(spark):
     assert len(encode_adpcm_wav(sig)) * 3 < len(encode_wav(sig))
     assert decode_adpcm_wav(encode_wav(sig)) is None
     assert decode_wav(encode_adpcm_wav(sig)) is None
+
+    # truncated RIFF chunks return None (never raise) so one corrupt
+    # payload cannot fail the whole mapInPandas feature job
+    import struct as _struct
+
+    trunc_fact = (b"RIFF" + _struct.pack("<I", 100) + b"WAVE"
+                  + b"fact" + _struct.pack("<I", 4) + b"\x00\x00")
+    trunc_fmt = (b"RIFF" + _struct.pack("<I", 100) + b"WAVE"
+                 + b"fmt " + _struct.pack("<I", 16) + b"\x11\x00\x01")
+    assert decode_adpcm_wav(trunc_fact) is None
+    assert decode_adpcm_wav(trunc_fmt) is None
 
     media = synthetic_adpcm_media(spark, 4)
     for r in media.collect():
