@@ -104,19 +104,35 @@ REPLICATE_QUERIES = [
     # crawl with heavy mirroring).
     "repeated_spans",
 ]
+#: --skew-source roster: the group-quota operators, whose scale story IS
+#: "few huge groups" — the twin remaps ~95% of docs onto one source, the
+#: single-dominant-domain shape a crawl mix actually faces.
+SKEW_SOURCE_QUERIES = [
+    "quota_sample",
+    "token_quota",
+    "stratified_sample",
+]
 N_REPS = 10
 
 
 def main() -> int:
     argv = list(sys.argv[1:])
     replicate = 0
+    skew_source = False
     for arg in list(argv):
         if arg.startswith("--replicate="):
             replicate = int(arg.split("=", 1)[1])
             argv.remove(arg)
+        elif arg == "--skew-source":
+            skew_source = True
+            argv.remove(arg)
     rep_mult = 1 << max(replicate - 1, 1).bit_length() if replicate else 0
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = argv[1:] or (REPLICATE_QUERIES if replicate else DEFAULT_QUERIES)
+    only = argv[1:] or (
+        SKEW_SOURCE_QUERIES
+        if skew_source
+        else (REPLICATE_QUERIES if replicate else DEFAULT_QUERIES)
+    )
 
     import __spark_entry__ as em
     from pyspark.sql import SparkSession
@@ -141,6 +157,17 @@ def main() -> int:
         orig_load(s, d, tables)
         if tables is None or "documents" in tables:
             base = s.read.parquet(f"{d}/documents.parquet")
+            if skew_source:
+                base.select(
+                    "doc_id",
+                    "text",
+                    "lang",
+                    F.when(F.col("doc_id") % 20 == 0, F.col("source"))
+                    .otherwise(F.lit("web"))
+                    .alias("source"),
+                    "n_chars",
+                ).createOrReplaceTempView("documents")
+                return
             if replicate:
                 base.crossJoin(
                     s.range(replicate).withColumnRenamed("id", "__rep__")
@@ -175,7 +202,13 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in em.TABLES:
-        if t == "documents" and replicate:
+        if t == "documents" and skew_source:
+            con.execute(
+                f"CREATE VIEW documents AS SELECT doc_id, text, lang,"
+                f" CASE WHEN doc_id % 20 = 0 THEN source ELSE 'web' END AS source,"
+                f" n_chars FROM '{sf_dir}/{t}.parquet'"
+            )
+        elif t == "documents" and replicate:
             con.execute(
                 f"CREATE VIEW documents AS SELECT doc_id * {rep_mult} + r.i AS doc_id,"
                 f" text, lang, source, n_chars FROM '{sf_dir}/{t}.parquet',"
@@ -226,7 +259,11 @@ def main() -> int:
         g, e = normalize(got), normalize(exp)
         try:
             pd.testing.assert_frame_equal(g, e, check_exact=True)
-            mode = f"@{replicate}x-dup" if replicate else "@10x-length"
+            mode = (
+                "@source-skew"
+                if skew_source
+                else (f"@{replicate}x-dup" if replicate else "@10x-length")
+            )
             print(
                 f"PASS {name} {mode}: rows={len(got)}"
                 f" [spark {t_spark:.1f}s, duckdb {t_duck:.1f}s]"
@@ -239,7 +276,12 @@ def main() -> int:
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
         return 1
-    print(f"\nALL PASS ({replicate}x-dup)" if replicate else "\nALL PASS (10x-length)")
+    tag = (
+        "source-skew"
+        if skew_source
+        else (f"{replicate}x-dup" if replicate else "10x-length")
+    )
+    print(f"\nALL PASS ({tag})")
     return 0
 
 
