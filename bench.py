@@ -48,6 +48,17 @@ def main() -> int:
 
     warm = spark.range(1_000_000).join(F.broadcast(spark.range(1000)), on="id")
     warm.write.format("noop").mode("overwrite").save()
+    # Also spawn the Python/Arrow worker pool once (VERDICT r12 #1): the noop
+    # join above warms only the JVM, so the first mapInPandas/pandas-UDF query
+    # in the session was still paying worker-pool spawn + Arrow codepath
+    # classload inside its timed window on a cold host (driver BENCH_r12 read
+    # avi_frames at 13.2s where the local interleaved floor was 1.7-2.0s).
+    def _noop_batches(it):
+        yield from it
+
+    spark.range(32, numPartitions=int(cpus)).mapInPandas(
+        _noop_batches, "id long"
+    ).write.format("noop").mode("overwrite").save()
     try:
         spark.read.parquet(f"{sf_dir}/region.parquet").write.format("noop").mode(
             "overwrite"

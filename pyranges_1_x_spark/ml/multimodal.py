@@ -574,6 +574,10 @@ def encode_adpcm_wav(samples, sample_rate: int = 8000, groups_per_block: int = 6
 
     import numpy as np
 
+    if groups_per_block < 1:
+        # A 0/negative value would silently emit header-only blocks that
+        # decode_adpcm_wav rejects (groups < 1 -> None) — review find, r12.
+        raise ValueError("groups_per_block must be >= 1")
     a = np.asarray(samples, dtype=np.float64)
     if a.ndim == 1:
         a = a[:, None]

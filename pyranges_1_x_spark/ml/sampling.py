@@ -17,9 +17,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pyranges_1_x_spark.ml.dedup import md5_hash64
+from pyranges_1_x_spark.ml.dedup import md5_hash64, xxhash64_fn
 
 _DENOM = 1_000_000
+
+
+def _bucket_shift(hash_fn, bucket_bits: int) -> int:
+    """Right-shift that leaves exactly ``bucket_bits`` high bits of the hash
+    as the bucket id. ``md5_hash64`` yields 60-bit non-negative values; the
+    module's ``xxhash64_fn`` is the full signed 64 bits (arithmetic shift
+    preserves order either way, but deriving the width keeps the summary
+    relation at the documented 2^bits rows instead of 16x that — review
+    find, r12). Other custom hash_fns are assumed 60-bit-like; pass a wider
+    ``bucket_bits`` headroom if not."""
+    return (64 if hash_fn is xxhash64_fn else 60) - bucket_bits
 
 
 def hash_keep(key: Column, fraction: float, seed: int = 0, hash_fn=md5_hash64) -> Column:
@@ -121,7 +132,7 @@ def pack_training_examples(
         from pyranges_1_x_spark.ml.text import nonempty_tokens
 
         nt = F.size(nonempty_tokens(F.col(text_col))).cast("long")
-    shift = 60 - bucket_bits
+    shift = _bucket_shift(hash_fn, bucket_bits)
     d = (
         df.select(F.col(id_col), nt.alias("__nt__"))
         .withColumn("__h__", hash_fn(F.col(id_col), seed))
@@ -184,7 +195,7 @@ def _grouped_prefix_keep(
         raise ValueError("the quota limit must be non-negative")
     if not 1 <= bucket_bits <= 40:
         raise ValueError("bucket_bits must be in [1, 40]")
-    shift = 60 - bucket_bits
+    shift = _bucket_shift(hash_fn, bucket_bits)
     d = (
         df.withColumn("__m__", measure)
         .withColumn("__h__", hash_fn(F.col(key_col), seed))
@@ -248,7 +259,10 @@ def quota_sample(
     kept = _grouped_prefix_keep(
         df, group_col, key_col, seed, hash_fn, bucket_bits, F.lit(1).cast("long"), cap
     )
-    keep = list(df.columns) + ([out_col] if out_col else [])
+    # out_col substitutes IN PLACE when it names an existing column (the
+    # scrub_pii/strip_repeated_substrings convention) — appending it too
+    # would emit a duplicate-named column (review find, r12).
+    keep = list(df.columns) + ([out_col] if out_col and out_col not in df.columns else [])
     if out_col:
         kept = kept.withColumn(out_col, F.col("__run__"))
     return kept.select(*keep)
@@ -318,8 +332,7 @@ def deterministic_shuffle(
 
     if not 1 <= bucket_bits <= 40:
         raise ValueError("bucket_bits must be in [1, 40]")
-    # md5_hash64 yields 60-bit non-negative values; take the top bits.
-    shift = 60 - bucket_bits
+    shift = _bucket_shift(hash_fn, bucket_bits)
     d = df.withColumn("__h__", hash_fn(F.col(key_col), seed)).withColumn(
         "__bkt__", F.shiftright("__h__", shift)
     )

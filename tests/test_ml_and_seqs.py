@@ -629,6 +629,27 @@ def test_quota_sample_caps_per_group_deterministically(spark):
     got = quota_sample(withnull, "source", 15, seed=4).groupBy("source").count()
     counts = {r["source"]: r["count"] for r in got.collect()}
     assert counts == {None: 15, "srcA": 15}
+    # out_col naming an existing column substitutes IN PLACE — no
+    # duplicate-named output column (review find, r12)
+    ranked = docs.withColumn("rk", F.lit(-1))
+    inplace = quota_sample(ranked, "source", 25, seed=4, out_col="rk")
+    assert inplace.columns == ["doc_id", "source", "rk"]
+    assert all(r["rk"] >= 1 for r in inplace.collect())
+    # xxhash64 hash_fn: bucket shift derives from the 64-bit width, and
+    # membership stays the per-group hash-order prefix
+    from pyranges_1_x_spark.ml.dedup import xxhash64_fn
+    from pyranges_1_x_spark.ml.sampling import _bucket_shift
+
+    assert _bucket_shift(xxhash64_fn, 12) == 52
+    assert _bucket_shift(md5_hash64, 12) == 48
+    xout = quota_sample(docs, "source", 25, seed=4, hash_fn=xxhash64_fn)
+    xhashed = docs.withColumn("h", xxhash64_fn(F.col("doc_id"), 4)).collect()
+    for src in ("src0", "src1", "src2"):
+        ref = sorted((r["h"], r["doc_id"]) for r in xhashed if r["source"] == src)[:25]
+        got_ids = sorted(
+            r["doc_id"] for r in xout.collect() if r["source"] == src
+        )
+        assert got_ids == sorted(d for _, d in ref)
 
 
 def test_repeated_substring_spans_and_strip(spark):
@@ -1535,6 +1556,11 @@ def test_adpcm_real_lossy_codec(spark):
                  + b"fmt " + _struct.pack("<I", 16) + b"\x11\x00\x01")
     assert decode_adpcm_wav(trunc_fact) is None
     assert decode_adpcm_wav(trunc_fmt) is None
+
+    # groups_per_block < 1 would emit header-only blocks the decoder
+    # rejects; the encoder must raise, not round-trip to None (review r12)
+    with pytest.raises(ValueError, match="groups_per_block"):
+        encode_adpcm_wav(sig, groups_per_block=0)
 
     media = synthetic_adpcm_media(spark, 4)
     for r in media.collect():
