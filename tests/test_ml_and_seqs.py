@@ -1908,6 +1908,89 @@ def test_avi_real_video_decode_and_frame_sampling(spark):
     assert frame_sample_decode(imgs, every_n=2).count() == 0
 
 
+def test_mjpeg_avi_lossy_video_by_composition(spark):
+    """LOSSY video decode (r13, VERDICT r12 #3): MJPEG AVI = the shipped
+    RIFF walker + the shipped baseline JPEG codec, no new compression
+    code. Block-constant frames under all-ones quantization round-trip
+    bit-exactly (the jpeg_features exactness argument per frame); generic
+    frames round-trip within JPEG quantization error; corrupt frames,
+    dimension mismatches and out-of-scope codecs return None; and the
+    frame-sampling Arrow path emits decodable BMPs matching the formula."""
+    import numpy as np
+
+    from pyranges_1_x_spark.ml.multimodal import (
+        decode_avi,
+        decode_bmp,
+        encode_avi,
+        frame_sample_decode,
+        synthetic_mjpeg_media,
+    )
+
+    ones = np.ones((8, 8), dtype=np.int64)
+    # bit-exact: block-constant frames, all-ones quant, gray + RGB,
+    # restart intervals on odd records
+    for i in range(4):
+        bw, bh, nf = 2 + i % 3, 1 + i % 2, 2 + i % 3
+        c = 3 if i % 2 else 1
+        ff, by, bx = np.mgrid[0:nf, 0:bh, 0:bw]
+        blocks = ((by * 31 + bx * 7 + ff * 13 + i) % 256).astype(np.uint8)
+        fr = np.repeat(np.repeat(blocks, 8, axis=1), 8, axis=2)
+        fr = np.repeat(fr[:, :, :, None], c, axis=3)
+        payload = encode_avi(
+            fr, fps=10, codec="MJPG",
+            jpeg_kwargs={"quant": ones, "quant_chroma": ones,
+                         "restart_interval": 2 if i % 2 else 0},
+        )
+        got, fps = decode_avi(payload)
+        assert fps == 10 and np.array_equal(got, fr), i
+        got2, _ = decode_avi(payload, frame_stride=2)
+        assert np.array_equal(got2, fr[::2])
+
+    # generic (non-flat) frames: lossy but close — quality-85 JPEG per frame
+    rng = np.random.default_rng(13)
+    base = rng.integers(60, 196, (1, 16, 16, 3), dtype=np.uint8).astype(np.int64)
+    fr = np.clip(
+        base + np.arange(3)[:, None, None, None] * 5, 0, 255
+    ).astype(np.uint8)
+    dec, _ = decode_avi(encode_avi(fr, codec="MJPG"))
+    assert dec.shape == fr.shape
+    assert np.abs(dec.astype(np.int64) - fr.astype(np.int64)).mean() < 16
+
+    # rejection: truncated payload, frame dims disagreeing with strf,
+    # corrupt JPEG body, unknown codec fourcc
+    full = encode_avi(fr, codec="MJPG")
+    assert decode_avi(full[: len(full) // 2]) is None
+    bad = bytearray(full)
+    j = bad.index(b"\xff\xd8")  # first JPEG SOI in the movi list
+    bad[j : j + 2] = b"\x00\x00"  # clobber SOI: frame is not a JPEG
+    assert decode_avi(bytes(bad)) is None
+    import struct as _st
+
+    dim = bytearray(full)
+    k = dim.index(b"strf") + 8
+    w0, h0 = _st.unpack_from("<ii", dim, k + 4)
+    _st.pack_into("<ii", dim, k + 4, w0 + 8, h0)
+    assert decode_avi(bytes(dim)) is None
+    assert decode_avi(full.replace(b"MJPG", b"H264")) is None
+
+    # Arrow frame-sampling path: sampled MJPEG frames re-emit as BMPs
+    # matching the block formula exactly
+    media = synthetic_mjpeg_media(spark, 6)
+    rows = frame_sample_decode(media, every_n=2).collect()
+    expected_count = sum(len(range(0, 2 + i % 3, 2)) for i in range(6))
+    assert len(rows) == expected_count
+    for r in rows:
+        i, fi = r["media_id"], r["frame_index"]
+        bw, bh = 2 + i % 3, 1 + i % 2
+        c = 3 if i % 2 else 1
+        by, bx = np.mgrid[0:bh, 0:bw]
+        blocks = ((by * 31 + bx * 7 + fi * 13 + i) % 256).astype(np.uint8)
+        g = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)
+        img = decode_bmp(bytes(r["payload"]))
+        assert img is not None and img.shape == (8 * bh, 8 * bw, c)
+        assert np.array_equal(img, np.repeat(g[:, :, None], c, axis=2))
+
+
 def test_get_sequence_auto_tile_adoption(spark):
     """r11 (VERDICT r10 #6): the first tiled get_sequence call for a source
     adopts a localCheckpoint'ed chunk relation; call 2+ over the same
