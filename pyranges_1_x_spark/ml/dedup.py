@@ -841,6 +841,7 @@ def repeated_substring_spans(
     min_len: int = 20,
     min_count: int = 2,
     hash_fn=xxhash64_fn,
+    hot_gram_threshold: int | None = None,
 ) -> DataFrame:
     """Exact-substring repeat detection (the span-finding core of
     suffix-array substring dedup, Lee et al., "Deduplicating Training Data
@@ -861,19 +862,32 @@ def repeated_substring_spans(
 
     Scale shape: sqrt-chunked gram hashing (O(len^1.5) char scans per doc,
     the winnow plan), one (id, pos, hash64) exploded relation — 8 bytes a
-    gram, never the gram text — a gram-hash-partitioned COUNT window that
-    fuses frequency counting and the join-back into ONE shuffle (measured
-    2.1x over groupBy + self-join at sf0.1: partial aggregation makes the
-    two branches' exchanges differ, so Catalyst cannot reuse one and the
-    gram hashing runs twice), and the bucketed island merge. No suffix
-    array, no sort of the corpus text, no all-pairs. Skew envelope: the
-    window puts each gram hash's occurrences in one task, so a single
-    pathological gram with ~1e9 occurrences at 100 TB becomes one slow
-    (spilling, not OOM) task — if a corpus has such a gram, trade back to
-    the groupBy(count)+AQE-skew-join shape this replaced. ``hash_fn``
-    collisions can only ADD a false span (never lose one); the default
-    64-bit xxhash makes that ~2^-64 per pair, and the driver oracle runs
-    the md5-based twin bit-identically.
+    gram, never the gram text — then one of two repeat-membership plans,
+    chosen by ``hot_gram_threshold``, feeding the bucketed island merge.
+    No suffix array, no sort of the corpus text, no all-pairs.
+
+    ``hot_gram_threshold=None`` (default): a gram-hash-partitioned COUNT
+    window fuses frequency counting and the join-back into ONE shuffle
+    (measured 2.1x over groupBy + self-join at sf0.1: partial aggregation
+    makes the two branches' exchanges differ, so Catalyst cannot reuse one
+    and the gram hashing runs twice). The window puts each gram hash's
+    occurrences in one task — right whenever no single gram dominates.
+
+    ``hot_gram_threshold=N``: the hot-gram fallback (r13, VERDICT r12 #4)
+    for corpora where one boilerplate gram may have ~1e9 occurrences. The
+    gram relation is materialized once (lazy ``localCheckpoint``), per-gram
+    counts come from a map-side-partial groupBy (skew-immune by combining),
+    and membership splits at N: grams with >= N occurrences join back via
+    BROADCAST semi-join (their distinct-hash list is bounded by
+    total_grams/N rows — small by construction), the rest via shuffle
+    semi-join where every key now has < N occurrences, so no task exceeds
+    the threshold and AQE's size-based splitting finishes the job. Pick N
+    around what one task comfortably holds (1-10M); both shapes return
+    identical spans (property-tested with a pathological every-doc gram).
+
+    ``hash_fn`` collisions can only ADD a false span (never lose one); the
+    default 64-bit xxhash makes that ~2^-64 per pair, and the driver
+    oracle runs the md5-based twin bit-identically.
     """
     from pyspark.sql import Window
 
@@ -889,15 +903,32 @@ def repeated_substring_spans(
             "__pos__", "__h__"
         ),
     )
-    w = Window.partitionBy("__h__")
-    spans = (
-        g.withColumn("__n__", F.count(F.lit(1)).over(w))
-        .filter(F.col("__n__") >= min_count)
-        .select(
-            F.col(id_col),
-            F.col("__pos__").cast("long").alias("Start"),
-            (F.col("__pos__") + min_len).cast("long").alias("End"),
+    if hot_gram_threshold is None:
+        w = Window.partitionBy("__h__")
+        hits = g.withColumn("__n__", F.count(F.lit(1)).over(w)).filter(
+            F.col("__n__") >= min_count
         )
+    else:
+        if hot_gram_threshold < max(min_count, 1):
+            raise ValueError(
+                "hot_gram_threshold must be >= min_count (grams below "
+                "min_count are filtered out before the hot/cold split)"
+            )
+        g = g.localCheckpoint(eager=False)  # hash grams once for both branches
+        cnt = (
+            g.groupBy("__h__")
+            .agg(F.count(F.lit(1)).alias("__n__"))
+            .filter(F.col("__n__") >= min_count)
+        )
+        hot = cnt.filter(F.col("__n__") >= hot_gram_threshold).select("__h__")
+        cold = cnt.filter(F.col("__n__") < hot_gram_threshold).select("__h__")
+        hits = g.join(F.broadcast(hot), "__h__", "left_semi").unionByName(
+            g.join(cold, "__h__", "left_semi")
+        )
+    spans = hits.select(
+        F.col(id_col),
+        F.col("__pos__").cast("long").alias("Start"),
+        (F.col("__pos__") + min_len).cast("long").alias("End"),
     )
     return island_agg(
         spans, [id_col], slack=0, count_col="n_grams", bucket_width=1 << 14, adaptive=True
@@ -913,6 +944,7 @@ def strip_repeated_substrings(
     min_count: int = 2,
     hash_fn=xxhash64_fn,
     out_col: str = "clean_text",
+    hot_gram_threshold: int | None = None,
 ) -> DataFrame:
     """Remove every repeated span found by ``repeated_substring_spans`` from
     every document (the simplification most substring-dedup reproductions
@@ -930,7 +962,8 @@ def strip_repeated_substrings(
     each slice scans from its offset (the O(pos) substring cost is paid
     once per GAP, not per char)."""
     spans = repeated_substring_spans(
-        df, text_col, id_col, min_len=min_len, min_count=min_count, hash_fn=hash_fn
+        df, text_col, id_col, min_len=min_len, min_count=min_count,
+        hash_fn=hash_fn, hot_gram_threshold=hot_gram_threshold,
     )
     per_doc = spans.groupBy(id_col).agg(
         F.array_sort(F.collect_list(F.struct("Start", "End"))).alias("__sp__")

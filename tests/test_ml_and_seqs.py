@@ -693,6 +693,68 @@ def test_repeated_substring_spans_and_strip(spark):
     assert tri == {4}
 
 
+def test_repeated_spans_hot_gram_fallback_shapes_agree(spark):
+    """The hot-gram fallback knob (r13, VERDICT r12 #4): a pathological
+    boilerplate gram occurring in ~every doc must yield IDENTICAL spans
+    from all three plan shapes — the fused count window (default), the
+    fallback with the pathological gram routed through the broadcast hot
+    path (threshold below its occurrence count), and the fallback with
+    everything on the cold shuffle-semi-join path (huge threshold). Also
+    pins the knob's plumbing through strip_repeated_substrings and the
+    threshold < min_count guard."""
+    import pytest as _pytest
+
+    from pyranges_1_x_spark.ml.dedup import (
+        repeated_substring_spans,
+        strip_repeated_substrings,
+    )
+
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER TODAY!"  # 34 chars, in every doc
+    rows = []
+    for i in range(60):
+        head = f"doc {i} opens with its own words number {i * 17} "
+        tail = f" and closes uniquely {i * 31}."
+        rows.append((i, head + boiler + tail))
+    # two docs also share a second, merely-warm span (count 2)
+    rows.append((60, "warm pair alpha SHARED-WARM-SPAN-OF-THIRTY!! omega"))
+    rows.append((61, "warm pair beta  SHARED-WARM-SPAN-OF-THIRTY!! gamma"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def collect_spans(**kw):
+        return sorted(
+            tuple(r)
+            for r in repeated_substring_spans(docs, min_len=20, **kw).collect()
+        )
+
+    window_shape = collect_spans()
+    hot_shape = collect_spans(hot_gram_threshold=10)  # boiler grams ~60x: hot
+    cold_shape = collect_spans(hot_gram_threshold=10_000_000)  # all cold
+    assert window_shape == hot_shape == cold_shape
+    # every doc's boilerplate occurrence is covered by some span (the doc
+    # templates share more than the boilerplate — "opens with its own
+    # words" etc. — so spans may extend beyond it; coverage is the
+    # invariant all three shapes must preserve)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    by_doc: dict[int, list[tuple[int, int]]] = {}
+    for did, s, e, _n in hot_shape:
+        by_doc.setdefault(did, []).append((s, e))
+    for i in range(60):
+        idx = texts[i].index(boiler)
+        assert any(s <= idx and e >= idx + len(boiler) for s, e in by_doc[i]), i
+    assert 60 in by_doc and 61 in by_doc  # the warm (count-2) pair too
+
+    # strip plumbs the knob through and agrees with the default shape
+    base = {r["doc_id"]: r["clean_text"]
+            for r in strip_repeated_substrings(docs, min_len=20).collect()}
+    via_hot = {r["doc_id"]: r["clean_text"]
+               for r in strip_repeated_substrings(
+                   docs, min_len=20, hot_gram_threshold=10).collect()}
+    assert base == via_hot
+
+    with _pytest.raises(ValueError, match="hot_gram_threshold"):
+        repeated_substring_spans(docs, min_count=5, hot_gram_threshold=3)
+
+
 def test_text_operators_unicode_character_semantics(spark):
     """The text operators count CHARACTERS, not bytes, for multi-byte
     input: CJK/emoji are one unit each in diversity counters, chunk slicing
