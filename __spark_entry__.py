@@ -829,6 +829,70 @@ def q_pack_examples(spark, sf_dir):
     return pack_training_examples(spark.table("documents"), budget=512, seed=7)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """The README's end-to-end curation chain as ONE driver-gated query
+    (r13, VERDICT r12 #7): scrub_pii -> remove_boilerplate_lines ->
+    strip_repeated_substrings -> filter_corpus -> lm_bigram_score (over
+    the kept corpus) -> quota_sample -> pack_training_examples, composed
+    exactly as a user would compose them (every stage passes non-text
+    columns through, no recovery re-joins). Gating the COMPOSITION, not
+    just the stages, pins the inter-stage contracts: each stage consumes
+    the previous stage's rebuilt text, the LM trains on the post-filter
+    corpus, the quota ranks the filtered docs, and the pack offsets tile
+    the quota survivors. The input is documents with injected PII,
+    shared chrome lines and a per-doc email so every stage has real work
+    (the pii_scrub/boilerplate_lines fixture convention). text_fp =
+    md5(final text) pins every byte of the three text-rewriting stages
+    through the whole chain."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.dedup import md5_hash64, strip_repeated_substrings
+    from pyranges_1_x_spark.ml.sampling import pack_training_examples, quota_sample
+    from pyranges_1_x_spark.ml.text import (
+        filter_corpus,
+        lm_bigram_score,
+        remove_boilerplate_lines,
+        scrub_pii,
+    )
+
+    _load(spark, sf_dir, ["documents"])
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("HOME | ABOUT | CONTACT\n"),
+            F.lit("cookie notice v"), (F.col("doc_id") % 7).cast("string"), F.lit("\n"),
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@example.com\n"),
+            F.lit("footer "), (F.col("doc_id") % 3).cast("string"),
+        ).alias("text"),
+        "source",
+    )
+    s1 = scrub_pii(docs, out_col="text")
+    s2 = remove_boilerplate_lines(s1, out_col="text")
+    s3 = strip_repeated_substrings(s2, out_col="text", min_len=30, hash_fn=md5_hash64)
+    s4 = filter_corpus(s3, min_chars=240, min_tokens=40, min_unique_ratio=0.30)
+    # Three downstream branches (LM, quota/fp, pack) consume `kept`; without
+    # a materialization each replays the scrub->boilerplate->strip lineage
+    # (gram-hash shuffle included). Lazy localCheckpoint = the README's
+    # "materialize once what many branches share" rule: measured 9-11s ->
+    # ~1.9s at sf0.1 (interleaved A/B, r13).
+    kept = s4.filter("keep").localCheckpoint(eager=False)
+    lm = lm_bigram_score(kept).select("doc_id", "n_bigrams", "min_prob", "n_rare")
+    quota = quota_sample(kept, "source", 10, seed=7)
+    packed = pack_training_examples(quota, budget=512, seed=7)
+    return (
+        packed.join(
+            quota.select("doc_id", "source", F.md5("text").alias("text_fp")),
+            "doc_id",
+        )
+        .join(lm, "doc_id")
+        .select(
+            "doc_id", "source", "text_fp", "n_tokens", "start_offset",
+            "first_example", "last_example", "n_bigrams", "min_prob", "n_rare",
+        )
+    )
+
+
 def q_ann_topk(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -2314,15 +2378,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r13 window = the 15 operators added late in r12 that have never had a
     driver row (doc_repetition .. char_diversity — the round's top
-    directive) + mjpeg_frames (NEW this round: lossy video decode by
-    composition, VERDICT r12 #3) + the 34 remaining r12-ungated queries in
-    their r11 order + stream_incremental_dedup LAST inside the window
-    (streaming/stateful session query — the r12 "iterative queries last"
-    discipline, so a memory-tight harness death loses only that row).
+    directive) + the two queries NEW this round (mjpeg_frames: lossy video
+    decode by composition, VERDICT r12 #3; curation_pipeline: the composed
+    end-to-end curation chain, VERDICT r12 #7) + the 33 remaining
+    r12-ungated queries in their r11 order + stream_incremental_dedup LAST
+    inside the window (streaming/stateful session query — the r12
+    "iterative queries last" discipline, so a memory-tight harness death
+    loses only that row).
 
-    Roll-to-r14 list (8, each justified per rule (b)):
+    Roll-to-r14 list (9, each justified per rule (b)):
       simes — stats sibling of fdr (driver-green r12; both are the
         rank-over-sorted-p BH/Simes construction in functions/stats.py);
+      doc_quality — its quality_stats counters are the exact expressions
+        corpus_filter (driver-green r12) thresholds, and the NEW in-window
+        curation_pipeline exercises filter_corpus over them end-to-end;
       minhash_lsh_md5 — hash-twin of minhash_lsh (in window; same banding
         code, only the hash_fn literal differs);
       three_end — strand-mirror of five_end (in window; one shared helper);
@@ -2353,8 +2422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_quota": q_token_quota,
         "chunk_docs": q_chunk_docs,
         "char_diversity": q_char_diversity,
-        # --- NEW this round (r13-changed code path, never gated) ---
+        # --- NEW this round (r13-changed code paths, never gated) ---
         "mjpeg_frames": q_mjpeg_frames,
+        "curation_pipeline": q_curation_pipeline,
         # --- not driver-gated in r12 (r11-driver-green, minus the 8 rolls
         # justified in the docstring) ---
         "count_overlaps": q_count_overlaps,
@@ -2364,7 +2434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_matrix": q_count_matrix,
         "token_jaccard": q_token_jaccard,
         "doc_signature_dedup": q_doc_signature_dedup,
-        "doc_quality": q_doc_quality,
         "doc_langid": q_doc_langid,
         "ann_topk": q_ann_topk,
         "lsh_topk": q_lsh_topk,
@@ -2396,9 +2465,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # memory-tight harness death here loses only this row.
         "stream_incremental_dedup": q_stream_incremental_dedup,
         # --- past the 50-row driver window: local gate only this round ---
-        # Roll-to-r14 (8): each shares a code path with an in-window or
+        # Roll-to-r14 (9): each shares a code path with an in-window or
         # r12-driver-green sibling — see the docstring.
         "simes": q_simes,
+        "doc_quality": q_doc_quality,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "three_end": q_three_end,
         "forbes_stat": q_forbes_stat,
@@ -2916,6 +2986,159 @@ def oracle_sql() -> dict[str, str]:
                     FROM documents)
             )
             WHERE cum <= 2000
+        """,
+        "curation_pipeline": """
+            -- Composed twin of the full curation chain (q_curation_pipeline):
+            -- scrub (3 ordered regex replaces) -> boilerplate lines (>= 2
+            -- distinct docs) -> substring strip (30-gram md5 hashes, merged
+            -- spans, gap rebuild) -> quality filter -> LM over the kept
+            -- corpus -> per-source quota (cap 10, seed 7) -> 512-token pack
+            -- (seed 7). Each stage is the already-gated per-stage oracle
+            -- re-rooted on the previous stage's output.
+            WITH d0 AS (
+              SELECT doc_id, source,
+                     'HOME | ABOUT | CONTACT' || chr(10)
+                       || 'cookie notice v' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                       || text || ' contact u' || CAST(doc_id AS VARCHAR)
+                       || '@example.com' || chr(10)
+                       || 'footer ' || CAST(doc_id % 3 AS VARCHAR) AS t
+              FROM documents
+            ),
+            st1 AS (
+              SELECT doc_id, source,
+                     regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                       '\\+?[0-9][0-9()\\-\\. ]{5,}[0-9]', '<PHONE>', 'g') AS t
+              FROM d0
+            ),
+            ls AS (SELECT doc_id, string_split(t, chr(10)) AS arr FROM st1),
+            lines AS (
+              SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, arr[i] AS ln
+              FROM ls, unnest(range(1, len(arr) + 1)) r(i)
+            ),
+            freq AS (
+              SELECT ln FROM lines WHERE trim(ln) <> ''
+              GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+            ),
+            st2 AS (
+              SELECT l.doc_id,
+                     COALESCE(string_agg(
+                       CASE WHEN f.ln IS NULL OR trim(l.ln) = '' THEN l.ln END,
+                       chr(10) ORDER BY pos), '') AS t
+              FROM lines l LEFT JOIN freq f ON l.ln = f.ln
+              GROUP BY l.doc_id
+            ),
+            g AS (
+              SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                     ('0x' || substring(md5(substr(t, i + 1, 30)), 1, 15))::BIGINT AS h
+              FROM (SELECT * FROM st2 WHERE length(t) >= 30) s,
+                   unnest(range(0, length(t) - 29)) r(i)
+            ),
+            rep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+            sp AS (
+              SELECT doc_id, pos AS s0, pos + 30 AS e0 FROM g JOIN rep USING (h)
+            ),
+            mr_ev AS (
+              SELECT doc_id, s0 AS p, 1 AS d FROM sp
+              UNION ALL SELECT doc_id, e0 AS p, -1 AS d FROM sp
+            ),
+            mr_sw AS (
+              SELECT doc_id, p, d,
+                     SUM(d) OVER (PARTITION BY doc_id ORDER BY p, d
+                                  ROWS UNBOUNDED PRECEDING) AS depth
+              FROM mr_ev
+            ),
+            mr_runs AS (
+              SELECT *, SUM(CASE WHEN d = 1 AND depth = 1 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY p, d
+                              ROWS UNBOUNDED PRECEDING) AS run
+              FROM mr_sw
+            ),
+            mr AS (
+              SELECT doc_id, run, MIN(CASE WHEN d = 1 THEN p END) AS s,
+                     MAX(CASE WHEN depth = 0 THEN p END) AS e
+              FROM mr_runs GROUP BY doc_id, run
+            ),
+            gaps AS (
+              SELECT doc_id, s, e,
+                     LAG(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e
+              FROM mr
+            ),
+            heads AS (
+              SELECT gp.doc_id,
+                     string_agg(substr(s2.t, CAST(gp.prev_e + 1 AS BIGINT),
+                                       CAST(gp.s - gp.prev_e AS BIGINT)),
+                                '' ORDER BY gp.s) AS head
+              FROM gaps gp JOIN st2 s2 USING (doc_id)
+              GROUP BY gp.doc_id
+            ),
+            mx AS (SELECT doc_id, MAX(e) AS max_e FROM mr GROUP BY doc_id),
+            st3 AS (
+              SELECT s2.doc_id,
+                     CASE WHEN h.head IS NULL THEN s2.t
+                          ELSE h.head || substr(s2.t, CAST(m.max_e + 1 AS BIGINT))
+                     END AS t
+              FROM st2 s2 LEFT JOIN heads h USING (doc_id)
+                          LEFT JOIN mx m USING (doc_id)
+            ),
+            st4 AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, t, length(t) AS c,
+                       len(regexp_split_to_array(trim(t), '\\s+')) AS nt,
+                       len(list_distinct(regexp_split_to_array(trim(t), '\\s+'))) AS u
+                FROM st3)
+              WHERE c >= 240 AND nt >= 40
+                AND CAST(u AS DOUBLE) / GREATEST(nt, 1) >= CAST('0.30' AS DOUBLE)
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(trim(t)), '\\s+'),
+                                 x -> x <> '') AS ts
+              FROM st4),
+            big AS (
+              SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+              FROM toks, unnest(range(1, len(ts))) AS r(i)),
+            cb AS (SELECT w1, w2, COUNT(*) AS cb FROM big GROUP BY 1, 2),
+            cu AS (SELECT w1, COUNT(*) AS cu FROM big GROUP BY 1),
+            scored AS (SELECT b.doc_id, CAST(cb AS DOUBLE) / CAST(cu AS DOUBLE) AS p
+                       FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1)),
+            lmagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                             MIN(p) AS min_prob,
+                             CAST(SUM(CASE WHEN p < CAST('0.01' AS DOUBLE)
+                                           THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+                      FROM scored GROUP BY 1),
+            quota AS (
+              SELECT doc_id, source, t FROM (
+                SELECT s4.doc_id, d0.source, s4.t,
+                       ROW_NUMBER() OVER (PARTITION BY d0.source
+                         ORDER BY ('0x' || substring(md5(CAST(s4.doc_id AS VARCHAR)
+                                                         || '#7'), 1, 15))::BIGINT,
+                                  s4.doc_id) AS rk
+                FROM st4 s4 JOIN d0 USING (doc_id))
+              WHERE rk <= 10
+            ),
+            packd AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                                          x -> x <> '')) AS BIGINT) AS n_tokens,
+                     ('0x' || substring(md5(CAST(doc_id AS VARCHAR) || '#7'),
+                                        1, 15))::BIGINT AS h
+              FROM quota),
+            cum AS (
+              SELECT doc_id, n_tokens,
+                     SUM(n_tokens) OVER (ORDER BY h, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+              FROM packd)
+            SELECT q.doc_id, q.source, md5(q.t) AS text_fp,
+                   c.n_tokens,
+                   CAST(c.cm - c.n_tokens AS BIGINT) AS start_offset,
+                   CAST((c.cm - c.n_tokens) // 512 AS BIGINT) AS first_example,
+                   CAST(CASE WHEN c.n_tokens > 0 THEN (c.cm - 1) // 512
+                             ELSE (c.cm - c.n_tokens) // 512 END AS BIGINT)
+                     AS last_example,
+                   l.n_bigrams, l.min_prob, l.n_rare
+            FROM cum c JOIN quota q USING (doc_id) JOIN lmagg l USING (doc_id)
         """,
         "lm_score": """
             WITH toks AS (
