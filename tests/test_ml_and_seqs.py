@@ -2427,6 +2427,60 @@ def test_dedup_against_store_three_outcomes(spark):
     assert sorted(got2.doc_id) == [20]
 
 
+def test_incremental_dedup_store_growth_soak(spark):
+    """Store-growth soak (r13, VERDICT r12 #8), pytest-sized: three
+    sequential batches through dedup_against_store against a persisted
+    sig-bucketed store must equal the from-scratch dedup after every
+    round, and — with auto-broadcast disabled to force the large-store
+    plan shape — the anti-join's store side must read through the
+    bucketed scan with NO exchange (scripts/soak_incremental_dedup.py
+    runs the decade-growth version of the same assertions)."""
+    import sys as _sys
+
+    _sys.path.insert(0, ".")
+    from scripts.soak_incremental_dedup import store_side_exchange_free
+
+    from pyranges_1_x_spark.ml.dedup import dedup_against_store
+    from pyranges_1_x_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    tbl = "t_soak_store_py"
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        write_bucketed(
+            spark.createDataFrame([], "sig string"),
+            tbl, buckets=4, bucket_cols=("sig",), sort_cols=("sig",),
+        )
+        seen: dict[str, int] = {}
+        kept_all: set[int] = set()
+        for r in range(3):
+            rows = [
+                (r * 100 + k, f"content {(r * 50 + k) % 150}") for k in range(100)
+            ]
+            b = spark.createDataFrame(rows, "doc_id long, text string")
+            out = dedup_against_store(b, read_bucketed(spark, tbl))
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            bucketed, xfree = store_side_exchange_free(plan, tbl)
+            assert bucketed and xfree, plan
+            kept = out.select("doc_id", "sig").collect()
+            kept_all.update(row["doc_id"] for row in kept)
+            write_bucketed(
+                read_bucketed(spark, tbl)
+                .unionByName(
+                    spark.createDataFrame([(row["sig"],) for row in kept], "sig string")
+                )
+                .localCheckpoint(),
+                tbl, buckets=4, bucket_cols=("sig",), sort_cols=("sig",),
+            )
+            for did, txt in rows:
+                seen.setdefault(txt, did)
+            assert kept_all == set(seen.values()), f"round {r}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_pq_encode_and_adc_topk(spark):
     from pyranges_1_x_spark.ml.similarity import pq_adc_table, pq_encode, pq_topk
 
