@@ -87,6 +87,12 @@ DEFAULT_QUERIES = [
     # char relation grows 10x; simpson_num scales by exactly 100x under
     # pure repetition (counts x10, squares x100), a value the twin must hit.
     "char_diversity",
+    # NOT curation_pipeline: on repeat(text,10) every 30-gram is
+    # self-repeated, so the strip stage (correctly) excises whole documents
+    # and the quality filter drops everything — both engines agree on ZERO
+    # rows, a vacuous cell. Its length-axis coverage comes from the
+    # individually-gated stages above (repeated_spans, lm_score, ...); the
+    # chain itself rides the NON-vacuous --skew-source roster.
 ]
 #: --replicate default roster: the operators whose cost/semantics follow
 #: DUPLICATE-GROUP size rather than document length.
@@ -111,6 +117,10 @@ SKEW_SOURCE_QUERIES = [
     "quota_sample",
     "token_quota",
     "stratified_sample",
+    # r13: the composed chain's quota stage under the same ~95% one-source
+    # remap — the few-huge-groups shape flowing through the WHOLE pipeline
+    # (filter counts, LM vocabulary and pack offsets all shift with the mix).
+    "curation_pipeline",
 ]
 N_REPS = 10
 
