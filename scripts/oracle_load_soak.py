@@ -35,6 +35,12 @@ DEFAULT = [
     # rank replay, the repeated-span SUM-sweep island merge, and the
     # boilerplate ordered string_agg reassembly.
     "quota_sample", "repeated_spans", "boilerplate_lines",
+    # r13: the composed curation oracle stacks every flake-prone construct
+    # at once — SUM-sweep island merge, LAG gap rebuild, ordered string_agg
+    # reassembly, ROW_NUMBER quota replay, running-sum packing. (Not
+    # mjpeg_frames: its oracle is pure integer formula arithmetic with no
+    # window at all.)
+    "curation_pipeline",
 ]
 
 
