@@ -874,8 +874,11 @@ def q_curation_pipeline(spark, sf_dir):
     # Three downstream branches (LM, quota/fp, pack) consume `kept`; without
     # a materialization each replays the scrub->boilerplate->strip lineage
     # (gram-hash shuffle included). Lazy localCheckpoint = the README's
-    # "materialize once what many branches share" rule: measured 9-11s ->
-    # ~1.9s at sf0.1 (interleaved A/B, r13).
+    # "materialize once what many branches share" rule: clean interleaved
+    # A/B at sf0.1 (r13): ~6.9s vs ~9.0s without (1.30x). The remaining
+    # wall IS the sum of the chain's individually-gated stages
+    # (repeated_spans' md5 gram relation dominates at ~4.5s) — composition
+    # itself adds nothing.
     kept = s4.filter("keep").localCheckpoint(eager=False)
     lm = lm_bigram_score(kept).select("doc_id", "n_bigrams", "min_prob", "n_rare")
     quota = quota_sample(kept, "source", 10, seed=7)
