@@ -645,14 +645,15 @@ def q_repeated_spans(spark, sf_dir):
     the Lee et al. substring-dedup core): maximal character regions whose
     30-grams all occur >= 2 times in the corpus, found WITHOUT a suffix
     array — gram hits become per-document intervals and the interval
-    engine's own island planner merges them. md5 hash twin so DuckDB
-    reproduces the span set bit-identically (same collisions, if any)."""
-    from pyranges_1_x_spark.ml.dedup import md5_hash64, repeated_substring_spans
+    engine's own island planner merges them. r13: the gate now runs the
+    library-DEFAULT xxhash64 gram hash (the production path — md5 was a
+    gate-only substitution) and DuckDB reproduces the span set
+    bit-identically via the Spark-exact sg_xxh64 UDF, the r8 minhash_lsh
+    mechanism (same collisions, if any)."""
+    from pyranges_1_x_spark.ml.dedup import repeated_substring_spans
 
     _load(spark, sf_dir, ["documents"])
-    return repeated_substring_spans(
-        spark.table("documents"), min_len=30, hash_fn=md5_hash64
-    )
+    return repeated_substring_spans(spark.table("documents"), min_len=30)
 
 
 def q_stream_incremental_dedup(spark, sf_dir):
@@ -846,7 +847,7 @@ def q_curation_pipeline(spark, sf_dir):
     through the whole chain."""
     from pyspark.sql import functions as F
 
-    from pyranges_1_x_spark.ml.dedup import md5_hash64, strip_repeated_substrings
+    from pyranges_1_x_spark.ml.dedup import strip_repeated_substrings
     from pyranges_1_x_spark.ml.sampling import pack_training_examples, quota_sample
     from pyranges_1_x_spark.ml.text import (
         filter_corpus,
@@ -869,7 +870,11 @@ def q_curation_pipeline(spark, sf_dir):
     )
     s1 = scrub_pii(docs, out_col="text")
     s2 = remove_boilerplate_lines(s1, out_col="text")
-    s3 = strip_repeated_substrings(s2, out_col="text", min_len=30, hash_fn=md5_hash64)
+    # r13: the strip stage runs the library-DEFAULT xxhash64 gram hash; the
+    # oracle replays it bit-exactly via the sg_xxh64 DuckDB UDF (the r8
+    # minhash_lsh mechanism). The quota/pack hashes below stay md5 — they
+    # key on doc_id and their oracles replay the md5 prefix natively.
+    s3 = strip_repeated_substrings(s2, out_col="text", min_len=30)
     s4 = filter_corpus(s3, min_chars=240, min_tokens=40, min_unique_ratio=0.30)
     # Three downstream branches (LM, quota/fp, pack) consume `kept`; without
     # a materialization each replays the scrub->boilerplate->strip lineage
@@ -2879,7 +2884,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             g AS (
               SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                     ('0x' || substring(md5(substr(t, i + 1, 30)), 1, 15))::BIGINT AS h
+                     sg_xxh64(substr(t, i + 1, 30)) AS h
               FROM d, unnest(range(0, length(t) - 29)) r(i)
             ),
             rep AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
@@ -3034,7 +3039,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             g AS (
               SELECT doc_id, CAST(i AS BIGINT) AS pos,
-                     ('0x' || substring(md5(substr(t, i + 1, 30)), 1, 15))::BIGINT AS h
+                     sg_xxh64(substr(t, i + 1, 30)) AS h
               FROM (SELECT * FROM st2 WHERE length(t) >= 30) s,
                    unnest(range(0, length(t) - 29)) r(i)
             ),
