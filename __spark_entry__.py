@@ -698,13 +698,18 @@ def _pq_query_vec(dim: int = 64) -> list[float]:
     return [((i * 37) % 19 - 9) / 10.0 for i in range(dim)]
 
 
-def _duck_pq_sql(k_results: int = 10) -> str:
+def _duck_pq_sql(k_results: int = 10, cand_cte: str | None = None) -> str:
     """SQL twin of q_pq_topk: the (s, c, centroid, adc) table rides as a
     VALUES relation with literals shared verbatim with the Spark query
     (pq_codebooks seed + pq_adc_table are the same Python calls), encode is
     the same 0.0-seeded sequential fold DuckDB's list_sum performs (the
     kmeans-gate-proven pairing), so per-(vec, subspace) distances are
-    bit-identical and argmin agrees unconditionally."""
+    bit-identical and argmin agrees unconditionally.
+
+    ``cand_cte`` (r13) swaps the default all-vectors candidate relation for
+    caller-supplied CTE text ending in a relation named ``e`` with columns
+    (vec_id, v DOUBLE[]) — the IVF-PQ composition restricts the ADC scan to
+    the probed Voronoi cells this way."""
     from pyranges_1_x_spark.ml.similarity import pq_adc_table, pq_codebooks
 
     cbs = pq_codebooks()
@@ -720,9 +725,10 @@ def _duck_pq_sql(k_results: int = 10) -> str:
             cv = "[" + ",".join(f"'{float(x)!r}'::DOUBLE" for x in centroid) + "]"
             rows.append(f"({s}, {c}, {cv}, '{table[s][c]!r}'::DOUBLE)")
     values = ",\n                   ".join(rows)
+    e_cte = cand_cte or """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id <> 0)"""
     return f"""
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                   FROM embeddings WHERE vec_id <> 0),
+        WITH {e_cte},
         cb(s, c, cv, ad) AS (VALUES {values}),
         d AS (
           SELECT e.vec_id, cb.s, cb.c, cb.ad,
@@ -745,6 +751,70 @@ def _duck_pq_sql(k_results: int = 10) -> str:
                CAST(ROW_NUMBER() OVER (ORDER BY adist, vec_id) AS BIGINT) AS rank
         FROM a ORDER BY adist, vec_id LIMIT {k_results}
     """
+
+
+def _duck_ivfpq_sql(k_results: int = 10) -> str:
+    """SQL twin of q_ivfpq_topk: the ivf_topk oracle's coarse
+    assign/probe CTEs (list_dot_product pairing proven by that gate)
+    produce the candidate relation, which _duck_pq_sql's encode/ADC
+    machinery then scores — the composition mirrors the Spark chain
+    stage for stage."""
+    qv = "[" + ",".join(f"'{float(x)!r}'::DOUBLE" for x in _pq_query_vec()) + "]"
+    cand = f"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id BETWEEN 1 AND 8),
+        dots AS (
+          SELECT e0.vec_id, c.cid, list_dot_product(e0.v, c.cv) AS d
+          FROM e0 CROSS JOIN c WHERE e0.vec_id <> 0
+        ),
+        mx AS (SELECT vec_id, MAX(d) AS md FROM dots GROUP BY vec_id),
+        -- MIN(cid) among max-dot centroids = Spark's first-index argmax
+        -- (centroid i has cid i+1), the ivf_topk oracle's tie rule
+        assign AS (
+          SELECT d.vec_id, MIN(d.cid) AS cell
+          FROM dots d JOIN mx ON d.vec_id = mx.vec_id AND d.d = mx.md
+          GROUP BY d.vec_id
+        ),
+        probes AS (
+          SELECT cid FROM c
+          ORDER BY list_dot_product({qv}, c.cv) DESC, cid ASC LIMIT 2
+        ),
+        e AS (
+          SELECT e0.vec_id, e0.v
+          FROM e0 JOIN assign a ON e0.vec_id = a.vec_id
+          WHERE a.cell IN (SELECT cid FROM probes)
+        )"""
+    return _duck_pq_sql(k_results, cand_cte=cand)
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """The classic IVF-PQ stack (Jegou/Douze/Schmid IVFADC) as ONE gated
+    composition (r13): ivf_assign prunes every vector to its nearest coarse
+    centroid (embeddings 1..8, the ivf_topk quantizer), the 2 cells nearest
+    the formula query vector are probed, and pq_topk ADC-scores only the
+    survivors — the 100 TB ANN read path where the coarse cell is the
+    partition key and the codes column is what the scan touches. Both
+    stages are individually gated (ivf_topk, pq_topk); this row pins their
+    composition: the candidate set feeding ADC is the probe-pruned one, and
+    adist stays bit-exact through the restriction."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.similarity import ivf_assign, pq_codebooks, pq_topk
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = [
+        [float(x) for x in r.embedding]
+        for r in emb.filter("vec_id BETWEEN 1 AND 8").orderBy("vec_id").collect()
+    ]
+    qv = _pq_query_vec()
+    scored = [(i, sum(x * y for x, y in zip(qv, c))) for i, c in enumerate(cents)]
+    probes = [i for i, _ in sorted(scored, key=lambda t: (-t[1], t[0]))[:2]]
+    cand = ivf_assign(emb.filter("vec_id <> 0"), cents).filter(
+        F.col("__cell__").isin([int(p) for p in probes])
+    )
+    return pq_topk(cand, qv, pq_codebooks(), k=10).select("vec_id", "adist", "rank")
 
 
 def q_pq_topk(spark, sf_dir):
@@ -2386,20 +2456,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r13 window = the 15 operators added late in r12 that have never had a
     driver row (doc_repetition .. char_diversity — the round's top
-    directive) + the two queries NEW this round (mjpeg_frames: lossy video
-    decode by composition, VERDICT r12 #3; curation_pipeline: the composed
-    end-to-end curation chain, VERDICT r12 #7) + the 33 remaining
-    r12-ungated queries in their r11 order + stream_incremental_dedup LAST
-    inside the window (streaming/stateful session query — the r12
-    "iterative queries last" discipline, so a memory-tight harness death
-    loses only that row).
+    directive) + the three queries NEW this round (mjpeg_frames: lossy
+    video decode by composition, VERDICT r12 #3; curation_pipeline: the
+    composed end-to-end curation chain, VERDICT r12 #7; ivfpq_topk: the
+    IVFADC composition) + the 32 remaining r12-ungated queries in their
+    r11 order + stream_incremental_dedup LAST inside the window
+    (streaming/stateful session query — the r12 "iterative queries last"
+    discipline, so a memory-tight harness death loses only that row).
 
-    Roll-to-r14 list (9, each justified per rule (b)):
+    Roll-to-r14 list (10, each justified per rule (b)):
       simes — stats sibling of fdr (driver-green r12; both are the
         rank-over-sorted-p BH/Simes construction in functions/stats.py);
       doc_quality — its quality_stats counters are the exact expressions
         corpus_filter (driver-green r12) thresholds, and the NEW in-window
         curation_pipeline exercises filter_corpus over them end-to-end;
+      lsh_topk — its probe-prune + brute_force_topk rank path is shared
+        with ann_topk (in window) and ivf_topk (driver-green r12), and the
+        NEW in-window ivfpq_topk gates probe-pruned ranking end-to-end;
       minhash_lsh_md5 — hash-twin of minhash_lsh (in window; same banding
         code, only the hash_fn literal differs);
       three_end — strand-mirror of five_end (in window; one shared helper);
@@ -2433,6 +2506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- NEW this round (r13-changed code paths, never gated) ---
         "mjpeg_frames": q_mjpeg_frames,
         "curation_pipeline": q_curation_pipeline,
+        "ivfpq_topk": q_ivfpq_topk,
         # --- not driver-gated in r12 (r11-driver-green, minus the 8 rolls
         # justified in the docstring) ---
         "count_overlaps": q_count_overlaps,
@@ -2444,7 +2518,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_signature_dedup": q_doc_signature_dedup,
         "doc_langid": q_doc_langid,
         "ann_topk": q_ann_topk,
-        "lsh_topk": q_lsh_topk,
         "simhash": q_simhash,
         "tpch_pricing": q_tpch_pricing,
         "group_cumsum": q_group_cumsum,
@@ -2473,10 +2546,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # memory-tight harness death here loses only this row.
         "stream_incremental_dedup": q_stream_incremental_dedup,
         # --- past the 50-row driver window: local gate only this round ---
-        # Roll-to-r14 (9): each shares a code path with an in-window or
+        # Roll-to-r14 (10): each shares a code path with an in-window or
         # r12-driver-green sibling — see the docstring.
         "simes": q_simes,
         "doc_quality": q_doc_quality,
+        "lsh_topk": q_lsh_topk,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "three_end": q_three_end,
         "forbes_stat": q_forbes_stat,
@@ -2828,6 +2902,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk <= 3
         """,
         "pq_topk": _duck_pq_sql(),
+        "ivfpq_topk": _duck_ivfpq_sql(),
         "stream_incremental_dedup": """
             WITH hist AS (
               SELECT DISTINCT md5(text) AS sig FROM documents WHERE doc_id % 3 <> 0
