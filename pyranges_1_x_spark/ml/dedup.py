@@ -887,7 +887,8 @@ def repeated_substring_spans(
 
     ``hash_fn`` collisions can only ADD a false span (never lose one); the
     default 64-bit xxhash makes that ~2^-64 per pair, and the driver
-    oracle runs the md5-based twin bit-identically.
+    oracle replays that DEFAULT hash bit-identically via the Spark-exact
+    sg_xxh64 DuckDB UDF (r13 — previously the gate substituted md5).
     """
     from pyspark.sql import Window
 
