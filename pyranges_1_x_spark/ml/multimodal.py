@@ -123,7 +123,13 @@ def decode_netpbm(payload: bytes):
             start = pos
             while pos < n and payload[pos] not in b" \t\r\n":
                 pos += 1
-            fields.append(int(payload[start:pos]))
+            try:
+                fields.append(int(payload[start:pos]))
+            except ValueError:
+                # corrupt non-numeric header field: not netpbm, never raise
+                # (one bad record must not kill a mapInPandas batch —
+                # mutation-fuzz find, r13)
+                return None
     if len(fields) < 3:
         return None
     width, height, maxval = fields
@@ -408,9 +414,15 @@ def decode_wav(payload: bytes):
             frames = wf.readframes(wf.getnframes())
     except (wave.Error, EOFError):
         return None
+    if n_ch < 1:
+        return None
     if width == 1:
         samples = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
+        # a corrupt container can hand wave an odd byte count; trim the
+        # dangling byte instead of letting frombuffer raise (mutation-fuzz
+        # find, r13 — one bad record must not kill a mapInPandas batch)
+        frames = frames[: (len(frames) // 2) * 2]
         samples = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
     if n_ch > 1:
         samples = samples[: (len(samples) // n_ch) * n_ch].reshape(-1, n_ch)

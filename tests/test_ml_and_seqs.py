@@ -2053,6 +2053,72 @@ def test_mjpeg_avi_lossy_video_by_composition(spark):
         assert np.array_equal(img, np.repeat(g[:, :, None], c, axis=2))
 
 
+def test_decoder_mutation_fuzz_never_raises():
+    """Decoder robustness contract: a corrupt payload returns None (or a
+    best-effort decode), NEVER raises — one bad record must not kill a
+    whole mapInPandas feature batch. Deterministic mutation fuzz: valid
+    payloads from every real codec (netpbm, BMP, PNG, JPEG, WAV, ADPCM,
+    DIB-AVI, MJPEG-AVI) take seeded byte flips, truncations and length
+    corruptions; every decode call must return cleanly."""
+    import numpy as np
+
+    from pyranges_1_x_spark.ml.jpeg import decode_jpeg, encode_jpeg
+    from pyranges_1_x_spark.ml.multimodal import (
+        decode_adpcm_wav,
+        decode_avi,
+        decode_bmp,
+        decode_image,
+        decode_png,
+        decode_wav,
+        encode_adpcm_wav,
+        encode_avi,
+        encode_bmp,
+        encode_netpbm,
+        encode_png,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(2024)
+    img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+    gray = img[:, :, 0]
+    sig = 0.4 * np.sin(np.arange(500) / 7.0)
+    frames = rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8)
+    payloads = [
+        (encode_netpbm(img), decode_image),
+        (encode_bmp(img), decode_bmp),
+        (encode_png(img), decode_png),
+        (encode_jpeg(img), decode_jpeg),
+        (encode_wav(sig), decode_wav),
+        (encode_adpcm_wav(sig), decode_adpcm_wav),
+        (encode_avi(frames), decode_avi),
+        (encode_avi(frames, codec="MJPG"), decode_avi),
+        (encode_jpeg(gray, subsampling="420", restart_interval=1), decode_jpeg),
+    ]
+    for payload, dec in payloads:
+        assert dec(payload) is not None  # sanity: the clean payload decodes
+        n = len(payload)
+        for trial in range(40):
+            mode = trial % 4
+            buf = bytearray(payload)
+            if mode == 0:  # flip a handful of bytes anywhere
+                for pos in rng.integers(0, n, size=5):
+                    buf[pos] ^= int(rng.integers(1, 256))
+            elif mode == 1:  # truncate
+                buf = buf[: int(rng.integers(0, n))]
+            elif mode == 2:  # corrupt a declared length field region
+                pos = int(rng.integers(0, max(n - 4, 1)))
+                buf[pos : pos + 4] = b"\xff\xff\xff\x7f"
+            else:  # splice two halves of different payloads
+                other = payloads[(trial // 4) % len(payloads)][0]
+                buf = bytearray(payload[: n // 2] + other[len(other) // 2 :])
+            dec(bytes(buf))  # must return (None or data), never raise
+            decode_image(bytes(buf))  # the magic-dispatch path too
+        # empty / None / single byte
+        dec(b"")
+        dec(None)
+        dec(b"\x00")
+
+
 def test_get_sequence_auto_tile_adoption(spark):
     """r11 (VERDICT r10 #6): the first tiled get_sequence call for a source
     adopts a localCheckpoint'ed chunk relation; call 2+ over the same
