@@ -1541,6 +1541,19 @@ def q_corpus_filter(spark, sf_dir):
     return out.select("doc_id", "keep", "drop_reason")
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training statistic (ml/text.py:bpe_pair_counts): the
+    corpus-wide adjacent character-pair frequencies within GPT-2-style
+    pretokens — rank 1 is the pair the first BPE merge would fuse
+    (Sennrich et al. 2016). Top-50 under the deterministic (count desc,
+    lhs, rhs) order; DuckDB replays the same regex pretokenization (the
+    bpe_tokens pattern pairing) and pair explosion exactly."""
+    from pyranges_1_x_spark.ml.text import bpe_pair_counts
+
+    _load(spark, sf_dir, ["documents"])
+    return bpe_pair_counts(spark.table("documents"), top_k=50)
+
+
 def q_bpe_tokens(spark, sf_dir):
     """Token budgeting (ml/text.py): whitespace tokens vs GPT-2-style BPE
     pre-tokens per doc, both pure JVM regex — the counts a mix-sizing
@@ -2456,15 +2469,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r13 window = the 15 operators added late in r12 that have never had a
     driver row (doc_repetition .. char_diversity — the round's top
-    directive) + the three queries NEW this round (mjpeg_frames: lossy
+    directive) + the four queries NEW this round (mjpeg_frames: lossy
     video decode by composition, VERDICT r12 #3; curation_pipeline: the
     composed end-to-end curation chain, VERDICT r12 #7; ivfpq_topk: the
-    IVFADC composition) + the 32 remaining r12-ungated queries in their
-    r11 order + stream_incremental_dedup LAST inside the window
-    (streaming/stateful session query — the r12 "iterative queries last"
-    discipline, so a memory-tight harness death loses only that row).
+    IVFADC composition; bpe_pairs: the BPE merge-step pair statistic) +
+    the 31 remaining r12-ungated queries in their r11 order +
+    stream_incremental_dedup LAST inside the window (streaming/stateful
+    session query — the r12 "iterative queries last" discipline, so a
+    memory-tight harness death loses only that row).
 
-    Roll-to-r14 list (10, each justified per rule (b)):
+    Roll-to-r14 list (11, each justified per rule (b)):
       simes — stats sibling of fdr (driver-green r12; both are the
         rank-over-sorted-p BH/Simes construction in functions/stats.py);
       doc_quality — its quality_stats counters are the exact expressions
@@ -2473,6 +2487,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       lsh_topk — its probe-prune + brute_force_topk rank path is shared
         with ann_topk (in window) and ivf_topk (driver-green r12), and the
         NEW in-window ivfpq_topk gates probe-pruned ranking end-to-end;
+      cosine_simjoin — its bucketed cosine join is the candidate engine of
+        semantic_dedup (driver-green r12, which composes it with CC), and
+        ann_topk (in window) gates the same dot/cosine fold expressions;
       minhash_lsh_md5 — hash-twin of minhash_lsh (in window; same banding
         code, only the hash_fn literal differs);
       three_end — strand-mirror of five_end (in window; one shared helper);
@@ -2507,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mjpeg_frames": q_mjpeg_frames,
         "curation_pipeline": q_curation_pipeline,
         "ivfpq_topk": q_ivfpq_topk,
+        "bpe_pairs": q_bpe_pairs,
         # --- not driver-gated in r12 (r11-driver-green, minus the 8 rolls
         # justified in the docstring) ---
         "count_overlaps": q_count_overlaps,
@@ -2528,7 +2546,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mcc": q_mcc,
         "spearman_rows": q_spearman_rows,
         "minhash_lsh": q_minhash_lsh,  # hash-exact as of r8 (DuckDB xxhash64 UDF)
-        "cosine_simjoin": q_cosine_simjoin,
         "cluster": q_cluster,
         "split": q_split,
         "set_union": q_set_union,
@@ -2551,6 +2568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simes": q_simes,
         "doc_quality": q_doc_quality,
         "lsh_topk": q_lsh_topk,
+        "cosine_simjoin": q_cosine_simjoin,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "three_end": q_three_end,
         "forbes_stat": q_forbes_stat,
@@ -4490,6 +4508,35 @@ def oracle_sql() -> dict[str, str]:
                          WHEN CAST(sw AS DOUBLE) / GREATEST(t, 1) < 0.03 THEN 'low_stopword_ratio'
                     END) IS NULL AS keep
             FROM s
+        """,
+        "bpe_pairs": """
+            -- Twin of ml/text.py bpe_pair_counts: same pretoken regex as
+            -- bpe_tokens, pairs from adjacent chars within each pretoken
+            -- occurrence (never across boundaries), count over all
+            -- occurrences, top-50 under (count DESC, lhs, rhs).
+            WITH pt AS (
+              SELECT unnest(regexp_extract_all(text,
+                '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'
+              )) AS p
+              FROM documents
+            ),
+            pos AS (
+              SELECT p, unnest(range(length(p) - 1)) AS i
+              FROM pt WHERE length(p) >= 2
+            ),
+            pairs AS (
+              SELECT substr(p, CAST(i + 1 AS INTEGER), 1) AS lhs,
+                     substr(p, CAST(i + 2 AS INTEGER), 1) AS rhs
+              FROM pos
+            ),
+            c AS (
+              SELECT lhs, rhs, CAST(COUNT(*) AS BIGINT) AS pair_count
+              FROM pairs GROUP BY 1, 2
+            )
+            SELECT lhs, rhs, pair_count,
+                   CAST(ROW_NUMBER() OVER (
+                     ORDER BY pair_count DESC, lhs, rhs) AS BIGINT) AS merge_rank
+            FROM c ORDER BY pair_count DESC, lhs, rhs LIMIT 50
         """,
         "bpe_tokens": """
             SELECT doc_id,

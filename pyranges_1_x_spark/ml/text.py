@@ -61,6 +61,64 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(bpe_pretokens(text))
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adjacent character-pair frequencies WITHIN BPE pretokens — the
+    corpus statistic the first merge step of byte-pair-encoding tokenizer
+    training maximizes (Sennrich/Haddow/Birch, "Neural Machine Translation
+    of Rare Words with Subword Units", ACL 2016: merge the most frequent
+    symbol pair; this operator computes that frequency table over a
+    distributed corpus). One row per distinct (lhs, rhs) character pair
+    with its total occurrence count across all pretoken occurrences
+    (weighted by frequency, the BPE convention — pairs never cross
+    pretoken boundaries). ``top_k`` keeps the k most frequent under the
+    deterministic total order (count desc, lhs, rhs) and adds a 1-based
+    ``merge_rank`` — rank 1 is the pair the first merge would fuse.
+
+    Subsequent merge rounds re-run this count over the re-symbolized
+    corpus (symbols grow beyond single chars); the per-round statistic is
+    the same shape, so training loops this operator.
+
+    Scale shape: pretokens explode (linear in corpus characters), pairs
+    are a row-local zip_with over the char array (no per-position
+    substring scans), and the count is one map-side-combinable hash agg
+    whose key space is vocabulary-bounded (<= alphabet^2 pairs); top-k is
+    TakeOrdered over that bounded relation, never a global sort. Zero
+    UDFs, zero driver loops.
+    """
+    pt = df.select(
+        F.explode(bpe_pretokens(F.col(text_col))).alias("__pt__")
+    ).filter(F.length("__pt__") >= 2)
+    chars = pt.select(F.split(F.col("__pt__"), "").alias("__ch__"))
+    pairs = chars.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__ch__"), 1, F.size("__ch__") - 1),
+                F.slice(F.col("__ch__"), 2, F.size("__ch__") - 1),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            )
+        ).alias("__p__")
+    )
+    counts = pairs.groupBy(
+        F.col("__p__.lhs").alias("lhs"), F.col("__p__.rhs").alias("rhs")
+    ).agg(F.count(F.lit(1)).alias("pair_count"))
+    if top_k is None:
+        return counts
+    from pyspark.sql import Window
+
+    top = counts.orderBy(
+        F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+    ).limit(top_k)
+    w = Window.orderBy(
+        F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
+    )
+    return top.withColumn("merge_rank", F.row_number().over(w).cast("long"))
+
+
 def unique_token_count(text: Column) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 

@@ -2053,6 +2053,42 @@ def test_mjpeg_avi_lossy_video_by_composition(spark):
         assert np.array_equal(img, np.repeat(g[:, :, None], c, axis=2))
 
 
+def test_bpe_pair_counts_merge_statistic(spark):
+    """bpe_pair_counts is the first-merge-step statistic of BPE training:
+    pair counts are weighted by pretoken occurrence, never cross pretoken
+    boundaries, honor the GPT-2-style leading-space pretokens, and top_k
+    ranks deterministically (count desc, lhs, rhs)."""
+    from pyranges_1_x_spark.ml.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "the theme, the them"), (2, "hello")], "doc_id long, text string"
+    )
+    d = {(r.lhs, r.rhs): r.pair_count for r in bpe_pair_counts(df).collect()}
+    # pretokens: the | ' theme' | ',' | ' the' | ' them' | hello
+    assert d[("h", "e")] == 5   # 4x th(e|eme|em) + hello
+    assert d[("t", "h")] == 4
+    assert d[(" ", "t")] == 3   # leading-space pretokens pair space+t
+    assert ("e", " ") not in d  # pairs never cross pretoken boundaries
+    assert d[("l", "l")] == 1 and d[("e", "m")] == 2
+    top = bpe_pair_counts(df, top_k=3).collect()
+    assert [(r.lhs, r.rhs, r.merge_rank) for r in top] == [
+        ("h", "e", 1), ("t", "h", 2), (" ", "t", 3)
+    ]
+    # "a b c" pretokenizes as 'a', ' b', ' c' — the leading-space pretokens
+    # are 2-char, so exactly the two space-pairs exist (weighted counting)
+    lone = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    ld = {(r.lhs, r.rhs): r.pair_count for r in bpe_pair_counts(lone).collect()}
+    assert ld == {(" ", "b"): 1, (" ", "c"): 1}
+    # a single 1-char pretoken corpus has no pairs at all
+    assert bpe_pair_counts(
+        spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    ).count() == 0
+    # ties break on (lhs, rhs) ascending at equal counts
+    tie = spark.createDataFrame([(1, "ab cd")], "doc_id long, text string")
+    tt = bpe_pair_counts(tie, top_k=10).collect()
+    assert [(r.lhs, r.rhs) for r in tt] == [(" ", "c"), ("a", "b"), ("c", "d")]
+
+
 def test_decoder_mutation_fuzz_never_raises():
     """Decoder robustness contract: a corrupt payload returns None (or a
     best-effort decode), NEVER raises — one bad record must not kill a
