@@ -87,6 +87,10 @@ DEFAULT_QUERIES = [
     # char relation grows 10x; simpson_num scales by exactly 100x under
     # pure repetition (counts x10, squares x100), a value the twin must hit.
     "char_diversity",
+    # r13: BPE pair statistic on 10x text — every within-pretoken pair
+    # count scales exactly 10x (pretokens repeat verbatim; the repeat seam
+    # adds a handful of new cross-seam pretokens both engines must agree on)
+    "bpe_pairs",
     # NOT curation_pipeline: on repeat(text,10) every 30-gram is
     # self-repeated, so the strip stage (correctly) excises whole documents
     # and the quality filter drops everything — both engines agree on ZERO
