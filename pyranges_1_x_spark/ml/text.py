@@ -28,6 +28,15 @@ BPE_PRETOKEN_PATTERN = (
     r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
 )
 
+#: Python-`re` twin of BPE_PRETOKEN_PATTERN (stdlib re has no \p classes):
+#: letters = [^\W\d_], numbers ~= \d, punct-run = not-word-or-underscore —
+#: token-for-token parity with the Java pattern is pinned by
+#: tests (incl. unicode letters and the space-then-apostrophe case a naive
+#: in-class \p substitution gets wrong). Used by the bpe_apply kernel.
+BPE_PRETOKEN_PATTERN_PY = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+"
+)
+
 
 def tokens(text: Column) -> Column:
     """Whitespace tokens of a text column (JVM split, no UDF)."""
@@ -117,6 +126,158 @@ def bpe_pair_counts(
         F.col("pair_count").desc(), F.col("lhs").asc(), F.col("rhs").asc()
     )
     return top.withColumn("merge_rank", F.row_number().over(w).cast("long"))
+
+
+def _merge_adjacent(symbols: Column, lhs: str, rhs: str) -> Column:
+    """Apply ONE BPE merge to a symbol array, row-locally: greedy
+    left-to-right fusion of adjacent (lhs, rhs) into lhs||rhs — the fused
+    symbol never re-pairs with a following rhs in the same pass (its value
+    is lhs||rhs, not lhs), which is exactly the BPE convention."""
+    fused = F.lit(lhs + rhs)
+    return F.aggregate(
+        symbols,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(lhs))
+            & (s == F.lit(rhs)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(fused)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    *,
+    min_pair_count: int = 2,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Train a BPE merge table over a distributed corpus (Sennrich et al.
+    2016): ``n_merges`` rounds of count-pairs -> pick the most frequent
+    (deterministic (count desc, lhs, rhs) tie-break) -> fuse it corpus-wide.
+    Returns the merge list in rank order — the merge table IS the model.
+    Stops early when no pair reaches ``min_pair_count``.
+
+    Scale shape (the shape real distributed BPE trainers use): the corpus
+    collapses ONCE to the distinct-pretoken relation with occurrence
+    counts — per-round work is per DISTINCT pretoken (vocabulary-bounded),
+    weighted by count, no matter how many tokens the corpus has. Each round
+    is one map-side-combinable pair-count aggregation + a TakeOrdered(1)
+    (ONE row reaches the driver) + a row-local symbol-array rewrite; the
+    iterated relation is lineage-truncated every ``checkpoint_every``
+    rounds (the connected-components discipline). A 100 TB corpus pays the
+    pretoken count once; the loop then runs on megabytes.
+    """
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    words = (
+        df.select(F.explode(bpe_pretokens(F.col(text_col))).alias("__pt__"))
+        .groupBy("__pt__")
+        .agg(F.count(F.lit(1)).alias("__n__"))
+        .select(F.split(F.col("__pt__"), "").alias("__sym__"), "__n__")
+        .localCheckpoint()
+    )
+    merges: list[tuple[str, str]] = []
+    for r in range(n_merges):
+        pairs = words.filter(F.size("__sym__") >= 2).select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__sym__"), 1, F.size("__sym__") - 1),
+                    F.slice(F.col("__sym__"), 2, F.size("__sym__") - 1),
+                    lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+                )
+            ).alias("__p__"),
+            "__n__",
+        )
+        best = (
+            pairs.groupBy(F.col("__p__.lhs").alias("lhs"), F.col("__p__.rhs").alias("rhs"))
+            .agg(F.sum("__n__").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("lhs").asc(), F.col("rhs").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < min_pair_count:
+            break
+        lhs, rhs = best[0]["lhs"], best[0]["rhs"]
+        merges.append((lhs, rhs))
+        words = words.select(
+            _merge_adjacent(F.col("__sym__"), lhs, rhs).alias("__sym__"), "__n__"
+        )
+        if (r + 1) % checkpoint_every == 0:
+            words = words.localCheckpoint()
+    return merges
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Segment text with a trained BPE merge table: pretokenize with the
+    shared GPT-2-style regex, then apply the merges IN RANK ORDER within
+    each pretoken (greedy left-to-right per merge — the exact inverse of
+    ``bpe_train``'s fusion, so applying a table to its own training corpus
+    reproduces the trainer's final symbolization). Appends ``out_col`` as
+    ``array<string>``; every other column passes through.
+
+    This is the promised "tokenizer model shipped -> Arrow kernel" path
+    (see ``bpe_token_count``): the merge table rides the UDF closure
+    (vocabulary-sized), segmentation is a vectorized-batch pandas UDF —
+    per-pretoken Python work is bounded by pretoken length, and a
+    process-local memo collapses repeated pretokens inside a batch (Zipf
+    makes most occurrences repeats)."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    pat = _re.compile(BPE_PRETOKEN_PATTERN_PY)
+
+    def seg_word(w: str, memo: dict) -> list[str]:
+        got = memo.get(w)
+        if got is not None:
+            return got
+        syms = list(w)
+        while len(syms) >= 2:
+            cand = [
+                (ranks[p], i)
+                for i, p in enumerate(zip(syms, syms[1:]))
+                if p in ranks
+            ]
+            if not cand:
+                break
+            rank = min(c[0] for c in cand)
+            lhs, rhs = merges[rank]
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[w] = syms
+        return syms
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def seg(texts):
+        import pandas as pd
+
+        memo: dict = {}
+        return pd.Series(
+            [
+                None
+                if t is None
+                else [s for w in pat.findall(t) for s in seg_word(w, memo)]
+                for t in texts
+            ]
+        )
+
+    return df.withColumn(out_col, seg(F.col(text_col)))
 
 
 def unique_token_count(text: Column) -> Column:

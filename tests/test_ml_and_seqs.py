@@ -2089,6 +2089,96 @@ def test_bpe_pair_counts_merge_statistic(spark):
     assert [(r.lhs, r.rhs) for r in tt] == [(" ", "c"), ("a", "b"), ("c", "d")]
 
 
+def test_bpe_train_and_apply_match_reference(spark):
+    """bpe_train is the real iterative BPE trainer (distinct-pretoken
+    relation weighted by count; one TakeOrdered(1) row to the driver per
+    round) — its merge table must equal a pure-Python reference trainer
+    merge-for-merge, bpe_apply must reproduce the trainer's own final
+    symbolization when applied back to the training corpus, and the
+    Python-re pretokenizer twin the apply kernel uses must match the Java
+    pattern token-for-token (unicode letters, contractions, underscores,
+    the space-then-apostrophe case a naive \\p substitution gets wrong)."""
+    import re
+    from collections import Counter
+
+    from pyranges_1_x_spark.ml.text import (
+        BPE_PRETOKEN_PATTERN_PY,
+        bpe_apply,
+        bpe_pretokens,
+        bpe_train,
+    )
+
+    corpus = [
+        (1, "low lower lowest low low"),
+        (2, "new newer newest new lower"),
+        (3, "low low low newer newest"),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    wc = Counter(
+        r[0]
+        for r in df.select(F.explode(bpe_pretokens(F.col("text"))).alias("p")).collect()
+    )
+
+    def ref_train(wc, n):
+        words = {w: list(w) for w in wc}
+        merges = []
+        for _ in range(n):
+            pc = Counter()
+            for w, syms in words.items():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += wc[w]
+            if not pc:
+                break
+            (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+            if c < 2:
+                break
+            merges.append((l, r))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        return merges, words
+
+    ref_m, ref_words = ref_train(wc, 12)
+    got = bpe_train(df, 12)
+    assert got == ref_m
+    # early stop: asking for more merges stops when counts drop under 2
+    assert bpe_train(df, 500)[: len(ref_m)] == ref_m
+
+    seg = bpe_apply(
+        spark.createDataFrame([(w,) for w in wc], "text string"), got, out_col="s"
+    )
+    segd = {r["text"]: list(r["s"]) for r in seg.collect()}
+    for w, syms in ref_words.items():
+        assert segd[w] == syms, w
+    # NULL text passes through as NULL tokens; other columns survive
+    nn = bpe_apply(
+        spark.createDataFrame([(9, None)], "doc_id long, text string"), got
+    ).collect()[0]
+    assert nn["doc_id"] == 9 and nn["bpe_tokens"] is None
+
+    # Java-vs-Python pretokenizer parity on the adversarial cases
+    pat = re.compile(BPE_PRETOKEN_PATTERN_PY)
+    for u in [
+        "héllo wörld 日本語 123 ... 'll x",
+        "it's we're I'll you've they'd I'm can't",
+        "under_score mixed_2x 3.14 -- !? (a) [b] \t tabs\nnewlines",
+    ]:
+        sp = [
+            r[0]
+            for r in spark.createDataFrame([(u,)], "text string")
+            .select(F.explode(bpe_pretokens(F.col("text"))).alias("p"))
+            .collect()
+        ]
+        assert sp == pat.findall(u), u
+
+
 def test_decoder_mutation_fuzz_never_raises():
     """Decoder robustness contract: a corrupt payload returns None (or a
     best-effort decode), NEVER raises — one bad record must not kill a
