@@ -698,6 +698,88 @@ def _pq_query_vec(dim: int = 64) -> list[float]:
     return [((i * 37) % 19 - 9) / 10.0 for i in range(dim)]
 
 
+#: Shared CTE chain replaying kmeans_lloyd(k=8, iters=2, quant=1024):
+#: distances are sequential left-to-right folds on both engines
+#: (bit-identical given identical centroids); per-iteration means are
+#: quantized to 1/1024 so parallel-sum low-bit differences cannot leak.
+#: Ends with ``a3`` = the final (vec_id, cell) assignment — consumed by
+#: the kmeans gate (per-cell counts) and the cluster_quota composition.
+_KMEANS_CTES = """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            c0 AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+              FROM e ORDER BY vec_id LIMIT 8
+            ),
+            d1 AS (
+              SELECT e.vec_id, c.cell,
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+              FROM e, c0 c
+            ),
+            a1 AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                FROM d1
+              ) WHERE rn = 1
+            ),
+            x1 AS (
+              SELECT a1.cell, t.i AS dim, e.v[CAST(t.i + 1 AS INTEGER)] AS x
+              FROM a1 JOIN e USING (vec_id), (SELECT unnest(range(64)) AS i) t
+            ),
+            m1 AS (
+              SELECT cell, LIST(FLOOR(sx / nx * 1024) / 1024 ORDER BY dim) AS cv
+              FROM (SELECT cell, dim, SUM(x) AS sx, COUNT(*) AS nx
+                    FROM x1 GROUP BY cell, dim)
+              GROUP BY cell
+            ),
+            c1 AS (
+              SELECT c0.cell, COALESCE(m1.cv, c0.cv) AS cv
+              FROM c0 LEFT JOIN m1 USING (cell)
+            ),
+            d2 AS (
+              SELECT e.vec_id, c.cell,
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+              FROM e, c1 c
+            ),
+            a2 AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                FROM d2
+              ) WHERE rn = 1
+            ),
+            x2 AS (
+              SELECT a2.cell, t.i AS dim, e.v[CAST(t.i + 1 AS INTEGER)] AS x
+              FROM a2 JOIN e USING (vec_id), (SELECT unnest(range(64)) AS i) t
+            ),
+            m2 AS (
+              SELECT cell, LIST(FLOOR(sx / nx * 1024) / 1024 ORDER BY dim) AS cv
+              FROM (SELECT cell, dim, SUM(x) AS sx, COUNT(*) AS nx
+                    FROM x2 GROUP BY cell, dim)
+              GROUP BY cell
+            ),
+            c2 AS (
+              SELECT c1.cell, COALESCE(m2.cv, c1.cv) AS cv
+              FROM c1 LEFT JOIN m2 USING (cell)
+            ),
+            d3 AS (
+              SELECT e.vec_id, c.cell,
+                     list_sum(list_transform(list_zip(e.v, c.cv),
+                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
+              FROM e, c2 c
+            ),
+            a3 AS (
+              SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
+                FROM d3
+              ) WHERE rn = 1
+            )
+"""
+
+
 def _duck_pq_sql(k_results: int = 10, cand_cte: str | None = None) -> str:
     """SQL twin of q_pq_topk: the (s, c, centroid, adc) table rides as a
     VALUES relation with literals shared verbatim with the Spark query
@@ -1829,6 +1911,35 @@ def q_kmeans(spark, sf_dir):
     )
 
 
+def q_cluster_quota(spark, sf_dir):
+    """Topic-balanced sampling (r13): the k-means assignment
+    (ml/similarity.py kmeans_lloyd, 2 Lloyd rounds, quantized centroid
+    stream) feeding quota_sample per cell — at most 40 vectors per
+    embedding cluster, chosen by the deterministic md5-prefix order. The
+    composition a curation mix runs to stop one semantic cluster from
+    dominating the training set; both stages are individually gated
+    (kmeans, quota_sample) and this row pins the handoff: the quota
+    groups ON the final a3 assignment."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.sampling import quota_sample
+    from pyranges_1_x_spark.ml.similarity import kmeans_lloyd
+
+    _load(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    assigned, _c = kmeans_lloyd(emb, k=8, iters=2)
+    quota = quota_sample(
+        assigned.select("vec_id", "__cell__"),
+        "__cell__", 40, key_col="vec_id", seed=3, out_col="cell_rank",
+    )
+    return quota.select(
+        "vec_id", F.col("__cell__").alias("cell"), F.col("cell_rank").cast("long")
+        .alias("cell_rank")
+    )
+
+
 def q_slice_introns(spark, sf_dir):
     """slice_ranges(count_introns=True): unspliced (intron-counting) slice of
     each (Chromosome, Strand, Score) group span, strand-aware negative
@@ -2469,16 +2580,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r13 window = the 15 operators added late in r12 that have never had a
     driver row (doc_repetition .. char_diversity — the round's top
-    directive) + the four queries NEW this round (mjpeg_frames: lossy
+    directive) + the five queries NEW this round (mjpeg_frames: lossy
     video decode by composition, VERDICT r12 #3; curation_pipeline: the
     composed end-to-end curation chain, VERDICT r12 #7; ivfpq_topk: the
-    IVFADC composition; bpe_pairs: the BPE merge-step pair statistic) +
-    the 31 remaining r12-ungated queries in their r11 order +
-    stream_incremental_dedup LAST inside the window (streaming/stateful
-    session query — the r12 "iterative queries last" discipline, so a
-    memory-tight harness death loses only that row).
+    IVFADC composition; bpe_pairs: the BPE merge-step pair statistic;
+    cluster_quota: the k-means -> per-cell-quota topic-balance
+    composition) + the 30 remaining r12-ungated queries in their r11
+    order + stream_incremental_dedup LAST inside the window
+    (streaming/stateful session query — the r12 "iterative queries last"
+    discipline, so a memory-tight harness death loses only that row).
 
-    Roll-to-r14 list (11, each justified per rule (b)):
+    Roll-to-r14 list (12, each justified per rule (b)):
       simes — stats sibling of fdr (driver-green r12; both are the
         rank-over-sorted-p BH/Simes construction in functions/stats.py);
       doc_quality — its quality_stats counters are the exact expressions
@@ -2490,6 +2602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       cosine_simjoin — its bucketed cosine join is the candidate engine of
         semantic_dedup (driver-green r12, which composes it with CC), and
         ann_topk (in window) gates the same dot/cosine fold expressions;
+      boundary — the two-phase island planner it rides is gated by cluster
+        (in window) and merge_stranded/bucketed_merge (driver-green r12),
+        and its own outer-ranges projection is a thin final aggregate;
       minhash_lsh_md5 — hash-twin of minhash_lsh (in window; same banding
         code, only the hash_fn literal differs);
       three_end — strand-mirror of five_end (in window; one shared helper);
@@ -2525,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": q_curation_pipeline,
         "ivfpq_topk": q_ivfpq_topk,
         "bpe_pairs": q_bpe_pairs,
+        "cluster_quota": q_cluster_quota,
         # --- not driver-gated in r12 (r11-driver-green, minus the 8 rolls
         # justified in the docstring) ---
         "count_overlaps": q_count_overlaps,
@@ -2549,7 +2665,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster": q_cluster,
         "split": q_split,
         "set_union": q_set_union,
-        "boundary": q_boundary,
         "max_disjoint": q_max_disjoint,
         "jaccard_stat": q_jaccard_stat,
         "streaming_dedup": q_streaming_dedup,
@@ -2569,6 +2684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "lsh_topk": q_lsh_topk,
         "cosine_simjoin": q_cosine_simjoin,
+        "boundary": q_boundary,
         "minhash_lsh_md5": q_minhash_lsh_md5,
         "three_end": q_three_end,
         "forbes_stat": q_forbes_stat,
@@ -4326,86 +4442,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, hv AS fp FROM m WHERE hv = wm
         """,
-        "kmeans": """
-            -- Twin of kmeans_lloyd(k=8, iters=2, quant=1024). Distances are
-            -- sequential left-to-right folds on both engines (bit-identical
-            -- given identical centroids); per-iteration means are quantized
-            -- to 1/1024 so parallel-sum low-bit differences cannot leak.
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-            c0 AS (
-              SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
-              FROM e ORDER BY vec_id LIMIT 8
-            ),
-            d1 AS (
-              SELECT e.vec_id, c.cell,
-                     list_sum(list_transform(list_zip(e.v, c.cv),
-                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
-              FROM e, c0 c
-            ),
-            a1 AS (
-              SELECT vec_id, cell FROM (
-                SELECT vec_id, cell,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
-                FROM d1
-              ) WHERE rn = 1
-            ),
-            x1 AS (
-              SELECT a1.cell, t.i AS dim, e.v[CAST(t.i + 1 AS INTEGER)] AS x
-              FROM a1 JOIN e USING (vec_id), (SELECT unnest(range(64)) AS i) t
-            ),
-            m1 AS (
-              SELECT cell, LIST(FLOOR(sx / nx * 1024) / 1024 ORDER BY dim) AS cv
-              FROM (SELECT cell, dim, SUM(x) AS sx, COUNT(*) AS nx
-                    FROM x1 GROUP BY cell, dim)
-              GROUP BY cell
-            ),
-            c1 AS (
-              SELECT c0.cell, COALESCE(m1.cv, c0.cv) AS cv
-              FROM c0 LEFT JOIN m1 USING (cell)
-            ),
-            d2 AS (
-              SELECT e.vec_id, c.cell,
-                     list_sum(list_transform(list_zip(e.v, c.cv),
-                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
-              FROM e, c1 c
-            ),
-            a2 AS (
-              SELECT vec_id, cell FROM (
-                SELECT vec_id, cell,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
-                FROM d2
-              ) WHERE rn = 1
-            ),
-            x2 AS (
-              SELECT a2.cell, t.i AS dim, e.v[CAST(t.i + 1 AS INTEGER)] AS x
-              FROM a2 JOIN e USING (vec_id), (SELECT unnest(range(64)) AS i) t
-            ),
-            m2 AS (
-              SELECT cell, LIST(FLOOR(sx / nx * 1024) / 1024 ORDER BY dim) AS cv
-              FROM (SELECT cell, dim, SUM(x) AS sx, COUNT(*) AS nx
-                    FROM x2 GROUP BY cell, dim)
-              GROUP BY cell
-            ),
-            c2 AS (
-              SELECT c1.cell, COALESCE(m2.cv, c1.cv) AS cv
-              FROM c1 LEFT JOIN m2 USING (cell)
-            ),
-            d3 AS (
-              SELECT e.vec_id, c.cell,
-                     list_sum(list_transform(list_zip(e.v, c.cv),
-                                             x -> (x[1]-x[2])*(x[1]-x[2]))) AS dd
-              FROM e, c2 c
-            ),
-            a3 AS (
-              SELECT vec_id, cell FROM (
-                SELECT vec_id, cell,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dd, cell) AS rn
-                FROM d3
-              ) WHERE rn = 1
-            )
+        "kmeans": _KMEANS_CTES + """
             SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
                    CAST(SUM(vec_id) AS BIGINT) AS id_sum
             FROM a3 GROUP BY cell
+        """,
+        "cluster_quota": _KMEANS_CTES + """
+            -- the composed topic-balance stage: per final k-means cell, the
+            -- deterministic md5-prefix quota (cap 40, seed 3) — the
+            -- quota_sample ROW_NUMBER replay keyed on the a3 assignment.
+            SELECT vec_id, cell, CAST(rk AS BIGINT) AS cell_rank FROM (
+              SELECT vec_id, cell,
+                     ROW_NUMBER() OVER (PARTITION BY cell
+                       ORDER BY ('0x' || substring(md5(CAST(vec_id AS VARCHAR)
+                                                       || '#3'), 1, 15))::BIGINT,
+                                vec_id) AS rk
+              FROM a3) WHERE rk <= 40
         """,
         "slice_introns": f"""
             -- Group span per (Chromosome, group_by) — local-coords ops do
