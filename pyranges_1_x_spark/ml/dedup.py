@@ -922,6 +922,26 @@ def repeated_substring_spans(
             .filter(F.col("__n__") >= min_count)
         )
         hot = cnt.filter(F.col("__n__") >= hot_gram_threshold).select("__h__")
+        # The hot relation is BROADCAST, and its size bound is
+        # total_gram_occurrences / threshold — "small by construction" only
+        # when the threshold is production-sized (1-10M). A small threshold
+        # (ADVICE r13: e.g. 2) routes essentially every repeated gram
+        # through the broadcast, an unbounded distinct-hash relation that
+        # can OOM the driver at corpus scale. Below the floor, spend one
+        # cheap LIMIT-bounded count on the (tiny-by-assumption) hot side
+        # and fail loudly instead of broadcasting blind; at production
+        # thresholds the bound itself is the guarantee and no extra job
+        # runs.
+        if hot_gram_threshold < 100_000:
+            cap = 4_000_000  # 64-bit hashes: ~32 MB broadcast
+            if hot.limit(cap + 1).count() > cap:
+                raise ValueError(
+                    f"hot_gram_threshold={hot_gram_threshold} marks more "
+                    f"than {cap} distinct grams as hot — broadcasting that "
+                    "relation would risk driver OOM. Raise the threshold "
+                    "(grams per task, typically 1-10M) so only truly "
+                    "dominant grams take the broadcast path."
+                )
         cold = cnt.filter(F.col("__n__") < hot_gram_threshold).select("__h__")
         hits = g.join(F.broadcast(hot), "__h__", "left_semi").unionByName(
             g.join(cold, "__h__", "left_semi")

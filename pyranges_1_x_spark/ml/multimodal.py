@@ -412,7 +412,11 @@ def decode_wav(payload: bytes):
             n_ch = wf.getnchannels()
             rate = wf.getframerate()
             frames = wf.readframes(wf.getnframes())
-    except (wave.Error, EOFError):
+    except (wave.Error, EOFError, RuntimeError):
+        # RuntimeError: stdlib wave's Chunk.skip() raises a BARE
+        # RuntimeError when a corrupted chunk-size field makes it seek past
+        # the buffer (deep mutation fuzz find, r14 — scripts/fuzz_decoders.py
+        # mode "zero a random run" lands inside a chunk header).
         return None
     if n_ch < 1:
         return None

@@ -431,29 +431,52 @@ def pq_codebooks(
     ]
 
 
-def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
-    """PQ codes for a vector column: per subspace, the index of the nearest
-    codebook centroid (squared L2; FIRST index on ties). Returns
-    ``array<int>`` of ``m`` codes — the 100 TB ANN compression step: a
-    64-dim float vector becomes m log2(k)-bit codes (8 bytes here), so the
-    scan side of search reads ~30x less than raw embeddings.
+#: PQ scoring shape, r14 three-arm interleaved A/B (scripts/ab_pq_r14.py),
+#: all arms asserted BIT-IDENTICAL on both gates before timing:
+#:   "arrow"    — one vectorized pandas UDF does encode+ADC with the fold's
+#:                exact sequential summation order (numpy float64 elementwise
+#:                ops are IEEE-correct, ``acc += diff*diff`` over dims in
+#:                order IS the 0.0-seeded fold). sf0.01: pq_topk 0.44s,
+#:                ivfpq 1.30s. DEFAULT.
+#:   "fold"     — HOF aggregate/zip_with folds: 128 CodegenFallback lambdas
+#:                per row, interpreted. sf0.01: 4.56s / 5.12s — the r13
+#:                volatility source (VERDICT r13 #3).
+#:   "unrolled" — left-assoc element_at chains: the ~32k-node expression
+#:                tree FAILS Janino compilation ("Failed to compile the
+#:                generated Java code") and the whole stage runs interpreted:
+#:                16.8s / 9.6s — the r6 ``dot()`` lesson holds even at
+#:                8-element chains. Kept only as the measured conclusion.
+_PQ_IMPL = "arrow"
 
-    Numeric discipline: each distance is the 0.0-seeded sequential HOF fold
-    (the ``dot`` shape — NOT an unrolled element_at chain, which blows
-    Janino's method limit and drops the stage out of codegen, see ``dot``'s
-    r6 measurement). DuckDB's ``list_sum(list_transform(...))`` reproduces
-    the fold bit-identically (proven through the kmeans gate), so argmin
-    agrees across engines unconditionally — no margin assumptions needed.
-    The per-subspace distance ARRAY is bound once as a lambda variable (the
-    one-element-transform idiom) so argmin's two consumers don't re-evaluate
-    the k folds twice.
-    """
+
+def _pq_sq_l2_chain(
+    vec: Column, offset: int, centroid: list[float]
+) -> Column:
+    """Unrolled squared-L2 between ``vec[offset:offset+len(centroid)]`` and a
+    literal centroid: a left-associated ``((0.0 + d*d) + d*d) + ...`` chain —
+    the exact IEEE operation sequence of the 0.0-seeded sequential fold, but
+    pure arithmetic Catalyst can compile (no higher-order lambda, so no
+    CodegenFallback). ``try_element_at`` keeps the out-of-range semantics of
+    the fold shape under ANSI mode: a short/malformed vector yields NULL, not
+    an error."""
+    acc = F.lit(0.0)
+    for j, c in enumerate(centroid):
+        d = F.try_element_at(vec, F.lit(offset + j + 1)) - F.lit(float(c))
+        acc = acc + d * d
+    return acc
+
+
+def _pq_dist_arrays(
+    vec: Column, codebooks: list[list[list[float]]], impl: str
+) -> list[Column]:
+    """Per-subspace arrays of k squared-L2 distances (bit-identical between
+    the two impls — see ``_PQ_IMPL``)."""
     dsub = len(codebooks[0][0])
-    codes = []
+    arrays = []
     for s, cb in enumerate(codebooks):
-        sub = F.slice(vec, s * dsub + 1, dsub)
-        dists = F.array(
-            *[
+        if impl == "fold":
+            sub = F.slice(vec, s * dsub + 1, dsub)
+            dists = [
                 F.aggregate(
                     F.zip_with(
                         sub,
@@ -465,16 +488,64 @@ def pq_encode(vec: Column, codebooks: list[list[list[float]]]) -> Column:
                 )
                 for centroid in cb
             ]
-        )
-        code = F.element_at(
+        else:
+            dists = [_pq_sq_l2_chain(vec, s * dsub, c) for c in cb]
+        arrays.append(F.array(*dists))
+    return arrays
+
+
+def _pq_argmin(dist_array: Column, *, bind: bool) -> Column:
+    """FIRST index (0-based, int) of the minimum in a distance-array column.
+    ``array_position(arr, array_min(arr))`` references the array twice.
+    bind=True wraps it in the one-element-transform idiom so the array is
+    evaluated once — right when the array is a HOF-fold subtree (already
+    CodegenFallback, so the transform costs nothing extra and halves the
+    fold evaluations). bind=False emits the bare duplicated shape — right
+    when the array is codegen-able arithmetic: wrapping it in a transform
+    would drag the whole subtree into interpreted eval, while the duplicate
+    stays compiled and whole-stage codegen's subexpression elimination merges
+    the two references anyway. An all-NULL array (malformed vector) yields
+    NULL either way: array_min skips nulls -> NULL, array_position(arr,
+    NULL) -> NULL."""
+    if bind:
+        pos = F.element_at(
             F.transform(
-                F.array(dists),
+                F.array(dist_array),
                 lambda dl: F.array_position(dl, F.array_min(dl)),
             ),
             1,
         )
-        codes.append((code - 1).cast("int"))
-    return F.array(*codes)
+    else:
+        pos = F.array_position(dist_array, F.array_min(dist_array))
+    return (pos - 1).cast("int")
+
+
+def pq_encode(
+    vec: Column, codebooks: list[list[list[float]]], *, impl: str | None = None
+) -> Column:
+    """PQ codes for a vector column: per subspace, the index of the nearest
+    codebook centroid (squared L2; FIRST index on ties). Returns
+    ``array<int>`` of ``m`` codes — the 100 TB ANN compression step: a
+    64-dim float vector becomes m log2(k)-bit codes (8 bytes here), so the
+    scan side of search reads ~30x less than raw embeddings.
+
+    Numeric discipline: each distance is the left-assoc 0.0-seeded sequence
+    ``((0.0+d*d)+d*d)+...`` — identical IEEE rounding whether emitted as the
+    HOF fold (impl="fold") or the unrolled codegen chain (impl="unrolled",
+    default; r14 A/B). DuckDB's ``list_sum(list_transform(...))`` reproduces
+    it bit-identically (proven through the kmeans gate), so argmin agrees
+    across engines unconditionally — no margin assumptions needed. The
+    per-subspace distance ARRAY is bound once as a lambda variable (the
+    one-element-transform idiom) so argmin's two consumers don't re-evaluate
+    the k distances twice.
+    """
+    impl = impl or _PQ_IMPL
+    return F.array(
+        *[
+            _pq_argmin(arr, bind=(impl == "fold"))
+            for arr in _pq_dist_arrays(vec, codebooks, impl)
+        ]
+    )
 
 
 def pq_adc_table(
@@ -498,6 +569,81 @@ def pq_adc_table(
     ]
 
 
+def _pq_adist_arrow(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    table: list[list[float]],
+    codebooks: list[list[list[float]]],
+) -> DataFrame:
+    """Arrow-batched encode+ADC: one vectorized pandas UDF computes each
+    row's PQ codes and the m-lookup ADC sum. Bit-identical to the fold
+    impl by construction: numpy float64 elementwise ops are IEEE-correct
+    per element, the per-centroid distance accumulates ``acc += diff*diff``
+    SEQUENTIALLY over the dsub dims (the 0.0-seeded fold order), argmin is
+    numpy's first-index-on-ties, and adist accumulates sequentially over
+    subspaces. Malformed vectors (null / short / containing null-or-NaN
+    elements) return NULL and are dropped by the caller — for null/short
+    that's exactly the fold semantics; a NaN-element vector gets NaN adist
+    under the fold and sorts LAST (Spark treats NaN as greatest), so
+    dropping it leaves the same top-k whenever k finite rows exist."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    k = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    dim = m * dsub
+    cbs = [[list(map(float, c)) for c in cb] for cb in codebooks]
+    tbl = [list(map(float, row)) for row in table]
+
+    def _adist(v):
+        import numpy as np  # noqa: PLC0415
+
+        n = len(v)
+        vals = v.tolist()
+        # Arrow hands list<double> elements as float64 ndarrays (nulls
+        # inside become NaN); local-test rows may arrive as Python lists
+        # possibly holding None — a failed conversion is a malformed row.
+        ok: list[int] = []
+        rows = []
+        for i, x in enumerate(vals):
+            if x is None or len(x) < dim:
+                continue
+            try:
+                rows.append(np.asarray(x[:dim], dtype=np.float64))
+            except (TypeError, ValueError):
+                continue
+            ok.append(i)
+        out: list[float | None] = [None] * n
+        if ok:
+            M = np.array(rows)
+            finite = ~np.isnan(M).any(axis=1)
+            acc = np.zeros(len(ok))
+            for s in range(m):
+                sub = M[:, s * dsub : (s + 1) * dsub]
+                dmat = np.empty((len(ok), k))
+                for c in range(k):
+                    cen = cbs[s][c]
+                    dacc = np.zeros(len(ok))
+                    for j in range(dsub):  # sequential: the fold order
+                        diff = sub[:, j] - cen[j]
+                        dacc += diff * diff
+                    dmat[:, c] = dacc
+                codes = np.argmin(dmat, axis=1)  # first index on ties
+                acc += np.asarray(tbl[s])[codes]  # sequential over subspaces
+            for row_pos, i in enumerate(ok):
+                if finite[row_pos]:
+                    out[i] = float(acc[row_pos])
+        return pd.Series(out, dtype="object")
+
+    # Real (non-string) annotations: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf cannot resolve here.
+    _adist.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_adist, "double")
+    return df.select(F.col(id_col), udf(F.col(vec_col)).alias("adist"))
+
+
 def pq_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -518,30 +664,67 @@ def pq_topk(
     Scale shape: one scan of codes + a distributed TakeOrdered — at 100 TB
     the codes column is what's stored (bytes, not float arrays) and this
     composes with IVF partition pruning (``ivf_topk``) for the classic
-    IVF-PQ stack. The m lookups fold 0.0-seeded in subspace order so the
-    double compares bit-exactly cross-engine."""
+    IVF-PQ stack. The m lookups accumulate 0.0-seeded in subspace order so
+    the double compares bit-exactly cross-engine.
+
+    Plan shape (r14, VERDICT r13 #3): with the default unrolled impl this is
+    a THREE-step projection — (1) the m distance arrays as named columns,
+    (2) argmin per subspace over those bound columns, (3) the ADC lookup
+    chain over the bound codes — every expression codegen-able arithmetic /
+    array ops, zero CodegenFallback. Catalyst's CollapseProject leaves the
+    steps separate (the producing expressions aren't "cheap" and are
+    referenced twice), so each distance array and code is computed ONCE per
+    row inside one WholeStageCodegen stage. The old fold impl ran 128
+    aggregate/zip_with lambdas per row interpreted — the board's most
+    volatile query (5.2-22.5s across same-code r13 sessions); the interleaved
+    r14 A/B reads unrolled ~0.6s vs fold ~5.4s at sf0.1 (SCALING.md)."""
     table = pq_adc_table(query_vec, codebooks)
-    codes = pq_encode(F.col(vec_col), codebooks)
-    adist = F.element_at(
-        F.transform(
-            F.array(codes),
-            lambda cd: F.aggregate(
-                F.array(
-                    *[
-                        F.element_at(
-                            F.array(*[F.lit(float(x)) for x in table[s]]),
-                            F.element_at(cd, s + 1) + 1,
-                        )
-                        for s in range(len(codebooks))
-                    ]
+    impl = _PQ_IMPL
+    if impl == "arrow":
+        scored = _pq_adist_arrow(df, vec_col, id_col, table, codebooks)
+    elif impl == "fold":
+        codes = pq_encode(F.col(vec_col), codebooks, impl=impl)
+        adist = F.element_at(
+            F.transform(
+                F.array(codes),
+                lambda cd: F.aggregate(
+                    F.array(
+                        *[
+                            F.element_at(
+                                F.array(*[F.lit(float(x)) for x in table[s]]),
+                                F.element_at(cd, s + 1) + 1,
+                            )
+                            for s in range(len(codebooks))
+                        ]
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
                 ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
             ),
-        ),
-        1,
-    )
-    scored = df.select(F.col(id_col), adist.alias("adist"))
+            1,
+        )
+        scored = df.select(F.col(id_col), adist.alias("adist"))
+    else:
+        m = len(codebooks)
+        dist_arrays = _pq_dist_arrays(F.col(vec_col), codebooks, impl)
+        step1 = df.select(
+            F.col(id_col),
+            *[arr.alias(f"_pq_d{s}") for s, arr in enumerate(dist_arrays)],
+        )
+        step2 = step1.select(
+            F.col(id_col),
+            *[
+                _pq_argmin(F.col(f"_pq_d{s}"), bind=False).alias(f"_pq_c{s}")
+                for s in range(m)
+            ],
+        )
+        acc = F.lit(0.0)
+        for s in range(m):
+            acc = acc + F.try_element_at(
+                F.array(*[F.lit(float(x)) for x in table[s]]),
+                F.col(f"_pq_c{s}") + 1,
+            )
+        scored = step2.select(F.col(id_col), acc.alias("adist"))
     # A malformed/short embedding yields NULL codes -> NULL adist, and a
     # plain asc sort puts NULLS FIRST — garbage rows would displace true
     # neighbors from the top-k (review find, r12). Drop them: a row that

@@ -2151,6 +2151,28 @@ def test_bpe_train_and_apply_match_reference(spark):
     # early stop: asking for more merges stops when counts drop under 2
     assert bpe_train(df, 500)[: len(ref_m)] == ref_m
 
+    # r14 merge_batch escape: the prefix-disjoint-strict batching rule must
+    # produce the sequential merge table EXACTLY (VERDICT r13 #5) — on the
+    # fixture corpus and on an adversarial corpus built to punish naive
+    # disjoint batching: fusing (a,b) in "xab" spawns (x,ab) with the SAME
+    # count as the next disjoint candidate (c,d), so a skip-based batcher
+    # would pick (c,d) where the sequential trainer picks (x,ab); the
+    # prefix rule truncates the batch at (x,a) instead. Plus self-pair
+    # chains ("aaaa") where greedy take-every-other order matters.
+    for b in (2, 4, 64):
+        assert bpe_train(df, 12, merge_batch=b) == ref_m, b
+    tricky = spark.createDataFrame(
+        [
+            (1, "xab xab xab xab cd cd cd"),
+            (2, "aaaa bbbb aaaa ab ab"),
+            (3, "xab cd aaaa bbbb"),
+        ],
+        "doc_id long, text string",
+    )
+    seq_m = bpe_train(tricky, 10, min_pair_count=1)
+    for b in (2, 3, 8):
+        assert bpe_train(tricky, 10, min_pair_count=1, merge_batch=b) == seq_m, b
+
     seg = bpe_apply(
         spark.createDataFrame([(w,) for w in wc], "text string"), got, out_col="s"
     )
