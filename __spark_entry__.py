@@ -941,29 +941,34 @@ def _duck_pq_sql(k_results: int = 10, cand_cte: str | None = None) -> str:
 
 
 def _duck_ivfpq_sql(k_results: int = 10) -> str:
-    """SQL twin of q_ivfpq_topk: the ivf_topk oracle's coarse
-    assign/probe CTEs (list_dot_product pairing proven by that gate)
-    produce the candidate relation, which _duck_pq_sql's encode/ADC
-    machinery then scores — the composition mirrors the Spark chain
-    stage for stage."""
+    """SQL twin of q_ivfpq_topk (L2-consistent as of r14): coarse assign and
+    probe both rank by squared L2 via the
+    ``list_sum(list_transform(list_zip(...)))`` fold the kmeans gate proves
+    bit-identical to Spark's zip_with/aggregate fold; the candidate relation
+    then feeds _duck_pq_sql's encode/ADC machinery — the composition mirrors
+    the Spark chain stage for stage."""
     qv = "[" + ",".join(f"'{float(x)!r}'::DOUBLE" for x in _pq_query_vec()) + "]"
     cand = f"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         c AS (SELECT vec_id AS cid, v AS cv FROM e0 WHERE vec_id BETWEEN 1 AND 8),
-        dots AS (
-          SELECT e0.vec_id, c.cid, list_dot_product(e0.v, c.cv) AS d
+        dists AS (
+          SELECT e0.vec_id, c.cid,
+                 list_sum(list_transform(list_zip(e0.v, c.cv),
+                                         x -> (x[1]-x[2])*(x[1]-x[2]))) AS d
           FROM e0 CROSS JOIN c WHERE e0.vec_id <> 0
         ),
-        mx AS (SELECT vec_id, MAX(d) AS md FROM dots GROUP BY vec_id),
-        -- MIN(cid) among max-dot centroids = Spark's first-index argmax
-        -- (centroid i has cid i+1), the ivf_topk oracle's tie rule
+        mn AS (SELECT vec_id, MIN(d) AS md FROM dists GROUP BY vec_id),
+        -- MIN(cid) among min-L2 centroids = Spark's first-index argmin
+        -- (centroid i has cid i+1)
         assign AS (
           SELECT d.vec_id, MIN(d.cid) AS cell
-          FROM dots d JOIN mx ON d.vec_id = mx.vec_id AND d.d = mx.md
+          FROM dists d JOIN mn ON d.vec_id = mn.vec_id AND d.d = mn.md
           GROUP BY d.vec_id
         ),
         probes AS (
           SELECT cid FROM c
-          ORDER BY list_dot_product({qv}, c.cv) DESC, cid ASC LIMIT 2
+          ORDER BY list_sum(list_transform(list_zip({qv}::DOUBLE[], c.cv),
+                                           x -> (x[1]-x[2])*(x[1]-x[2]))) ASC,
+                   cid ASC LIMIT 2
         ),
         e AS (
           SELECT e0.vec_id, e0.v
@@ -975,17 +980,27 @@ def _duck_ivfpq_sql(k_results: int = 10) -> str:
 
 def q_ivfpq_topk(spark, sf_dir):
     """The classic IVF-PQ stack (Jegou/Douze/Schmid IVFADC) as ONE gated
-    composition (r13): ivf_assign prunes every vector to its nearest coarse
-    centroid (embeddings 1..8, the ivf_topk quantizer), the 2 cells nearest
-    the formula query vector are probed, and pq_topk ADC-scores only the
-    survivors — the 100 TB ANN read path where the coarse cell is the
-    partition key and the codes column is what the scan touches. Both
-    stages are individually gated (ivf_topk, pq_topk); this row pins their
+    composition (r13; metric-consistent as of r14): ivf_assign prunes every
+    vector to its L2-nearest coarse centroid (embeddings 1..8, the same
+    quantizer rows ivf_topk uses), the 2 cells L2-nearest the formula query
+    vector are probed, and pq_topk ADC-scores only the survivors — the
+    100 TB ANN read path where the coarse cell is the partition key and the
+    codes column is what the scan touches. Assignment, probing and ADC all
+    use SQUARED L2 (r14, the real IVFADC shape): the r13 version probed by
+    max DOT while scoring by L2, and the 10x-vectors pruning cell measured
+    that mismatch at recall@10 = 0.0 vs the full ADC scan
+    (scripts/check_vectors_scaled.py --vecs=10; SCALING.md). Both stages
+    are individually gated (ivf_topk, pq_topk); this row pins their
     composition: the candidate set feeding ADC is the probe-pruned one, and
     adist stays bit-exact through the restriction."""
     from pyspark.sql import functions as F
 
-    from pyranges_1_x_spark.ml.similarity import dot, ivf_assign, pq_codebooks, pq_topk
+    from pyranges_1_x_spark.ml.similarity import (
+        ivf_assign,
+        pq_codebooks,
+        pq_topk,
+        sq_l2,
+    )
 
     _load(spark, sf_dir, ["embeddings"])
     emb = spark.table("embeddings").withColumn(
@@ -996,20 +1011,20 @@ def q_ivfpq_topk(spark, sf_dir):
         for r in emb.filter("vec_id BETWEEN 1 AND 8").orderBy("vec_id").collect()
     ]
     qv = _pq_query_vec()
-    # Probe ranking runs through the SAME Spark sequential-fold dot used by
+    # Probe ranking runs through the SAME Spark sequential-fold L2 used by
     # ivf_assign (8 rows — trivial), so the probe cells rely on the one
-    # Spark<->DuckDB fold-vs-list_dot_product pairing the ivf_topk gate
-    # already proves — not on Python's sum() also happening to match a
-    # future DuckDB summation-order change (ADVICE r13).
+    # Spark<->DuckDB fold-vs-list_sum pairing the kmeans gate already
+    # proves — not on Python arithmetic also happening to match a future
+    # DuckDB summation-order change (ADVICE r13).
     qlit = F.array(*[F.lit(float(x)) for x in qv])
     scored = [
         (int(r.vec_id) - 1, r.d)
         for r in emb.filter("vec_id BETWEEN 1 AND 8")
-        .select("vec_id", dot(F.col("embedding"), qlit).alias("d"))
+        .select("vec_id", sq_l2(F.col("embedding"), qlit).alias("d"))
         .collect()
     ]
-    probes = [i for i, _ in sorted(scored, key=lambda t: (-t[1], t[0]))[:2]]
-    cand = ivf_assign(emb.filter("vec_id <> 0"), cents).filter(
+    probes = [i for i, _ in sorted(scored, key=lambda t: (t[1], t[0]))[:2]]
+    cand = ivf_assign(emb.filter("vec_id <> 0"), cents, metric="l2").filter(
         F.col("__cell__").isin([int(p) for p in probes])
     )
     return pq_topk(cand, qv, pq_codebooks(), k=10).select("vec_id", "adist", "rank")

@@ -323,18 +323,56 @@ def kmeans_lloyd(
     return kmeans_assign(df, centroids, vec_col=vec_col), centroids
 
 
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 between two array columns as the 0.0-seeded sequential
+    fold — the ``dot`` numeric discipline, reproduced bit-identically by
+    DuckDB's ``list_sum(list_transform(list_zip(...)))`` (the pairing the
+    kmeans gate proves through two Lloyd rounds)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],
     *,
     vec_col: str = "embedding",
+    metric: str = "dot",
 ) -> DataFrame:
-    """Attach ``__cell__`` = index of the nearest centroid by inner product.
+    """Attach ``__cell__`` = index of the nearest centroid — by inner
+    product (metric="dot", the cosine-family default shared with
+    ``ivf_topk``) or by squared L2 (metric="l2", first index on ties),
+    the metrically-consistent choice when the fine stage is L2-based ADC
+    (``pq_topk``). r14: the ``--vecs=10`` pruning cell
+    (scripts/check_vectors_scaled.py) measured the dot-probe/L2-ADC
+    mismatch at recall@10 = 0.0 vs the full ADC scan — large-dot cells
+    hold LARGE vectors, which are L2-FAR from the query — so the IVFADC
+    composition (q_ivfpq_topk) now assigns and probes by L2. Measured
+    trade on the clustered 10x twin: 2/8 probes scan 25% and read
+    recall@10 = 1.0; the uniform twin is the negative control (recall
+    flat until the full scan — distance concentration makes Voronoi
+    pruning uninformative on unclustered 64-dim data, the measured form
+    of "IVF needs a trained/clustered quantizer"). SCALING.md has both
+    curves.
 
     The centroid list is a driver-side constant (coarse quantizers are tiny
     by construction — k ~ sqrt(N)); assignment is a codegen'd expression per
     row, no shuffle. At 100 TB the cell column becomes the table's partition
     or bucketing key so probes prune at the scan."""
+    if metric == "l2":
+        dists = F.array(
+            *[
+                sq_l2(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
+                for c in centroids
+            ]
+        )
+        # argmin: first index attaining the minimum (deterministic tie rule)
+        return df.withColumn(
+            "__cell__", (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+        )
     dots = F.array(
         *[dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
     )
@@ -432,19 +470,20 @@ def pq_codebooks(
 
 
 #: PQ scoring shape, r14 three-arm interleaved A/B (scripts/ab_pq_r14.py),
-#: all arms asserted BIT-IDENTICAL on both gates before timing:
+#: all arms asserted BIT-IDENTICAL on both gates before timing. Minima at
+#: sf0.1 (sf0.01 reads the same — the cost is per-row expression work):
 #:   "arrow"    — one vectorized pandas UDF does encode+ADC with the fold's
 #:                exact sequential summation order (numpy float64 elementwise
 #:                ops are IEEE-correct, ``acc += diff*diff`` over dims in
-#:                order IS the 0.0-seeded fold). sf0.01: pq_topk 0.44s,
-#:                ivfpq 1.30s. DEFAULT.
+#:                order IS the 0.0-seeded fold). pq_topk 0.43s,
+#:                ivfpq_topk 1.03s. DEFAULT.
 #:   "fold"     — HOF aggregate/zip_with folds: 128 CodegenFallback lambdas
-#:                per row, interpreted. sf0.01: 4.56s / 5.12s — the r13
-#:                volatility source (VERDICT r13 #3).
+#:                per row, interpreted. 5.0s / 5.6s — the r13 volatility
+#:                source (VERDICT r13 #3: 5.2-22.5s across same-code runs).
 #:   "unrolled" — left-assoc element_at chains: the ~32k-node expression
 #:                tree FAILS Janino compilation ("Failed to compile the
 #:                generated Java code") and the whole stage runs interpreted:
-#:                16.8s / 9.6s — the r6 ``dot()`` lesson holds even at
+#:                17.0s / 9.2s — the r6 ``dot()`` lesson holds even at
 #:                8-element chains. Kept only as the measured conclusion.
 _PQ_IMPL = "arrow"
 
@@ -667,17 +706,15 @@ def pq_topk(
     IVF-PQ stack. The m lookups accumulate 0.0-seeded in subspace order so
     the double compares bit-exactly cross-engine.
 
-    Plan shape (r14, VERDICT r13 #3): with the default unrolled impl this is
-    a THREE-step projection — (1) the m distance arrays as named columns,
-    (2) argmin per subspace over those bound columns, (3) the ADC lookup
-    chain over the bound codes — every expression codegen-able arithmetic /
-    array ops, zero CodegenFallback. Catalyst's CollapseProject leaves the
-    steps separate (the producing expressions aren't "cheap" and are
-    referenced twice), so each distance array and code is computed ONCE per
-    row inside one WholeStageCodegen stage. The old fold impl ran 128
-    aggregate/zip_with lambdas per row interpreted — the board's most
-    volatile query (5.2-22.5s across same-code r13 sessions); the interleaved
-    r14 A/B reads unrolled ~0.6s vs fold ~5.4s at sf0.1 (SCALING.md)."""
+    Plan shape (r14, VERDICT r13 #3): the default arrow impl scores in ONE
+    vectorized pandas UDF (see ``_pq_adist_arrow`` / ``_PQ_IMPL``) — the
+    interleaved three-arm A/B reads 0.43s (arrow) vs 5.0s (the old HOF fold,
+    128 interpreted CodegenFallback lambdas per row — the board's most
+    volatile query, 5.2-22.5s across same-code r13 sessions) vs 17.0s (the
+    unrolled element_at chain, which fails Janino compilation) at sf0.1,
+    bit-identical results asserted across all three arms before timing
+    (scripts/ab_pq_r14.py, SCALING.md). The non-arrow impls keep the
+    original expression shapes for A/B and as executable documentation."""
     table = pq_adc_table(query_vec, codebooks)
     impl = _PQ_IMPL
     if impl == "arrow":

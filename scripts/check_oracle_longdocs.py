@@ -91,6 +91,11 @@ DEFAULT_QUERIES = [
     # count scales exactly 10x (pretokens repeat verbatim; the repeat seam
     # adds a handful of new cross-seam pretokens both engines must agree on)
     "bpe_pairs",
+    # r14: the trainer+segmenter end-to-end gate on 10x text (VERDICT r13
+    # #2's "done" bar) — x10 pair counts can reorder ties against the
+    # sf-native table only if an engine's argmax diverges, and the
+    # segmentation md5 re-pins every token on the longer docs.
+    "bpe_segment",
     # NOT curation_pipeline: on repeat(text,10) every 30-gram is
     # self-repeated, so the strip stage (correctly) excises whole documents
     # and the quality filter drops everything — both engines agree on ZERO

@@ -2750,3 +2750,13 @@ def test_ivfpq_composition(spark):
     top = pq_topk(cand, q, cb, k=3).toPandas().sort_values("rank")
     assert list(top.vec_id) == [1, 2]   # vec 3 pruned by IVF, not ranked
     assert list(top.adist) == [0.0, 2.0]
+
+    # r14: metric="l2" (the metric-consistent IVFADC coarse stage the
+    # ivfpq_topk gate now runs) — same Voronoi split on this fixture, and
+    # argmin breaks ties on the FIRST index like the dot path's argmax.
+    a2 = ivf_assign(df, coarse, metric="l2").select("vec_id", "__cell__").toPandas()
+    assert dict(zip(a2.vec_id, a2.__cell__)) == {1: 0, 2: 0, 3: 1}
+    tie = spark.createDataFrame(
+        [(7, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert ivf_assign(tie, coarse, metric="l2").collect()[0]["__cell__"] == 0
