@@ -1794,7 +1794,12 @@ def q_bpe_segment(spark, sf_dir):
 
     _load(spark, sf_dir, ["documents"])
     docs = spark.table("documents")
-    merges = bpe_train(docs, n_merges=_BPE_SEGMENT_MERGES, min_pair_count=1)
+    # merge_batch cuts the trainer's job count; the merge TABLE is provably
+    # identical to sequential (the prefix-disjoint-strict rule, parity-pinned
+    # in pytest), so the segmentation and the oracle are untouched.
+    merges = bpe_train(
+        docs, n_merges=_BPE_SEGMENT_MERGES, min_pair_count=1, merge_batch=4
+    )
     seg = bpe_apply(docs, merges)
     return seg.select(
         "doc_id",

@@ -184,7 +184,10 @@ def bpe_train(
     any other picked pair's count, and the batched table equals the
     sequential table symbol-for-symbol (pinned by the parity test in
     tests/test_ml_and_seqs.py). merge_batch=1 (default) is the textbook
-    loop; merge_batch=B cuts jobs up to B-fold on real Zipf corpora.
+    loop; merge_batch=B cuts jobs up to B-fold on real Zipf corpora
+    (interleaved r14 measurement, 64 merges at sf0.01: batch=8 9.5-13.2s
+    vs sequential 15.8-20.7s, merge tables identical — early merges batch
+    well, the tail degenerates toward sequential as counts tie).
     """
     if n_merges < 0:
         raise ValueError("n_merges must be >= 0")
