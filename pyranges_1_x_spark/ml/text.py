@@ -228,23 +228,36 @@ def bpe_train(
         # Batched-merge safety (provably == sequential; parity-pinned):
         # the batch must be a PREFIX p1..pk of this round's rank order with
         # (i) pairwise symbol-disjoint pairs — so fusing any batch pair
-        # cannot change another batch pair's count — and (ii) count(pk)
-        # STRICTLY greater than the (k+1)-th pair's count. (ii) suffices
-        # because every non-batch pair ranks <= p_{k+1} (prefix + (i): an
-        # overlapping pair inside the prefix truncates the batch before
-        # it), existing pair counts only decrease under fusion, and every
-        # NEW pair (x, ab) / (ab, y) spawned by fusing (a,b) is bounded by
-        # the count of an existing pair sharing a symbol with (a,b) —
-        # which is outside the batch, hence < count(pk). So the sequential
-        # trainer provably picks exactly p1..pk in this order.
+        # cannot change another batch pair's count; (ii) count(pk)
+        # STRICTLY greater than the (k+1)-th pair's count; and (iii) every
+        # pick pj STRICTLY out-counting floor(ci/2) for each earlier
+        # SELF-pair pick pi = (a,a). Why these suffice: every non-batch
+        # pair ranks <= p_{k+1} (prefix + (i): an overlapping pair inside
+        # the prefix truncates the batch before it), existing pair counts
+        # only decrease under fusion, and every NEW pair spawned by fusing
+        # (a,b) is bounded either by the count of an existing pair sharing
+        # a symbol with (a,b) — outside the batch by (i), hence < count(pk)
+        # by (ii) — or, for the one self-bounded case (aa,aa) spawned by a
+        # SELF pick (a,a) ("aaaa" -> "aa aa": no distinct existing pair
+        # witnesses it), by floor(count(a,a)/2), which (iii) keeps below
+        # every later pick. So the sequential trainer provably picks
+        # exactly p1..pk in this order.
         batch: list[tuple[str, str]] = []
         used: set[str] = set()
+        self_bound = -1  # max floor(ci/2) over picked self-pairs
         for row in top[:want]:
-            if row["c"] < min_pair_count or row["lhs"] in used or row["rhs"] in used:
+            if (
+                row["c"] < min_pair_count
+                or row["lhs"] in used
+                or row["rhs"] in used
+                or row["c"] <= self_bound
+            ):
                 break
             batch.append((row["lhs"], row["rhs"]))
             used.add(row["lhs"])
             used.add(row["rhs"])
+            if row["lhs"] == row["rhs"]:
+                self_bound = max(self_bound, row["c"] // 2)
         while (
             len(batch) > 1
             and len(top) > len(batch)

@@ -2172,6 +2172,19 @@ def test_bpe_train_and_apply_match_reference(spark):
     seq_m = bpe_train(tricky, 10, min_pair_count=1)
     for b in (2, 3, 8):
         assert bpe_train(tricky, 10, min_pair_count=1, merge_batch=b) == seq_m, b
+    # the SELF-PAIR spawn hole (found by re-deriving the safety proof, r14):
+    # fusing (a,a) on runs spawns (aa,aa) with count ~ floor(c/2), which no
+    # out-of-batch pair witnesses — here (a,a)=140 spawns (aa,aa)=60, which
+    # the sequential trainer picks at round 2 OVER the disjoint (c,d)=50 a
+    # bound-free batcher would have taken in round 1's batch. Rule (iii)
+    # (self_bound) must truncate the batch to [(a,a)] alone.
+    selfy = spark.createDataFrame(
+        [(1, "aaaaaaaa")] * 20 + [(2, "cd " * 50)],
+        "doc_id long, text string",
+    )
+    seq_s = bpe_train(selfy, 6, min_pair_count=1)
+    for b in (2, 4):
+        assert bpe_train(selfy, 6, min_pair_count=1, merge_batch=b) == seq_s, b
 
     seg = bpe_apply(
         spark.createDataFrame([(w,) for w in wc], "text string"), got, out_col="s"
