@@ -1801,10 +1801,15 @@ def q_bpe_segment(spark, sf_dir):
         docs, n_merges=_BPE_SEGMENT_MERGES, min_pair_count=1, merge_batch=4
     )
     seg = bpe_apply(docs, merges)
+    # NULL text -> bpe_apply returns NULL tokens; the DuckDB twin's LEFT
+    # JOIN coalesces such docs to (0, md5('')). Match that here so a future
+    # fixture (or user corpus) with NULL text cannot flip the gate (review
+    # find, r14 — current fixtures carry none, this is belt-and-braces).
     return seg.select(
         "doc_id",
-        F.size("bpe_tokens").cast("long").alias("n_tokens"),
-        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("tokens_md5"),
+        F.coalesce(F.size("bpe_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+        F.md5(F.coalesce(F.concat_ws("\x1f", "bpe_tokens"), F.lit("")))
+        .alias("tokens_md5"),
     )
 
 

@@ -927,11 +927,15 @@ def repeated_substring_spans(
         # when the threshold is production-sized (1-10M). A small threshold
         # (ADVICE r13: e.g. 2) routes essentially every repeated gram
         # through the broadcast, an unbounded distinct-hash relation that
-        # can OOM the driver at corpus scale. Below the floor, spend one
-        # cheap LIMIT-bounded count on the (tiny-by-assumption) hot side
-        # and fail loudly instead of broadcasting blind; at production
-        # thresholds the bound itself is the guarantee and no extra job
-        # runs.
+        # can OOM the driver at corpus scale. Below the floor, verify the
+        # hot side before broadcasting and fail loudly instead of OOMing.
+        # Honest cost note (r14 review): the LIMIT bounds only the rows
+        # SURVIVING the aggregation, so this guard is one extra full
+        # map-side-partial pair-count pass over the gram relation on the
+        # guarded (small-threshold) path — acceptable where that path is
+        # legitimate (tests, small corpora), and at production thresholds
+        # (>= 100k) the total_grams/threshold bound itself is the
+        # guarantee and no extra job runs.
         if hot_gram_threshold < 100_000:
             cap = 4_000_000  # 64-bit hashes: ~32 MB broadcast
             if hot.limit(cap + 1).count() > cap:

@@ -362,6 +362,11 @@ def ivf_assign(
     by construction — k ~ sqrt(N)); assignment is a codegen'd expression per
     row, no shuffle. At 100 TB the cell column becomes the table's partition
     or bucketing key so probes prune at the scan."""
+    if metric not in ("dot", "l2"):
+        # fail loudly: a typo ("L2", "euclidean") silently falling through
+        # to the dot path would recreate the exact probe/ADC metric
+        # mismatch the r14 pruning cell measured at recall 0 (review find)
+        raise ValueError(f"metric must be 'dot' or 'l2', got {metric!r}")
     if metric == "l2":
         dists = F.array(
             *[
@@ -369,17 +374,26 @@ def ivf_assign(
                 for c in centroids
             ]
         )
-        # argmin: first index attaining the minimum (deterministic tie rule)
+        # argmin: first index on ties; bind=True evaluates the k
+        # CodegenFallback folds ONCE per row (this is the per-vector
+        # 100 TB assignment scan — the bare duplicated argmin shape would
+        # double it; review find)
         return df.withColumn(
-            "__cell__", (F.array_position(dists, F.array_min(dists)) - 1).cast("long")
+            "__cell__", _pq_argmin(dists, bind=True).cast("long")
         )
     dots = F.array(
         *[dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])) for c in centroids]
     )
-    # argmax: first index attaining the maximum (deterministic tie rule)
-    return df.withColumn(
-        "__cell__", (F.array_position(dots, F.array_max(dots)) - 1).cast("long")
+    # argmax: first index attaining the maximum (deterministic tie rule);
+    # the one-element-transform idiom binds the k fold expressions so they
+    # evaluate once per row, not twice (r14 review find, same as the l2 arm)
+    pos = F.element_at(
+        F.transform(
+            F.array(dots), lambda dl: F.array_position(dl, F.array_max(dl))
+        ),
+        1,
     )
+    return df.withColumn("__cell__", (pos - 1).cast("long"))
 
 
 def ivf_topk(
@@ -570,8 +584,10 @@ def pq_encode(
 
     Numeric discipline: each distance is the left-assoc 0.0-seeded sequence
     ``((0.0+d*d)+d*d)+...`` — identical IEEE rounding whether emitted as the
-    HOF fold (impl="fold") or the unrolled codegen chain (impl="unrolled",
-    default; r14 A/B). DuckDB's ``list_sum(list_transform(...))`` reproduces
+    HOF fold (impl="fold", the effective default for this expression-level
+    API) or the unrolled chain (impl="unrolled" — kept ONLY as the measured
+    Janino-fallback conclusion; do not use it on production-sized
+    codebooks). DuckDB's ``list_sum(list_transform(...))`` reproduces
     it bit-identically (proven through the kmeans gate), so argmin agrees
     across engines unconditionally — no margin assumptions needed. The
     per-subspace distance ARRAY is bound once as a lambda variable (the
@@ -579,6 +595,12 @@ def pq_encode(
     the k distances twice.
     """
     impl = impl or _PQ_IMPL
+    if impl == "arrow":
+        # "arrow" is a pq_topk SCORING shape (one UDF computes codes+adist
+        # fused); the expression-level encode API keeps the HOF fold — the
+        # unrolled shape would silently hand a large codebook to the
+        # Janino-fallback path (the measured 17s regression).
+        impl = "fold"
     return F.array(
         *[
             _pq_argmin(arr, bind=(impl == "fold"))
@@ -625,7 +647,11 @@ def _pq_adist_arrow(
     elements) return NULL and are dropped by the caller — for null/short
     that's exactly the fold semantics; a NaN-element vector gets NaN adist
     under the fold and sorts LAST (Spark treats NaN as greatest), so
-    dropping it leaves the same top-k whenever k finite rows exist."""
+    dropping it leaves the same top-k whenever k finite rows exist. The one
+    residual divergence (documented trade, r14 review): with FEWER than k
+    finite rows the fold impl NaN-pads the tail of the top-k while this
+    impl returns only the finite rows — a row whose distance is undefined
+    has no defensible rank."""
     import numpy as np
     import pandas as pd
 

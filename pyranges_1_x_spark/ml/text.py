@@ -146,6 +146,24 @@ def _merge_adjacent(symbols: Column, lhs: str, rhs: str) -> Column:
     )
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly release a ``localCheckpoint``'ed DataFrame's persisted blocks.
+
+    ``DataFrame.unpersist()`` is a NO-OP here (r14 review find, verified on
+    PySpark 4.1.2): it clears cacheManager entries, but a local checkpoint's
+    blocks are persisted directly on the internal RDD wrapped by the
+    checkpoint's ``LogicalRDD`` plan node — not registered with the cache
+    manager — and even dropping the Python reference leaves cleanup to the
+    async ContextCleaner. Reaching the RDD through the analyzed plan and
+    unpersisting IT frees the blocks immediately (persistent-RDD count
+    drops, measured). Plan-internals access is wrapped so any API drift
+    degrades to the old GC-eventually behavior, never an error."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — best-effort; ContextCleaner fallback
+        pass
+
+
 def bpe_train(
     df: DataFrame,
     n_merges: int,
@@ -273,10 +291,11 @@ def bpe_train(
         if rewrites_since_ckpt >= checkpoint_every:
             new_anchor = words.localCheckpoint()
             # The new checkpoint is materialized (eager); the old one's
-            # blocks are dead weight — drop them now instead of leaving
+            # blocks are dead weight — free them NOW instead of leaving
             # n_merges/checkpoint_every relations to ContextCleaner
-            # (ADVICE r13, mirroring dedup.py's persist->ckpt->unpersist).
-            anchor.unpersist()
+            # (ADVICE r13; the naive DataFrame.unpersist() is a no-op on
+            # local checkpoints — see _free_local_checkpoint).
+            _free_local_checkpoint(anchor)
             words = anchor = new_anchor
             rewrites_since_ckpt = 0
     return merges
