@@ -640,6 +640,38 @@ def q_boilerplate_lines(spark, sf_dir):
     )
 
 
+def q_para_dedup(spark, sf_dir):
+    """Paragraph-level first-occurrence dedup (r14, ml/text.py
+    dedup_paragraphs — the MassiveText/RefinedWeb stage between line-level
+    boilerplate stripping and document-level dedup). The source docs are
+    single-paragraph, so the gate injects paragraph structure BY FORMULA on
+    both engines (the boilerplate_lines precedent): a corpus-universal promo
+    paragraph and a copyright paragraph (each survives only in the smallest
+    doc_id that carries it), plus a "ref #k" paragraph shared by every 7th
+    doc (7 survivors). The lead paragraph is the original text, so the
+    corpus's natural exact-dup groups dedup it too — keep-first must pick
+    the group's smallest doc_id. Output pins the rebuilt text by md5."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.text import dedup_paragraphs
+
+    _load(spark, sf_dir, ["documents"])
+    pp = F.lit("\n\n")
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"), pp,
+            F.lit("SHARE THIS ARTICLE ON SOCIAL MEDIA"), pp,
+            F.lit("Copyright (c) Example Corp. All rights reserved."), pp,
+            F.lit("ref #"), (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(docs)
+    return out.select(
+        "doc_id", "n_removed", "n_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
 def q_repeated_spans(spark, sf_dir):
     """Exact-substring repeat spans (ml/dedup.py repeated_substring_spans —
     the Lee et al. substring-dedup core): maximal character regions whose
@@ -2756,18 +2788,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     r14 window (50) = the 12 r11-gated queries at their rule-(a) HARD
     DEADLINE (simes .. extend — VERDICT r13 directive #1, listed first so a
-    harness death cannot cost the invariant) + bpe_segment (NEW: the
-    trainer+segmenter end-to-end gate, VERDICT r13 #2) + pq_topk and
+    harness death cannot cost the invariant) + the two queries NEW this
+    round (bpe_segment: the trainer+segmenter end-to-end gate, VERDICT r13
+    #2; para_dedup: paragraph-level first-occurrence dedup) + pq_topk and
     ivfpq_topk (driver-green r13 but their SCORING PATH CHANGED this round:
     the r14 arrow ADC impl, VERDICT r13 #3 — changed code re-gates
-    immediately) + 35 of the 50 r12-green queries (the oldest outstanding
-    deadline class: r12-gated queries must re-gate by r15, so 35 go now and
-    the 15 below roll to their r15 deadline). Iterative CC queries
+    immediately) + 34 of the 50 r12-green queries (the oldest outstanding
+    deadline class: r12-gated queries must re-gate by r15, so 34 go now and
+    the 16 below roll to their r15 deadline). Iterative CC queries
     (dedup_clusters, semantic_dedup) run LAST inside the window — the r12
     "iterative queries last" discipline.
 
-    Roll-to-r15 list (15, each r12-green with deadline r15, each justified
+    Roll-to-r15 list (16, each r12-green with deadline r15, each justified
     per rule (b)):
+      coverage_ratio — rides the event-sweep coverage path gated by
+        coverage (in window) and the to_bigwig write gated by
+        bigwig_roundtrip (in window; same divide/log2 projection);
       downstream_flank — strand-mirror of upstream_flank (in window; one
         shared flank helper in operators/local_coords.py);
       join_first / join_contained — interval_join planner siblings of
@@ -2811,12 +2847,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_10_60": q_slice_10_60,
         "window_ranges": q_window_ranges,
         "extend": q_extend,
-        # --- NEW this round: trainer+segmenter end-to-end (VERDICT r13 #2) ---
+        # --- NEW this round: trainer+segmenter end-to-end (VERDICT r13 #2)
+        # and paragraph-level first-occurrence dedup ---
         "bpe_segment": q_bpe_segment,
+        "para_dedup": q_para_dedup,
         # --- r13-green but r14-CHANGED code: the arrow ADC scoring path ---
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
-        # --- 35 r12-green fills (deadline r15; iterative CC queries last) ---
+        # --- 34 r12-green fills (deadline r15; iterative CC queries last) ---
         "upstream_flank": q_upstream_flank,
         "overlap_slack": q_overlap_slack,
         "reldist": q_reldist,
@@ -2832,7 +2870,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_left": q_join_left,
         "join_same_strand": q_join_same_strand,
         "intersect": q_intersect,
-        "coverage_ratio": q_coverage_ratio,
         "fisher": q_fisher,
         "clip": q_clip,
         "complement": q_complement,
@@ -2853,8 +2890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
         # --- past the 50-row driver window: local gate only this round ---
-        # Roll-to-r15 (15): r12-green, each with a rule-(b) sibling —
+        # Roll-to-r15 (16): r12-green, each with a rule-(b) sibling —
         # see the docstring.
+        "coverage_ratio": q_coverage_ratio,
         "downstream_flank": q_downstream_flank,
         "join_first": q_join_first,
         "join_contained": q_join_contained,
@@ -3283,6 +3321,52 @@ def oracle_sql() -> dict[str, str]:
             FROM mr m JOIN sp p
               ON p.doc_id = m.doc_id AND p.Start >= m.s AND p."End" <= m.e
             GROUP BY m.doc_id, m.s, m.e
+        """,
+        "para_dedup": """
+            -- Twin of q_para_dedup: same formula paragraph injection, then
+            -- corpus-wide keep-first by (doc_id, pos) per distinct
+            -- paragraph (blank/short exempt), string_agg reassembly in
+            -- original position order. rn partitions are cand-pure: cand
+            -- is a function of the paragraph STRING alone.
+            WITH d AS (
+              SELECT doc_id,
+                     text || chr(10)||chr(10) || 'SHARE THIS ARTICLE ON SOCIAL MEDIA'
+                          || chr(10)||chr(10) || 'Copyright (c) Example Corp. All rights reserved.'
+                          || chr(10)||chr(10) || 'ref #' || CAST(doc_id % 7 AS VARCHAR)
+                       AS text
+              FROM documents
+            ),
+            sp AS (
+              SELECT doc_id, string_split(text, chr(10)||chr(10)) AS ps FROM d
+            ),
+            p AS (
+              SELECT doc_id, unnest(ps) AS para,
+                     unnest(range(len(ps))) AS pos
+              FROM sp
+            ),
+            t AS (
+              SELECT doc_id, pos, para,
+                     (trim(para) <> '' AND length(para) >= 1) AS cand,
+                     ROW_NUMBER() OVER (PARTITION BY para
+                                        ORDER BY doc_id, pos) AS rn
+              FROM p
+            ),
+            k AS (
+              SELECT doc_id, pos, para, (NOT cand OR rn = 1) AS kept FROM t
+            ),
+            a AS (
+              SELECT doc_id,
+                     COALESCE(string_agg(para, chr(10)||chr(10) ORDER BY pos)
+                                FILTER (WHERE kept), '') AS ct,
+                     COUNT(*) FILTER (WHERE NOT kept) AS nr,
+                     COUNT(*) FILTER (WHERE kept) AS nk
+              FROM k GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.nr, 0) AS BIGINT) AS n_removed,
+                   CAST(COALESCE(a.nk, 0) AS BIGINT) AS n_kept,
+                   md5(COALESCE(a.ct, '')) AS clean_md5
+            FROM d LEFT JOIN a USING (doc_id)
         """,
         "boilerplate_lines": """
             WITH d AS (

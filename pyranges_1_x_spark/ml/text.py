@@ -856,6 +856,84 @@ def remove_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 1,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the MassiveText/RefinedWeb curation
+    stage between line-level boilerplate stripping and document-level
+    dedup): every exact paragraph keeps ONLY its first occurrence in the
+    corpus — "first" is the lexicographically smallest (``id_col``,
+    paragraph position), deterministic on any partitioning — and every
+    later occurrence is dropped; each document is reassembled from its
+    surviving paragraphs in original order. Paragraphs are "\\n\\n"-split
+    spans (split-on-literal + join-with-literal round-trips any text
+    byte-exactly, including runs of 3+ newlines). Blank/whitespace-only
+    paragraphs and those under ``min_len`` chars are kept verbatim and
+    never deduped. Every input column passes through untouched (the
+    scrub_pii convention); the rebuilt text lands in ``out_col`` — pass
+    ``out_col=text_col`` to strip in place — plus ``n_removed`` /
+    ``n_kept`` paragraph counts. A doc with no "\\n\\n" is one paragraph,
+    so single-paragraph corpora degrade to document-level first-occurrence
+    dedup, which is the correct limit.
+
+    Scale shape: one posexplode scan → one paragraph-keyed hash aggregate
+    (MIN over the (doc, pos) struct — map-side-partial, key cardinality =
+    distinct paragraphs, well spread) → paragraph-keyed join back (a
+    mirrored-everywhere paragraph skews the key: the AQE skew-join case)
+    → one per-doc reassembly aggregate. Zero UDFs; no all-pairs, no
+    corpus-sized shuffle beyond the two keyed aggregations.
+    """
+    did = F.col(id_col)
+    paras = df.select(
+        did,
+        F.posexplode(F.split(F.col(text_col), "\\n\\n")).alias("__pos__", "__p__"),
+    )
+    cand = (F.trim(F.col("__p__")) != "") & (F.length("__p__") >= min_len)
+    first = (
+        paras.filter(cand)
+        .groupBy("__p__")
+        .agg(
+            F.min(
+                F.struct(did.alias("d"), F.col("__pos__").alias("p"))
+            ).alias("__first__")
+        )
+    )
+    tagged = paras.join(first, on="__p__", how="left")
+    kept = F.col("__first__").isNull() | (
+        F.struct(did.alias("d"), F.col("__pos__").alias("p")) == F.col("__first__")
+    )
+    agg = tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("__pos__"), F.col("__p__")))
+                    )
+                ),
+                lambda s: s["__p__"],
+            ),
+        ).alias("__ct__"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("__nr__"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("__nk__"),
+    )
+    joined = df.join(agg, on=id_col, how="left")
+    clean = F.coalesce(F.col("__ct__"), F.lit(""))
+    cols = [clean.alias(out_col) if c == out_col else F.col(c) for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(clean.alias(out_col))
+    return joined.select(
+        *cols,
+        F.coalesce(F.col("__nr__"), F.lit(0)).cast("long").alias("n_removed"),
+        F.coalesce(F.col("__nk__"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 def lm_bigram_score(
     df: DataFrame,
     text_col: str = "text",

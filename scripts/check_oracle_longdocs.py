@@ -118,6 +118,11 @@ REPLICATE_QUERIES = [
     # whole-text span per copy (the shape a dedup pipeline faces on a
     # crawl with heavy mirroring).
     "repeated_spans",
+    # r14: paragraph keep-first under corpus duplication — every copy's
+    # lead paragraph is a corpus-wide duplicate, so exactly ONE copy per
+    # dup-group keeps it (the smallest remapped doc_id) and the md5 pins
+    # the reassembly on all the rest.
+    "para_dedup",
 ]
 #: --skew-source roster: the group-quota operators, whose scale story IS
 #: "few huge groups" — the twin remaps ~95% of docs onto one source, the

@@ -2214,6 +2214,62 @@ def test_bpe_train_and_apply_match_reference(spark):
         assert sp == pat.findall(u), u
 
 
+def test_dedup_paragraphs(spark):
+    """Paragraph-level first-occurrence dedup (ml/text.py dedup_paragraphs):
+    corpus-wide keep-first by (doc_id, position), blank/short paragraphs
+    exempt, byte-exact reassembly (split-on-literal + join-with-literal
+    round-trips \\n\\n\\n runs), NULL text -> empty clean text."""
+    from pyranges_1_x_spark.ml.text import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nshared promo\n\nbeta"),
+            (2, "shared promo\n\ngamma\n\nalpha"),
+            (3, "gamma\n\n\ndelta"),
+            (4, ""),
+            (5, None),
+            (6, "  \n\nshared promo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert out[1]["clean_text"] == "alpha\n\nshared promo\n\nbeta"
+    assert (out[1]["n_removed"], out[1]["n_kept"]) == (0, 3)
+    # doc2: "shared promo" first seen at (1,1), "alpha" at (1,0) -> dropped
+    assert out[2]["clean_text"] == "gamma"
+    assert (out[2]["n_removed"], out[2]["n_kept"]) == (2, 1)
+    # "gamma\n\n\ndelta" splits as ["gamma", "\ndelta"]; "gamma" first at
+    # (2,1) -> dropped here; "\ndelta" (distinct from "delta") kept
+    assert out[3]["clean_text"] == "\ndelta"
+    assert (out[3]["n_removed"], out[3]["n_kept"]) == (1, 1)
+    # empty text: one blank paragraph, kept verbatim
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 1
+    # NULL text: no paragraphs at all
+    assert out[5]["clean_text"] == ""
+    assert (out[5]["n_removed"], out[5]["n_kept"]) == (0, 0)
+    # blank paragraph kept even when its neighbor is a corpus dup
+    assert out[6]["clean_text"] == "  "
+    assert (out[6]["n_removed"], out[6]["n_kept"]) == (1, 1)
+
+    # min_len exempts short paragraphs from dedup entirely
+    out2 = {
+        r["doc_id"]: r
+        for r in dedup_paragraphs(docs, min_len=6).collect()
+    }
+    assert out2[2]["clean_text"] == "gamma\n\nalpha"  # both under 6 chars
+    # in-place rewrite + passthrough columns
+    inp = dedup_paragraphs(docs, out_col="text")
+    assert inp.columns == ["doc_id", "text", "n_removed", "n_kept"]
+
+    # round-trip identity: a corpus with no cross-doc duplicate paragraphs
+    # reassembles byte-exactly, whatever the newline structure
+    weird = spark.createDataFrame(
+        [(1, "a\n\n\n\nb\nc\n\n"), (2, "x\n\n\ny")], "doc_id long, text string"
+    )
+    w = {r["doc_id"]: r["clean_text"] for r in dedup_paragraphs(weird).collect()}
+    assert w == {1: "a\n\n\n\nb\nc\n\n", 2: "x\n\n\ny"}
+
+
 def test_bpe_train_checkpoint_rotation_frees_blocks(spark):
     """The trainer's checkpoint rotation must FREE superseded localCheckpoint
     blocks, not merely drop references: DataFrame.unpersist() is a no-op on
