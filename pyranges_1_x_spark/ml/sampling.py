@@ -36,8 +36,12 @@ def _bucket_shift(hash_fn, bucket_bits: int) -> int:
 def hash_keep(key: Column, fraction: float, seed: int = 0, hash_fn=md5_hash64) -> Column:
     """Boolean keep-decision: ``hash(key, seed) mod 1e6 < fraction * 1e6``.
     Changing ``seed`` draws an independent subset; fractions are honored in
-    expectation with deterministic membership."""
-    return F.pmod(hash_fn(key, seed), F.lit(_DENOM)) < F.lit(int(fraction * _DENOM))
+    expectation with deterministic membership. The threshold ROUNDS (r14
+    review find): ``int()`` truncation misclassified one hash residue per
+    million for fractions that are not exact binary floats (0.29 * 1e6 =
+    289999.99999999994 truncates to 289999, biasing the realized fraction
+    low against the documented formula)."""
+    return F.pmod(hash_fn(key, seed), F.lit(_DENOM)) < F.lit(round(fraction * _DENOM))
 
 
 def hash_sample(
@@ -70,11 +74,11 @@ def stratified_sample(
     """
     pairs: list[Column] = []
     for s, f in fractions.items():
-        pairs += [F.lit(s), F.lit(int(f * _DENOM))]
+        pairs += [F.lit(s), F.lit(round(f * _DENOM))]  # round, not truncate (see hash_keep)
     thresh = (
         F.coalesce(
             F.create_map(*pairs)[F.col(strata_col)],
-            F.lit(int(default * _DENOM)),
+            F.lit(round(default * _DENOM)),
         )
         if pairs
         else F.lit(int(default * _DENOM))
@@ -131,10 +135,22 @@ def pack_training_examples(
     else:
         from pyranges_1_x_spark.ml.text import nonempty_tokens
 
-        nt = F.size(nonempty_tokens(F.col(text_col))).cast("long")
+        # NULL text counts 0 tokens: a bare size(NULL) is NULL, which would
+        # give this doc NULL offsets while the window sums silently skip it
+        # (r14 review find); zero keeps the tiling invariant exact.
+        nt = F.coalesce(
+            F.size(nonempty_tokens(F.col(text_col))), F.lit(0)
+        ).cast("long")
     shift = _bucket_shift(hash_fn, bucket_bits)
+    # NULL ids are excluded up front (r14 review find): a NULL key hashes to
+    # a NULL bucket, whose rows can never equi-join their offset back —
+    # but, unguarded, the NULL bucket's token total still entered the
+    # prefix-offset window (NULLS FIRST) and shifted EVERY real doc's
+    # start_offset. A row without identity has no stable place in a
+    # deterministic order; dropping it corrupts nothing else.
     d = (
-        df.select(F.col(id_col), nt.alias("__nt__"))
+        df.filter(F.col(id_col).isNotNull())
+        .select(F.col(id_col), nt.alias("__nt__"))
         .withColumn("__h__", hash_fn(F.col(id_col), seed))
         .withColumn("__bkt__", F.shiftright("__h__", shift))
     )
@@ -300,11 +316,24 @@ def token_quota_sample(
     else:
         from pyranges_1_x_spark.ml.text import nonempty_tokens
 
-        nt = F.size(nonempty_tokens(F.col(text_col))).cast("long")
+        # NULL text counts 0 tokens (see pack_training_examples)
+        nt = F.coalesce(
+            F.size(nonempty_tokens(F.col(text_col))), F.lit(0)
+        ).cast("long")
     kept = _grouped_prefix_keep(
         df, group_col, key_col, seed, hash_fn, bucket_bits, nt, token_budget
     )
-    return kept.select(*df.columns, F.col("__m__").alias("n_tokens"))
+    # n_tokens substitutes IN PLACE when the input already carries that
+    # column (the quota_sample out_col convention) — appending it too would
+    # emit a duplicate-named column (r14 review find, the same class the
+    # r12 quota_sample fix covered).
+    out_cols = [
+        F.col("__m__").alias("n_tokens") if c == "n_tokens" else F.col(c)
+        for c in df.columns
+    ]
+    if "n_tokens" not in df.columns:
+        out_cols.append(F.col("__m__").alias("n_tokens"))
+    return kept.select(*out_cols)
 
 
 def deterministic_shuffle(
@@ -333,7 +362,11 @@ def deterministic_shuffle(
     if not 1 <= bucket_bits <= 40:
         raise ValueError("bucket_bits must be in [1, 40]")
     shift = _bucket_shift(hash_fn, bucket_bits)
-    d = df.withColumn("__h__", hash_fn(F.col(key_col), seed)).withColumn(
+    # NULL keys are excluded up front — same offset-corruption mechanism as
+    # pack_training_examples (r14 review find)
+    d = df.filter(F.col(key_col).isNotNull()).withColumn(
+        "__h__", hash_fn(F.col(key_col), seed)
+    ).withColumn(
         "__bkt__", F.shiftright("__h__", shift)
     )
     wl = Window.partitionBy("__bkt__").orderBy(F.col("__h__").asc(), F.col(key_col).asc())

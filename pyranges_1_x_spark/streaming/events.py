@@ -17,6 +17,7 @@ def windowed_event_stats(
     *,
     ts_col: str = "ts",
     key_col: str = "event_type",
+    value_col: str = "value",
     window_duration: str = "1 hour",
     slide: str | None = None,
     watermark: str = "2 hours",
@@ -37,7 +38,7 @@ def windowed_event_stats(
         d.groupBy(win.alias("w"), F.col(key_col))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(value_col).alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -55,16 +56,19 @@ def sessionize(
     *,
     ts_col: str = "ts",
     user_col: str = "user_id",
+    value_col: str = "value",
     gap: str = "30 minutes",
     watermark: str = "2 hours",
 ) -> DataFrame:
-    """Session windows per user (gap-based). Streaming-safe via session_window."""
+    """Session windows per user (gap-based). Streaming-safe via
+    session_window. ``value_col`` names the summed metric column (r14 —
+    previously hardcoded to 'value', unusable on other schemas)."""
     d = events
     if d.isStreaming:
         d = d.withWatermark(ts_col, watermark)
     return (
         d.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(user_col))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(value_col).alias("sum_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
@@ -81,12 +85,22 @@ def _welford_scan(rows, count, mean, m2, z_threshold):
     ``rows`` yields (payload, value); emits (payload, value, z, n_seen) for
     each value deviating > z_threshold sample stddevs from the state BEFORE
     it, and returns the updated (count, mean, m2).
+
+    Non-finite values (NULL arrives as NaN through pandas) are SKIPPED
+    entirely — no alert, no state update (r14 review find: folding one NaN
+    made mean/m2 NaN forever, permanently blinding the key with no error).
+    Documented semantics at sd == 0: a deviation right after a constant
+    history is NOT alerted (z is undefined with zero variance); the
+    threshold applies only once variance exists. Both twins share this
+    rule, so batch/stream/oracle parity holds.
     """
     import math
 
     out = []
     for payload, v in rows:
         v = float(v)
+        if not math.isfinite(v):
+            continue
         if count >= 2:
             sd = math.sqrt(m2 / (count - 1))
             if sd > 0 and abs(v - mean) / sd > z_threshold:
@@ -183,16 +197,18 @@ def running_anomalies(
     from pyspark.sql.types import (
         DoubleType,
         LongType,
-        StringType,
         StructField,
         StructType,
-        TimestampType,
     )
 
+    # key/ts field types COPY the input schema (r14 review find: hardcoded
+    # StringType/TimestampType broke any non-string key and silently
+    # diverged from the batch twin, which always derived them)
+    in_schema = {f.name: f for f in events.schema.fields}
     out_schema = StructType(
         [
-            StructField(key_col, StringType()),
-            StructField(ts_col, TimestampType()),
+            in_schema[key_col],
+            in_schema[ts_col],
             StructField(value_col, DoubleType()),
             StructField("zscore", DoubleType()),
             StructField("n_seen", LongType()),
@@ -299,12 +315,25 @@ def stream_dedup_against_store(
     Batch input degrades to ``dropDuplicates`` on the signature, same
     contract as ``streaming_dedup``.
     """
+    from pyspark.sql import Window
+
     from pyranges_1_x_spark.ml.text import fingerprint
 
     s = stream.withColumn(sig_col, fingerprint(F.col(text_col)))
     s = s.join(store.select(sig_col).distinct(), on=sig_col, how="left_anti")
     if not stream.isStreaming:
-        return s.dropDuplicates([sig_col])
+        # batch degrade keeps the SMALLEST id per signature — the exact
+        # rule of the batch twin ml.dedup.dedup_against_store, so the two
+        # entry points agree row-for-row on batch input (r14 review find:
+        # id_col was accepted and silently ignored, leaving an arbitrary
+        # survivor). The streaming path keeps first ARRIVAL by contract —
+        # event order, not id order — documented above.
+        w = Window.partitionBy(sig_col).orderBy(F.col(id_col).asc())
+        return (
+            s.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") == 1)
+            .drop("__rn__")
+        )
     return s.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         [sig_col]
     )

@@ -79,8 +79,12 @@ def windowed_interval_coverage(
     d = events
     if d.isStreaming:
         d = d.withWatermark(ts_col, watermark)
-    lo = F.floor(F.col(nm.START_COL) / bin_size)
-    hi = F.greatest(lo, F.floor((F.col(nm.END_COL) - 1) / bin_size))
+    # exact integer floordiv (r14 review find: the float division this
+    # re-implemented loses precision above 2^53 — the precise hole
+    # plans/interval_join.floordiv exists to close; annotate_stream eight
+    # lines down already used it)
+    lo = floordiv(F.col(nm.START_COL), bin_size)
+    hi = F.greatest(lo, floordiv(F.col(nm.END_COL) - 1, bin_size))
     binned = d.withColumn("__bin__", F.explode(F.sequence(lo, hi)))
     return (
         binned.groupBy(

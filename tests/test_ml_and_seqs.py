@@ -2852,3 +2852,48 @@ def test_ivfpq_composition(spark):
         [(7, [0.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
     )
     assert ivf_assign(tie, coarse, metric="l2").collect()[0]["__cell__"] == 0
+
+
+def test_sampling_edge_guards_r14(spark):
+    """r14 review finds, pinned: (a) rounded (not truncated) hash-keep
+    thresholds; (b) NULL text counts 0 tokens in pack/token-quota instead
+    of NULL offsets; (c) a NULL id neither corrupts other rows' offsets nor
+    survives in pack/deterministic_shuffle; (d) token_quota_sample
+    substitutes n_tokens in place when the input already carries it."""
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.sampling import (
+        deterministic_shuffle,
+        hash_keep,
+        pack_training_examples,
+        token_quota_sample,
+    )
+
+    # (a) 0.29 * 1e6 floats to 289999.99999...: the threshold must be 290000
+    df29 = spark.range(1).select(hash_keep(F.lit("x"), 0.29).alias("k"))
+    plan = df29._jdf.queryExecution().analyzed().toString()
+    assert "290000" in plan and "289999" not in plan
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "d e"), (None, "x y z")],
+        "doc_id long, text string",
+    )
+    packed = {r["doc_id"]: r for r in pack_training_examples(docs, budget=4).collect()}
+    # (c) the NULL-id row is excluded entirely, and offsets still tile
+    assert None not in packed and len(packed) == 3
+    rows = sorted(packed.values(), key=lambda r: r["start_offset"])
+    assert rows[0]["start_offset"] == 0
+    for a, b in zip(rows, rows[1:]):
+        assert b["start_offset"] == a["start_offset"] + a["n_tokens"]
+    # (b) the NULL-text doc packs as a 0-token doc, not NULL
+    assert packed[2]["n_tokens"] == 0 and packed[2]["start_offset"] is not None
+
+    ranks = deterministic_shuffle(docs).toPandas()
+    assert set(ranks["shuffle_rank"]) == {1, 2, 3}  # starts at 1, no gaps
+    assert ranks["doc_id"].notna().all()
+
+    # (d) in-place n_tokens substitution — no duplicate column
+    pre = docs.filter("doc_id IS NOT NULL").withColumn("n_tokens", F.lit(7))
+    tq = token_quota_sample(pre, "doc_id", 100, tokens_col="n_tokens")
+    assert tq.columns.count("n_tokens") == 1
+    assert {r["n_tokens"] for r in tq.collect()} == {7}

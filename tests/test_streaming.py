@@ -404,3 +404,30 @@ def test_stream_dedup_against_store_parity(spark, tmp_path):
     assert len(streamed) == 2
     assert sorted(streamed["doc_id"].isin([2, 3]).astype(int).tolist() ) == [0, 1]
     assert set(streamed["doc_id"]) <= {2, 3, 5} and 5 in set(streamed["doc_id"])
+
+
+def test_welford_scan_skips_nonfinite_and_constant_history():
+    """r14 review finds, pinned: (a) a NULL/NaN value must neither alert nor
+    poison the key's Welford state (one NaN previously made mean/m2 NaN
+    forever, permanently blinding the key); (b) documented sd == 0
+    semantics — a deviation right after a constant history is not alerted
+    (z undefined), and the state then absorbs it normally."""
+    import math
+
+    from pyranges_1_x_spark.streaming.events import _welford_scan
+
+    # (a) NaN mid-stream: state continues as if the row never arrived
+    vals = [10.0, 12.0, 11.0, float("nan"), 10.5, 100.0]
+    rows = ((("k", i), v) for i, v in enumerate(vals))
+    out, (count, mean, m2) = _welford_scan(rows, 0, 0.0, 0.0, 3.0)
+    assert count == 5 and math.isfinite(mean) and math.isfinite(m2)
+    # out rows are (key, idx, value, z, n_seen): only the spike alerts, and
+    # n_seen counts the 4 FINITE values before it (NaN never entered state)
+    assert [(r[2], r[4]) for r in out] == [(100.0, 4)]
+
+    # (b) constant history then a huge jump: not alerted at sd == 0, but
+    # the jump creates variance and the NEXT mild deviation can alert
+    rows2 = ((("k", i), v) for i, v in enumerate([5.0, 5.0, 5.0, 500.0]))
+    out2, state2 = _welford_scan(rows2, 0, 0.0, 0.0, 3.0)
+    assert out2 == []  # documented: z undefined with zero variance
+    assert state2[0] == 4 and state2[1] > 5.0
