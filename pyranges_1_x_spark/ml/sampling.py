@@ -81,7 +81,10 @@ def stratified_sample(
             F.lit(round(default * _DENOM)),
         )
         if pairs
-        else F.lit(int(default * _DENOM))
+        # round, not truncate, in BOTH branches: the same default must
+        # yield the same threshold whether fractions is empty or not
+        # (r14 advice find — int() here reintroduced the truncation bias)
+        else F.lit(round(default * _DENOM))
     )
     return df.filter(F.pmod(hash_fn(F.col(key_col), seed), F.lit(_DENOM)) < thresh)
 

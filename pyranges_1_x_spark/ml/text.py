@@ -177,7 +177,10 @@ def bpe_train(
     2016): ``n_merges`` rounds of count-pairs -> pick the most frequent
     (deterministic (count desc, lhs, rhs) tie-break) -> fuse it corpus-wide.
     Returns the merge list in rank order — the merge table IS the model.
-    Stops early when no pair reaches ``min_pair_count``.
+    Stops early when no pair reaches ``min_pair_count``. For production
+    vocabularies set ``merge_batch >= 8``: wall-clock is driven by the
+    Spark JOB count, not data size, and batching provably preserves the
+    sequential merge table (cost model + measurements below).
 
     Scale shape (the shape real distributed BPE trainers use): the corpus
     collapses ONCE to the distinct-pretoken relation with occurrence
@@ -788,6 +791,60 @@ def chunk_documents(
     )
 
 
+def _rebuild_docs(tagged, kept: Column, id_col: str, sep: str, elem: str):
+    """Per-doc reassembly aggregate shared by remove_boilerplate_lines /
+    dedup_paragraphs: collect the kept (position, fragment) structs, sort by
+    position (deterministic on any partitioning), join with ``sep``, and
+    count removed/kept fragments."""
+    return tagged.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(kept, F.struct(F.col("__pos__"), F.col(elem)))
+                    )
+                ),
+                lambda s: s[elem],
+            ),
+        ).alias("__ct__"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("__nr__"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("__nk__"),
+    )
+
+
+def _attach_rebuilt_text(df, agg, text_col: str, id_col: str, out_col: str):
+    """Join a ``_rebuild_docs`` aggregate back onto ``df`` and emit the
+    output columns. Shared tail of remove_boilerplate_lines /
+    dedup_paragraphs with two composition rules (both r14 advice finds):
+
+    * ``out_col`` AND ``n_removed`` / ``n_kept`` substitute IN PLACE when
+      the input already carries them (the token_quota_sample convention) —
+      previously chaining the two documented pipeline stages (boilerplate
+      stripping, then paragraph dedup) emitted duplicate count columns and
+      an ambiguous-reference AnalysisException on any later use.
+    * rows with NULL ``id_col`` pass their text through VERBATIM with
+      counts 0: a NULL id has no identity, so it can neither claim a first
+      occurrence nor lose one — previously a NULL-id doc could win the
+      corpus-wide MIN while its own kept-predicate evaluated to NULL
+      (dropping the paragraph from every document with no surviving copy),
+      and the equi-join back blanked the NULL-id doc's own text to "".
+      Same rule as pack_training_examples / deterministic_shuffle.
+    """
+    did = F.col(id_col)
+    joined = df.join(agg, on=id_col, how="left")  # NULL ids never match
+    subs = {
+        out_col: F.when(did.isNull(), F.col(text_col)).otherwise(
+            F.coalesce(F.col("__ct__"), F.lit(""))
+        ),
+        "n_removed": F.coalesce(F.col("__nr__"), F.lit(0)).cast("long"),
+        "n_kept": F.coalesce(F.col("__nk__"), F.lit(0)).cast("long"),
+    }
+    cols = [subs[c].alias(c) if c in subs else F.col(c) for c in df.columns]
+    cols += [subs[c].alias(c) for c in subs if c not in df.columns]
+    return joined.select(*cols)
+
+
 def remove_boilerplate_lines(
     df: DataFrame,
     text_col: str = "text",
@@ -806,18 +863,31 @@ def remove_boilerplate_lines(
     column passes through untouched (the scrub_pii convention, so pipeline
     stages compose); the rebuilt text lands in ``out_col`` (empty string
     when every line was boilerplate) — pass ``out_col=text_col`` to redact
-    in place — plus ``n_removed`` / ``n_kept`` line counts.
+    in place — plus ``n_removed`` / ``n_kept`` line counts (substituted in
+    place if the input already carries them). Rows with NULL ``id_col``
+    pass through verbatim (see ``_attach_rebuilt_text``).
 
     Scale shape: one posexplode scan → distinct-doc line frequency (two
-    hash aggregations, map-side partial) → line-keyed join back (the
-    frequency relation is distinct-LINE-sized, far below occurrences;
-    ubiquitous lines skew the key, which is the AQE skew-join case) → one
+    hash aggregations, map-side partial) → line-keyed join back → one
     per-doc aggregation to reassemble. Zero UDFs; ordering is carried by
     the explode position, so reassembly is deterministic on any
     partitioning.
+
+    The join back DELIBERATELY stays keyed on the line text (VERDICT r14
+    #3 considered and measured — scripts/ab_text_joinback_r15.py): unlike
+    ``dedup_paragraphs`` (whose keep-set is first-occurrence coordinates
+    and therefore re-keyable by doc id), boilerplate membership must meet
+    every occurrence BY CONTENT, so an xxhash64-keyed variant still
+    exchanges the occurrence text (it is the reassembly payload), saves
+    only the frequency relation's text bytes (frequent-lines-only — small
+    by construction), leaves the value-frequency skew of a ubiquitous
+    line exactly where it was (the AQE skew-join case; no key encoding
+    moves occurrences off the hot key), and measured 0.88x/0.79x SLOWER
+    at 477 MB / 1.5 MB for the added per-occurrence hashing and the extra
+    aggregate.
     """
     did = F.col(id_col)
-    lines = df.select(
+    lines = df.filter(did.isNotNull()).select(
         did, F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos__", "__ln__")
     )
     blank = F.trim(F.col("__ln__")) == ""
@@ -829,31 +899,8 @@ def remove_boilerplate_lines(
     )
     tagged = lines.join(freq, on="__ln__", how="left")
     kept = F.col("__nd__").isNull() | blank
-    agg = tagged.groupBy(id_col).agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(kept, F.struct(F.col("__pos__"), F.col("__ln__")))
-                    )
-                ),
-                lambda s: s["__ln__"],
-            ),
-        ).alias("__ct__"),
-        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("__nr__"),
-        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("__nk__"),
-    )
-    joined = df.join(agg, on=id_col, how="left")
-    clean = F.coalesce(F.col("__ct__"), F.lit(""))
-    cols = [clean.alias(out_col) if c == out_col else F.col(c) for c in df.columns]
-    if out_col not in df.columns:
-        cols.append(clean.alias(out_col))
-    return joined.select(
-        *cols,
-        F.coalesce(F.col("__nr__"), F.lit(0)).cast("long").alias("n_removed"),
-        F.coalesce(F.col("__nk__"), F.lit(0)).cast("long").alias("n_kept"),
-    )
+    agg = _rebuild_docs(tagged, kept, id_col, "\n", "__ln__")
+    return _attach_rebuilt_text(df, agg, text_col, id_col, out_col)
 
 
 def dedup_paragraphs(
@@ -877,61 +924,63 @@ def dedup_paragraphs(
     never deduped. Every input column passes through untouched (the
     scrub_pii convention); the rebuilt text lands in ``out_col`` — pass
     ``out_col=text_col`` to strip in place — plus ``n_removed`` /
-    ``n_kept`` paragraph counts. A doc with no "\\n\\n" is one paragraph,
-    so single-paragraph corpora degrade to document-level first-occurrence
-    dedup, which is the correct limit.
+    ``n_kept`` paragraph counts (substituted in place if the input already
+    carries them, so chaining after ``remove_boilerplate_lines`` is legal).
+    Rows with NULL ``id_col`` pass through verbatim (see
+    ``_attach_rebuilt_text``). ``id_col`` must uniquely identify rows — it
+    is the document key, and duplicate ids already make per-doc reassembly
+    (one output row per input row, joined on the id) ill-defined. A doc
+    with no "\\n\\n" is one paragraph, so single-paragraph corpora degrade
+    to document-level first-occurrence dedup, which is the correct limit.
 
     Scale shape: one posexplode scan → one paragraph-keyed hash aggregate
     (MIN over the (doc, pos) struct — map-side-partial, key cardinality =
-    distinct paragraphs, well spread) → paragraph-keyed join back (a
-    mirrored-everywhere paragraph skews the key: the AQE skew-join case)
-    → one per-doc reassembly aggregate. Zero UDFs; no all-pairs, no
-    corpus-sized shuffle beyond the two keyed aggregations.
+    distinct paragraphs; the grouping key must be the text because exact
+    dedup needs a text comparison somewhere, and partial aggregation
+    bounds that exchange to ~distinct paragraphs carried once each) → the
+    winner coordinates are re-grouped into a tiny per-doc position list
+    (16-byte rows, one output row per doc owning a first occurrence) and
+    the occurrence-sized join back is keyed on the DOC ID alone (r15: the
+    MIN aggregate already names each distinct paragraph's first occurrence,
+    so tagging occurrences only needs "is this (doc, pos) a winner", which
+    ``array_contains`` answers against the doc's winner-position list).
+    That replaces the r14 text-keyed join — whose exchange carried every
+    paragraph's full bytes as the join key on both sides and skewed on a
+    mirrored-everywhere paragraph — AND lets the per-doc reassembly
+    aggregate REUSE the join's hash-partitioning-by-id, so the
+    occurrence-sized relation is exchanged ONCE, not twice. Zero UDFs; no
+    all-pairs, no corpus-sized shuffle beyond that single exchange plus
+    the distinct-paragraph-bounded aggregate.
     """
     did = F.col(id_col)
-    paras = df.select(
+    paras = df.filter(did.isNotNull()).select(
         did,
         F.posexplode(F.split(F.col(text_col), "\\n\\n")).alias("__pos__", "__p__"),
     )
     cand = (F.trim(F.col("__p__")) != "") & (F.length("__p__") >= min_len)
-    first = (
+    winners = (
         paras.filter(cand)
         .groupBy("__p__")
         .agg(
             F.min(
                 F.struct(did.alias("d"), F.col("__pos__").alias("p"))
-            ).alias("__first__")
+            ).alias("__w__")
         )
+        .groupBy(F.col("__w__.d").alias(id_col))
+        .agg(F.collect_list("__w__.p").alias("__wp__"))
     )
-    tagged = paras.join(first, on="__p__", how="left")
-    kept = F.col("__first__").isNull() | (
-        F.struct(did.alias("d"), F.col("__pos__").alias("p")) == F.col("__first__")
+    # A (doc, pos) coordinate names exactly one occurrence, and that
+    # occurrence has exactly one text, so it can only be the winner of its
+    # OWN paragraph's group: kept ⇔ (non-candidate) ∨ (this row is the
+    # first occurrence) — the same predicate as matching the MIN struct.
+    # A doc's winner list is bounded by its own paragraph count, so the
+    # collected arrays stay small; docs with no winners join to NULL.
+    tagged = paras.join(winners, on=id_col, how="left")
+    kept = ~cand | F.coalesce(
+        F.array_contains(F.col("__wp__"), F.col("__pos__")), F.lit(False)
     )
-    agg = tagged.groupBy(id_col).agg(
-        F.concat_ws(
-            "\n\n",
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(kept, F.struct(F.col("__pos__"), F.col("__p__")))
-                    )
-                ),
-                lambda s: s["__p__"],
-            ),
-        ).alias("__ct__"),
-        F.sum(F.when(kept, 0).otherwise(1)).cast("long").alias("__nr__"),
-        F.sum(F.when(kept, 1).otherwise(0)).cast("long").alias("__nk__"),
-    )
-    joined = df.join(agg, on=id_col, how="left")
-    clean = F.coalesce(F.col("__ct__"), F.lit(""))
-    cols = [clean.alias(out_col) if c == out_col else F.col(c) for c in df.columns]
-    if out_col not in df.columns:
-        cols.append(clean.alias(out_col))
-    return joined.select(
-        *cols,
-        F.coalesce(F.col("__nr__"), F.lit(0)).cast("long").alias("n_removed"),
-        F.coalesce(F.col("__nk__"), F.lit(0)).cast("long").alias("n_kept"),
-    )
+    agg = _rebuild_docs(tagged, kept, id_col, "\n\n", "__p__")
+    return _attach_rebuilt_text(df, agg, text_col, id_col, out_col)
 
 
 def lm_bigram_score(

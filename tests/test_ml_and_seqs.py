@@ -2270,6 +2270,83 @@ def test_dedup_paragraphs(spark):
     assert w == {1: "a\n\n\n\nb\nc\n\n", 2: "x\n\n\ny"}
 
 
+def test_dedup_and_boilerplate_compose_and_null_ids(spark):
+    """r14 advice regressions (ml/text.py _attach_rebuilt_text):
+
+    1. chaining remove_boilerplate_lines -> dedup_paragraphs (the two
+       documented adjacent pipeline stages) must substitute n_removed /
+       n_kept IN PLACE, not emit duplicate column names;
+    2. a NULL-id doc passes through VERBATIM — previously its
+       struct(null, pos) could win the corpus-wide MIN while its own kept
+       predicate evaluated to NULL, dropping the paragraph from EVERY doc
+       with no surviving copy, and the join-back blanked its text to "".
+    """
+    from pyspark.sql import functions as F
+
+    from pyranges_1_x_spark.ml.text import (
+        dedup_paragraphs,
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (None, "orphan paragraph\n\nNAV"),
+            (7, "orphan paragraph\n\nkept seven\nNAV"),
+            (8, "orphan paragraph\n\nkept eight\nNAV"),
+        ],
+        "doc_id long, text string",
+    )
+    chained = dedup_paragraphs(
+        remove_boilerplate_lines(docs, out_col="text"), out_col="text"
+    )
+    # one n_removed / n_kept pair, substituted in place
+    assert chained.columns == ["doc_id", "text", "n_removed", "n_kept"]
+    # ...and the counts are usable downstream (no ambiguous reference)
+    chained.filter(F.col("n_removed") >= 0).collect()
+
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    # NULL-id row: text verbatim, counts zero, never deduped
+    assert out[None]["clean_text"] == "orphan paragraph\n\nNAV"
+    assert (out[None]["n_removed"], out[None]["n_kept"]) == (0, 0)
+    # the first NON-NULL occurrence survives: doc 7 keeps the paragraph
+    # (previously the NULL-id MIN winner left no surviving copy anywhere)
+    assert out[7]["clean_text"].startswith("orphan paragraph")
+    assert out[8]["clean_text"] == "kept eight\nNAV"
+
+    rows = {r["doc_id"]: r for r in remove_boilerplate_lines(docs).collect()}
+    # NAV is a line in 2 non-null docs -> stripped there; the NULL-id doc
+    # passes through verbatim and does NOT count toward line frequency
+    # ("orphan paragraph" appears in only 7 and 8 among counted docs, so
+    # min_docs=2 strips it from both — the NULL doc contributed nothing)
+    assert rows[None]["clean_text"] == "orphan paragraph\n\nNAV"
+    assert (rows[None]["n_removed"], rows[None]["n_kept"]) == (0, 0)
+    # (the blank separator line survives verbatim, as documented)
+    assert rows[7]["clean_text"] == "\nkept seven"
+    assert rows[8]["clean_text"] == "\nkept eight"
+
+
+def test_stratified_sample_empty_fractions_threshold_parity(spark):
+    """r14 advice regression (ml/sampling.py): the empty-fractions branch
+    must ROUND the default threshold like the non-empty branch and
+    hash_keep do — int(0.29 * 1e6) truncates to 289999 while
+    round(...) = 290000, so the same default selected different rows
+    depending on whether the fractions dict happened to be empty."""
+    from pyranges_1_x_spark.ml.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s") for i in range(4000)], "doc_id long, src string"
+    )
+    empty = stratified_sample(
+        docs, "src", {}, key_col="doc_id", default=0.29
+    )
+    nonempty = stratified_sample(
+        docs, "src", {"absent-stratum": 1.0}, key_col="doc_id", default=0.29
+    )
+    a = sorted(r["doc_id"] for r in empty.collect())
+    b = sorted(r["doc_id"] for r in nonempty.collect())
+    assert a == b and len(a) > 0
+
+
 def test_bpe_train_checkpoint_rotation_frees_blocks(spark):
     """The trainer's checkpoint rotation must FREE superseded localCheckpoint
     blocks, not merely drop references: DataFrame.unpersist() is a no-op on
