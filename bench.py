@@ -158,6 +158,18 @@ def main() -> int:
                 gc.collect()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # r15 (VERDICT r14 #2): record the session's tile-cache event counters
+    # so the driver's own BENCH artifact shows whether its
+    # get_sequence_tiled runs HIT the adopted chunk relation (local full
+    # runs: 1 adopt in the untimed warm-up, every timed run a hit, 3.4s
+    # floor) or re-adopted/bypassed per run (the only mechanisms that
+    # reproduce the driver's ~7s = adoption-wall readings).
+    try:
+        from pyranges_1_x_spark.functions.seqs import tile_cache_stats
+
+        tile_stats = dict(tile_cache_stats(spark))
+    except Exception:  # noqa: BLE001
+        tile_stats = {}
     payload = {
                 "metric": "total_query_seconds",
                 "value": total,
@@ -166,6 +178,7 @@ def main() -> int:
                 "runs": runs,
                 "warmup": warmups,
                 "sf": float(sf),
+                "tile_cache": tile_stats,
                 "agg": ("1 untimed warm-up + " if do_warmup else "")
                 + (
                     "single run"
