@@ -24,6 +24,25 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
+    # r15 (VERDICT r14 #3/#6): this host shows 1.3-3x run-to-run swings on
+    # individual queries under external load, and per the house methodology
+    # only interleaved A/Bs are regressions — so the COMMITTED per-round
+    # ruler must carry the load it ran under. Record the 1-min loadavg at
+    # start; warn when it exceeds the calm threshold (0.2 x cpus). Not a
+    # refusal: the driver's run must still produce an artifact — the stamp
+    # lets VERDICT geomeans discount noisy rulers instead of re-litigating.
+    try:
+        loadavg_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg_start = -1.0
+    if loadavg_start > 0.2 * int(cpus):
+        print(
+            f"bench: WARNING 1-min loadavg {loadavg_start} exceeds calm "
+            f"threshold {0.2 * int(cpus):.1f} ({cpus} cpus) — timings from "
+            "this run are not floor-comparable",
+            file=sys.stderr,
+        )
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
@@ -170,6 +189,13 @@ def main() -> int:
         tile_stats = dict(tile_cache_stats(spark))
     except Exception:  # noqa: BLE001
         tile_stats = {}
+    try:
+        # End-of-run loadavg INCLUDES the bench's own 32-thread work, so it
+        # is only comparable ACROSS runs (same self-load, differing external
+        # load); the calm judgment uses loadavg_start, taken before Spark.
+        loadavg_end = round(os.getloadavg()[0], 2)
+    except OSError:
+        loadavg_end = -1.0
     payload = {
                 "metric": "total_query_seconds",
                 "value": total,
@@ -179,6 +205,8 @@ def main() -> int:
                 "warmup": warmups,
                 "sf": float(sf),
                 "tile_cache": tile_stats,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": loadavg_end,
                 "agg": ("1 untimed warm-up + " if do_warmup else "")
                 + (
                     "single run"
