@@ -123,7 +123,12 @@ def _scan_raw(
     # __seqlen__ through the left join) — treat as "no room to scan" so both
     # branches pass such rows through unextended (ADVICE r3: the
     # keep_off_bounds upstream branch used to emit null Starts here).
-    m = F.coalesce(m, F.lit(0).cast("long"))
+    # Clamp at 0 too (r15 review): an interval reaching PAST the chromosome
+    # edge (End > seqlen, or Start < 0) yields a NEGATIVE codon count, and
+    # the keep_off_bounds no-stop branch then emitted ext = 3*m < 0 — a
+    # negative "extension" that SHRANK the interval. The window string is
+    # already empty for such rows; a clamped m makes every branch emit 0.
+    m = F.greatest(F.coalesce(m, F.lit(0).cast("long")), F.lit(0).cast("long"))
     stop_alt = "|".join(stops)
     if far:
         far_pat = f"^((?:.{{3}})*)(?:{stop_alt})(?:.{{3}})*$"
@@ -202,6 +207,11 @@ def extend_orfs(
         raise AssertionError("At least one stop codon must be provided.")
     if not all(len(p) == 3 for p in tuple(starts) + tuple(stops)):
         raise AssertionError("Ensure that all patterns have a length of 3 nt.")
+    # Codons are spliced into Java-regex alternations below; restrict them
+    # to literal symbol characters so a metacharacter cannot silently turn
+    # a codon into a wildcard pattern (r15 review — IUPAC letters all pass).
+    if not all(p.isalnum() for p in tuple(starts) + tuple(stops)):
+        raise AssertionError("Codon patterns must be alphanumeric, e.g. 'ATG'.")
     if not self.has_strand:
         raise AssertionError("Intervals must have valid strands to call extend_orfs")
     dirs = ["up", "down"] if direction is None else (

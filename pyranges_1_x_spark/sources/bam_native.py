@@ -71,23 +71,36 @@ def decode_bam_bytes(
     passing alignment). ``raw`` is the gzip-decompressed file content."""
     if raw[:4] != BAM_MAGIC:
         raise ValueError("not a BAM stream (missing BAM\\x01 magic)")
-    off = 4
-    (l_text,) = struct.unpack_from("<i", raw, off)
-    off += 4 + l_text
-    (n_ref,) = struct.unpack_from("<i", raw, off)
-    off += 4
-    ref_names: list[str] = []
-    for _ in range(n_ref):
-        (l_name,) = struct.unpack_from("<i", raw, off)
-        off += 4
-        ref_names.append(raw[off : off + l_name - 1].decode("ascii"))
-        off += l_name + 4  # name (nul-terminated) + l_ref
-    rows: list[tuple] = []
     n = len(raw)
+    try:
+        off = 4
+        (l_text,) = struct.unpack_from("<i", raw, off)
+        off += 4 + l_text
+        (n_ref,) = struct.unpack_from("<i", raw, off)
+        off += 4
+        if l_text < 0 or n_ref < 0:
+            raise ValueError("corrupt BAM header (negative length field)")
+        ref_names: list[str] = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack_from("<i", raw, off)
+            off += 4
+            if l_name < 1 or off + l_name + 4 > n:
+                raise ValueError("corrupt BAM reference list")
+            ref_names.append(raw[off : off + l_name - 1].decode("ascii"))
+            off += l_name + 4  # name (nul-terminated) + l_ref
+    except struct.error as e:  # truncated header
+        raise ValueError(f"truncated BAM header: {e}") from None
+    rows: list[tuple] = []
     while off + 4 <= n:
         (block_size,) = struct.unpack_from("<i", raw, off)
         off += 4
         end_rec = off + block_size
+        # Guard BEFORE trusting block_size (r15 review): a corrupt
+        # negative value moved `off` BACKWARDS — an infinite loop on
+        # malformed input — and a short/overlong one surfaced as a
+        # cryptic struct.error/silent garbage instead of a parse error.
+        if block_size < 32 or end_rec > n:
+            raise ValueError("truncated or corrupt BAM record")
         (
             ref_id,
             pos,
@@ -101,8 +114,15 @@ def decode_bam_bytes(
             _next_pos,
             _tlen,
         ) = struct.unpack_from("<iiBBHHHiiii", raw, off)
+        if ref_id >= len(ref_names):
+            raise ValueError(
+                f"corrupt BAM record: ref_id {ref_id} >= n_ref {len(ref_names)}"
+            )
+        # pos == -1 with a valid ref_id is still an UNPLACED record per the
+        # spec; the pre-r15 check let it through as Start=-1 (r15 review).
         keep = (
             ref_id >= 0
+            and pos >= 0
             and mq >= mapq
             and (flag & required_flag) == required_flag
             and (flag & filter_flag) == 0
@@ -131,7 +151,14 @@ def decode_bam_bytes(
                     ]
                     for i in range(l_seq)
                 )
-                qual = "".join(chr(q + 33) for q in raw[p : p + l_seq])
+                qb = raw[p : p + l_seq]
+                # all-0xFF quality means ABSENT per the spec (SAM "*");
+                # chr(0xFF+33) previously emitted garbage U+0120s (r15).
+                qual = (
+                    "*"
+                    if qb and qb[0] == 0xFF and not qb.strip(b"\xff")
+                    else "".join(chr(q + 33) for q in qb)
+                )
                 row = row + (name, cigar_str, seq, qual, mq)
             rows.append(row)
         off = end_rec

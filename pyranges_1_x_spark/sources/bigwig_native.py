@@ -45,6 +45,8 @@ BW_SCHEMA = StructType(
 def _read_header(fh) -> dict:
     fh.seek(0)
     raw = fh.read(64)
+    if len(raw) < 64:
+        raise ValueError("truncated bigWig file (header under 64 bytes)")
     (magic,) = struct.unpack_from("<I", raw, 0)
     if magic != BIGWIG_MAGIC:
         raise ValueError("not a little-endian bigWig file (bad magic)")
@@ -132,11 +134,21 @@ def decode_block(raw: bytes, chrom_names: dict[int, str]) -> list[tuple]:
     rows: list[tuple] = []
     off = 0
     n = len(raw)
+    #: bytes per item for each section type (truncation guard below).
+    item_bytes = {1: 12, 2: 8, 3: 4}
     while off + 24 <= n:
         chrom_id, start, _end, step, span, sec_type, _res, count = struct.unpack_from(
             "<IIIIIBBH", raw, off
         )
         off += 24
+        # Clear parse errors instead of cryptic struct.error/KeyError on
+        # truncated or corrupt blocks (r15 review).
+        if sec_type in item_bytes and off + count * item_bytes[sec_type] > n:
+            raise ValueError(
+                f"truncated wig section (type {sec_type}, {count} items)"
+            )
+        if chrom_id not in chrom_names:
+            raise ValueError(f"corrupt wig section: unknown chrom id {chrom_id}")
         chrom = chrom_names[chrom_id]
         if sec_type == 1:  # bedGraph: start, end, value per item
             for _ in range(count):

@@ -175,6 +175,93 @@ def test_native_bigwig_roundtrip(spark, tmp_path):
     assert decode_block(fixed, {1: "chr9"}) == [("chr9", 1000, 1025, 3.0), ("chr9", 1100, 1125, 4.0)]
 
 
+def test_native_bam_corrupt_and_edge_records(tmp_path):
+    """r15 targeted review of the native BAM decoder:
+
+    * a corrupt negative block_size moved the record cursor BACKWARDS — an
+      infinite loop on malformed input (BAM is the one container not in the
+      mutation-fuzz roster because its BGZF wrapper hides byte mutations);
+    * truncated headers/records surfaced as cryptic struct.error;
+    * ref_id past the reference list surfaced as IndexError;
+    * pos == -1 with a valid ref_id is UNPLACED per spec but leaked
+      through as Start=-1;
+    * all-0xFF quality means ABSENT (SAM '*') but decoded to garbage.
+    """
+    import gzip
+    import struct as st
+
+    import pytest
+
+    from pyranges_1_x_spark.sources.bam_native import decode_bam_bytes, write_bam
+
+    path = str(tmp_path / "t.bam")
+    write_bam(
+        path,
+        [("zz1", 0, "chr1", 100, 60, "4M", "ACGT", "IIII"),
+         ("zz2", 0, "chr1", -1, 60, "4M", "ACGT", "IIII")],  # unplaced pos
+        {"chr1": 1000},
+    )
+    raw = gzip.open(path, "rb").read()
+
+    # pos=-1 dropped even though ref_id is valid
+    assert decode_bam_bytes(raw).Start.tolist() == [100]
+
+    # negative block_size: parse error, not an infinite loop
+    pos0 = raw.index(b"zz1\x00") - 36
+    bad = raw[:pos0] + st.pack("<i", -8) + raw[pos0 + 4 :]
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        decode_bam_bytes(bad)
+    # oversized block_size: ditto
+    bad2 = raw[:pos0] + st.pack("<i", 1 << 30) + raw[pos0 + 4 :]
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        decode_bam_bytes(bad2)
+    # truncated header
+    with pytest.raises(ValueError, match="truncated BAM header"):
+        decode_bam_bytes(raw[:6])
+    # ref_id beyond the reference list
+    recpos = pos0 + 4
+    bad3 = raw[:recpos] + st.pack("<i", 7) + raw[recpos + 4 :]
+    with pytest.raises(ValueError, match="ref_id"):
+        decode_bam_bytes(bad3)
+
+    # absent quality (all 0xFF) decodes as '*'
+    path2 = str(tmp_path / "q.bam")
+    write_bam(
+        path2,
+        [("r1", 0, "chr1", 100, 60, "4M", "ACGT", "".join(chr(0xFF + 33)) * 4)],
+        {"chr1": 1000},
+    )
+    full = decode_bam_bytes(gzip.open(path2, "rb").read(), full=True)
+    assert full.Quality.tolist() == ["*"]
+
+
+def test_native_bigwig_corrupt_blocks(tmp_path):
+    """r15 targeted review: truncated wig sections and unknown chrom ids
+    raise clear parse errors (previously struct.error/KeyError), and a
+    sub-64-byte file reports truncation, not struct.error."""
+    import struct as st
+
+    import pytest
+
+    from pyranges_1_x_spark.sources.bigwig_native import decode_block
+
+    # count says 3 items, payload carries 1
+    sec = st.pack("<IIIIIBBH", 0, 0, 0, 0, 25, 2, 0, 3) + st.pack("<If", 10, 1.0)
+    with pytest.raises(ValueError, match="truncated wig section"):
+        decode_block(sec, {0: "chr1"})
+    # unknown chrom id
+    ok = st.pack("<IIIIIBBH", 5, 0, 0, 0, 25, 2, 0, 1) + st.pack("<If", 10, 1.0)
+    with pytest.raises(ValueError, match="unknown chrom id"):
+        decode_block(ok, {0: "chr1"})
+
+    from io import BytesIO
+
+    from pyranges_1_x_spark.sources.bigwig_native import _read_header
+
+    with pytest.raises(ValueError, match="truncated bigWig"):
+        _read_header(BytesIO(b"\x26\xfc\x8f\x88short"))
+
+
 def test_fasta_roundtrip_and_get_sequence(spark, tmp_path):
     """write_fasta -> read_fasta_native -> get_sequence: wrapped lines, .gz,
     multi-record, header-comment word split, '-'-strand revcomp."""

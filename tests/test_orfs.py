@@ -132,6 +132,36 @@ def test_extend_orfs_missing_chromosome_passthrough(spark):
         assert got == [(20, 29, 0, 0), (20, 29, 0, 0)], kwargs
 
 
+def test_extend_orfs_out_of_bounds_interval_never_shrinks(spark):
+    """r15 review: an interval reaching PAST the chromosome edge (End >
+    len(seq), or Start < 0) made the codon count m NEGATIVE, and the
+    keep_off_bounds no-stop branch emitted ext = 3*m < 0 — a negative
+    "extension" that SHRANK the interval. Clamped m must pass such rows
+    through unextended in every branch/path combination."""
+    seqs = _seqs(spark, "seq1", SEQ1)  # 44 nt
+    gr = _gr(
+        spark,
+        [("seq1", 20, 80, "+"), ("seq1", 20, 80, "-"),
+         ("seq1", -9, 8, "+"), ("seq1", -9, 8, "-")],
+    )
+    for kwargs in ({}, {"keep_off_bounds": True}, {"max_scan_nt": 120},
+                   {"keep_off_bounds": True, "max_scan_nt": 120}):
+        out = gr.extend_orfs(seqs, record_extensions=True, **kwargs)
+        for r in out.df.collect():
+            assert r.extension_up >= 0 and r.extension_down >= 0, (kwargs, r)
+            assert r.End - r.Start >= 17, (kwargs, r)  # never shrunk
+
+
+def test_extend_orfs_rejects_regex_metachar_codons(spark, p):
+    """r15 review: codons are spliced into Java-regex alternations — a
+    metacharacter pattern like 'A.G' would silently become a wildcard."""
+    seqs = _seqs(spark, "seq1", SEQ1)
+    with pytest.raises(AssertionError, match="alphanumeric"):
+        p.extend_orfs(seqs, starts=("A.G",))
+    with pytest.raises(AssertionError, match="alphanumeric"):
+        p.extend_orfs(seqs, stops=("TA(",))
+
+
 def test_extend_orfs_from_native_fasta(spark, tmp_path):
     """Integration: write a genome FASTA, read it with the native parser,
     and feed the sequence table straight into extend_orfs — the composition
