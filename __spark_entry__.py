@@ -2786,55 +2786,146 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by the local full-registry gate (scripts/check_oracle.py), which the
     builder runs and the judge re-runs on HEAD.
 
-    r14 window (50) = the 12 r11-gated queries at their rule-(a) HARD
-    DEADLINE (simes .. extend — VERDICT r13 directive #1, listed first so a
-    harness death cannot cost the invariant) + the two queries NEW this
-    round (bpe_segment: the trainer+segmenter end-to-end gate, VERDICT r13
-    #2; para_dedup: paragraph-level first-occurrence dedup) + pq_topk and
-    ivfpq_topk (driver-green r13 but their SCORING PATH CHANGED this round:
-    the r14 arrow ADC impl, VERDICT r13 #3 — changed code re-gates
-    immediately) + 34 of the 50 r12-green queries (the oldest outstanding
-    deadline class: r12-gated queries must re-gate by r15, so 34 go now and
-    the 16 below roll to their r15 deadline). Iterative CC queries
-    (dedup_clusters, semantic_dedup) run LAST inside the window — the r12
-    "iterative queries last" discipline.
+    Registry-growth rule (standing, adopted r15 — VERDICT r14 #8): each
+    new gate adds ~1-3s to every future driver bench, forever. A NEW
+    queries() entry must either REPLACE a sibling whose coverage is a
+    strict subset of the new gate's, or carry a one-line justification of
+    its marginal wall in the registering commit message.
 
-    Roll-to-r15 list (16, each r12-green with deadline r15, each justified
-    per rule (b)):
-      coverage_ratio — rides the event-sweep coverage path gated by
-        coverage (in window) and the to_bigwig write gated by
-        bigwig_roundtrip (in window; same divide/log2 projection);
-      downstream_flank — strand-mirror of upstream_flank (in window; one
-        shared flank helper in operators/local_coords.py);
-      join_first / join_contained — interval_join planner siblings of
-        join_inner + overlap_slack (in window; first/last projection and
-        containment filter over the same binned join);
-      overlap_anti — NOT-EXISTS mirror of overlap_semi (in window);
-      slice_introns — sibling of slice_10_60 (in window; same slice_ranges
-        path, count_introns branch);
-      window_sliding — sibling of window_ranges + tile (in window; same
-        geometry tiler);
-      extend_group — sibling of extend (in window; same extend_ranges path,
-        group_by set vs None);
-      fdr — stats sibling of simes (in window; both are the
-        rank-over-sorted-p BH/Simes construction in functions/stats.py);
-      bpe_tokens — rides the same pretokenizer the NEW in-window
-        bpe_segment gates end-to-end (plus bpe_pairs, driver-green r13);
-      kmeans — its fold/argmax assignment path is inside ivfpq_topk (in
-        window) and cluster_quota (driver-green r13);
-      ivf_topk — composed INSIDE ivfpq_topk (in window: assign + probe +
-        restriction);
-      jpeg_features / avi_frames — decode paths composed inside
-        mjpeg_frames (driver-green r13: same JPEG entropy decode, same AVI
-        container walk) with multimodal_features dispatch in window;
-      png_features — multimodal_features (in window) gates the dispatch;
-        the PNG decoder itself is pinned by pytest goldens + the r14 deep
-        mutation fuzz (scripts/fuzz_decoders.py);
-      dedup_exact — same fingerprint path as normalize_dedup (in window).
+    r15 window (50) = the 16 r12-gated queries at their rule-(a) HARD
+    DEADLINE (coverage_ratio .. dedup_exact — VERDICT r14 directive #1,
+    listed first so a harness death cannot cost the invariant) + the 9
+    queries whose code path CHANGED this round (changed code re-gates
+    immediately: para_dedup — dedup_paragraphs' join-back re-keyed by-doc
+    with NULL-id passthrough; boilerplate_lines and curation_pipeline —
+    remove_boilerplate_lines' shared tail rewritten, and the pipeline
+    composes it; stratified_sample — empty-fractions threshold rounding;
+    extend_orfs — negative-codon-count clamp + codon validation;
+    bam_roundtrip / bigwig_roundtrip — decoder hardening; get_sequence_tiled
+    / fasta_roundtrip — tile-cache event counters on the get_sequence path,
+    VERDICT r14 #2's instrument) + 25 of the 48 r13-green queries (the
+    oldest outstanding deadline class: r13-gated queries must re-gate by
+    r16, so 25 go now and 20 roll to their r16 deadline). No iterative CC
+    query is in this window.
+
+    Roll list (64 = 114 - 50): 44 r14-green (deadline r17; rule (b) holds
+    trivially — driver-green the previous round) + the 20 r13-green below
+    rolling to their r16 deadline, each with a rule-(b) sibling:
+      doc_langid — quality/ratio scan sibling of doc_quality +
+        corpus_filter (r14-green);
+      tpch_pricing — pure built-in groupBy aggregate, the same plan family
+        events_hourly (in window) exercises with a wider agg list;
+      five_end — strand-mirror of three_end (r14-green; shared anchor
+        helper in operators/local_coords.py);
+      calc_frame — cumsum-over-window sibling of group_cumsum (in window);
+      tile_genome — same geometry tiler as tile + window_ranges
+        (r14-green) and window_sliding (in window);
+      summary_stats — lengths/summary over operators/multi.py, gated
+        alongside count_matrix (in window, same module's N-ary path);
+      mcc / spearman_rows — functions/stats.py siblings of fisher + simes
+        (r14-green) and fdr (in window);
+      minhash_lsh — hash-twin of minhash_lsh_md5 (r14-green; same
+        shingle/band plan, xxhash64 vs md5);
+      cluster — same islands decomposition as merge_stranded (r14-green)
+        and dedup_clusters (r14-green CC labeling consumer);
+      split / set_union — plans/islands + setops siblings of subtract,
+        complement, set_intersect (all r14-green);
+      max_disjoint — island-decomposed greedy whose island stage is
+        merge_stranded's (r14-green); the greedy is pytest-pinned;
+      jaccard_stat — interval-metrics sibling of forbes_stat + reldist
+        (r14-green; same functions/metrics.py entry);
+      streaming_dedup / annotate_stream / windowed_coverage /
+        stream_incremental_dedup — streaming/ siblings of
+        running_anomalies (r14-green) with sessions + events_hourly in
+        window; stream_incremental_dedup's batch-degrade path is
+        incremental_dedup (in window);
+      translate_cds — rides get_sequence, gated by get_sequence_tiled +
+        fasta_roundtrip (in window); the codon table is pytest-pinned;
+      nearest — directional sibling of nearest_updown (r14-green; same
+        sweep planner, k=1 both-directions projection).
     """
     return {
-        # --- r14 window rows 1-12: the r11-gated queries at their
-        # rule-(a) HARD DEADLINE (VERDICT r13 directive #1) ---
+        # --- r15 window rows 1-16: the r12-gated queries at their
+        # rule-(a) HARD DEADLINE (VERDICT r14 directive #1) ---
+        "coverage_ratio": q_coverage_ratio,
+        "downstream_flank": q_downstream_flank,
+        "join_first": q_join_first,
+        "join_contained": q_join_contained,
+        "overlap_anti": q_overlap_anti,
+        "slice_introns": q_slice_introns,
+        "window_sliding": q_window_sliding,
+        "extend_group": q_extend_group,
+        "fdr": q_fdr,
+        "bpe_tokens": q_bpe_tokens,
+        "kmeans": q_kmeans,
+        "ivf_topk": q_ivf_topk,
+        "jpeg_features": q_jpeg_features,
+        "png_features": q_png_features,
+        "avi_frames": q_avi_frames,
+        "dedup_exact": q_dedup_exact,
+        # --- r15-CHANGED code paths: re-gate immediately (9) ---
+        "para_dedup": q_para_dedup,
+        "boilerplate_lines": q_boilerplate_lines,
+        "curation_pipeline": q_curation_pipeline,
+        "stratified_sample": q_stratified_sample,
+        "extend_orfs": q_extend_orfs,
+        "bam_roundtrip": q_bam_roundtrip,
+        "bigwig_roundtrip": q_bigwig_roundtrip,
+        "get_sequence_tiled": q_get_sequence_tiled,
+        "fasta_roundtrip": q_fasta_roundtrip,
+        # --- 25 r13-green fills (oldest deadline class, due r16) ---
+        "doc_repetition": q_doc_repetition,
+        "tfidf_topterms": q_tfidf_topterms,
+        "pack_examples": q_pack_examples,
+        "pii_scrub": q_pii_scrub,
+        "incremental_dedup": q_incremental_dedup,
+        "quota_sample": q_quota_sample,
+        "lm_score": q_lm_score,
+        "adpcm_features": q_adpcm_features,
+        "repeated_spans": q_repeated_spans,
+        "token_quota": q_token_quota,
+        "chunk_docs": q_chunk_docs,
+        "char_diversity": q_char_diversity,
+        "mjpeg_frames": q_mjpeg_frames,
+        "bpe_pairs": q_bpe_pairs,
+        "cluster_quota": q_cluster_quota,
+        "count_overlaps": q_count_overlaps,
+        "map_to_local": q_map_to_local,
+        "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
+        "count_matrix": q_count_matrix,
+        "token_jaccard": q_token_jaccard,
+        "doc_signature_dedup": q_doc_signature_dedup,
+        "ann_topk": q_ann_topk,
+        "simhash": q_simhash,
+        "group_cumsum": q_group_cumsum,
+        # --- past the 50-row driver window: local gate only this round ---
+        # Roll-to-r16 (20): r13-green, each with a rule-(b) sibling — see
+        # the docstring.
+        "doc_langid": q_doc_langid,
+        "tpch_pricing": q_tpch_pricing,
+        "five_end": q_five_end,
+        "calc_frame": q_calc_frame,
+        "tile_genome": q_tile_genome,
+        "summary_stats": q_summary_stats,
+        "mcc": q_mcc,
+        "spearman_rows": q_spearman_rows,
+        "minhash_lsh": q_minhash_lsh,
+        "cluster": q_cluster,
+        "split": q_split,
+        "set_union": q_set_union,
+        "max_disjoint": q_max_disjoint,
+        "jaccard_stat": q_jaccard_stat,
+        "streaming_dedup": q_streaming_dedup,
+        "translate_cds": q_translate_cds,
+        "nearest": q_nearest,
+        "annotate_stream": q_annotate_stream,
+        "windowed_coverage": q_windowed_coverage,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        # r14-driver-green (CORRECTNESS_r14.json, all 50 green; deadline
+        # r17 — para_dedup, stratified_sample, bam/bigwig_roundtrip,
+        # get_sequence_tiled and fasta_roundtrip moved into the window
+        # above as r15-changed):
         "simes": q_simes,
         "doc_quality": q_doc_quality,
         "lsh_topk": q_lsh_topk,
@@ -2847,22 +2938,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slice_10_60": q_slice_10_60,
         "window_ranges": q_window_ranges,
         "extend": q_extend,
-        # --- NEW this round: trainer+segmenter end-to-end (VERDICT r13 #2)
-        # and paragraph-level first-occurrence dedup ---
         "bpe_segment": q_bpe_segment,
-        "para_dedup": q_para_dedup,
-        # --- r13-green but r14-CHANGED code: the arrow ADC scoring path ---
         "pq_topk": q_pq_topk,
         "ivfpq_topk": q_ivfpq_topk,
-        # --- 34 r12-green fills (deadline r15; iterative CC queries last) ---
         "upstream_flank": q_upstream_flank,
         "overlap_slack": q_overlap_slack,
         "reldist": q_reldist,
         "running_anomalies": q_running_anomalies,
-        "bam_roundtrip": q_bam_roundtrip,
-        "bigwig_roundtrip": q_bigwig_roundtrip,
         "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
         "shuffle_rank": q_shuffle,
         "corpus_filter": q_corpus_filter,
         "kmv_vocab": q_kmv_vocab,
@@ -2883,81 +2966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow": q_winnow,
         "nearest_updown": q_nearest_updown,
         "multimodal_features": q_multimodal_features,
-        "get_sequence_tiled": q_get_sequence_tiled,
-        "fasta_roundtrip": q_fasta_roundtrip,
         "bucketed_merge": q_bucketed_merge,
         "map_to_global": q_map_to_global,
         "dedup_clusters": q_dedup_clusters,
         "semantic_dedup": q_semantic_dedup,
-        # --- past the 50-row driver window: local gate only this round ---
-        # Roll-to-r15 (16): r12-green, each with a rule-(b) sibling —
-        # see the docstring.
-        "coverage_ratio": q_coverage_ratio,
-        "downstream_flank": q_downstream_flank,
-        "join_first": q_join_first,
-        "join_contained": q_join_contained,
-        "overlap_anti": q_overlap_anti,
-        "slice_introns": q_slice_introns,
-        "window_sliding": q_window_sliding,
-        "extend_group": q_extend_group,
-        "fdr": q_fdr,
-        "bpe_tokens": q_bpe_tokens,
-        "kmeans": q_kmeans,
-        "ivf_topk": q_ivf_topk,
-        "jpeg_features": q_jpeg_features,
-        "png_features": q_png_features,
-        "avi_frames": q_avi_frames,
-        "dedup_exact": q_dedup_exact,
-        # r13-driver-green (CORRECTNESS_r13.json, all 50 green; pq_topk
-        # and ivfpq_topk moved into the window above as r14-changed):
-        "doc_repetition": q_doc_repetition,
-        "tfidf_topterms": q_tfidf_topterms,
-        "pack_examples": q_pack_examples,
-        "pii_scrub": q_pii_scrub,
-        "incremental_dedup": q_incremental_dedup,
-        "quota_sample": q_quota_sample,
-        "lm_score": q_lm_score,
-        "adpcm_features": q_adpcm_features,
-        "boilerplate_lines": q_boilerplate_lines,
-        "repeated_spans": q_repeated_spans,
-        "token_quota": q_token_quota,
-        "chunk_docs": q_chunk_docs,
-        "char_diversity": q_char_diversity,
-        "mjpeg_frames": q_mjpeg_frames,
-        "curation_pipeline": q_curation_pipeline,
-        "bpe_pairs": q_bpe_pairs,
-        "cluster_quota": q_cluster_quota,
-        "count_overlaps": q_count_overlaps,
-        "map_to_local": q_map_to_local,
-        "events_hourly": q_events_hourly,
-        "sessions": q_sessions,
-        "count_matrix": q_count_matrix,
-        "token_jaccard": q_token_jaccard,
-        "doc_signature_dedup": q_doc_signature_dedup,
-        "doc_langid": q_doc_langid,
-        "ann_topk": q_ann_topk,
-        "simhash": q_simhash,
-        "tpch_pricing": q_tpch_pricing,
-        "group_cumsum": q_group_cumsum,
-        "five_end": q_five_end,
-        "calc_frame": q_calc_frame,
-        "tile_genome": q_tile_genome,
-        "summary_stats": q_summary_stats,
-        "mcc": q_mcc,
-        "spearman_rows": q_spearman_rows,
-        "minhash_lsh": q_minhash_lsh,
-        "cluster": q_cluster,
-        "split": q_split,
-        "set_union": q_set_union,
-        "max_disjoint": q_max_disjoint,
-        "jaccard_stat": q_jaccard_stat,
-        "streaming_dedup": q_streaming_dedup,
-        "extend_orfs": q_extend_orfs,
-        "translate_cds": q_translate_cds,
-        "nearest": q_nearest,
-        "annotate_stream": q_annotate_stream,
-        "windowed_coverage": q_windowed_coverage,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
     }
 
 

@@ -178,9 +178,11 @@ def bpe_train(
     (deterministic (count desc, lhs, rhs) tie-break) -> fuse it corpus-wide.
     Returns the merge list in rank order — the merge table IS the model.
     Stops early when no pair reaches ``min_pair_count``. For production
-    vocabularies set ``merge_batch >= 8``: wall-clock is driven by the
-    Spark JOB count, not data size, and batching provably preserves the
-    sequential merge table (cost model + measurements below).
+    vocabularies set ``merge_batch=8``: wall-clock is driven by the Spark
+    JOB count, not data size; batching provably preserves the sequential
+    merge table, cut realized jobs 2.3x (2127 -> 928) at a measured 1000
+    merges, and returns saturate by batch 8 (batch 32 realized the SAME
+    job count — the strict-drop rule truncates on ties; SCALING.md r15).
 
     Scale shape (the shape real distributed BPE trainers use): the corpus
     collapses ONCE to the distinct-pretoken relation with occurrence

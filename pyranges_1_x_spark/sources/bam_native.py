@@ -129,10 +129,20 @@ def decode_bam_bytes(
         )
         if keep:
             p = off + 32
+            # Per-field bounds inside the record (r15 fuzz hardening): a
+            # mutated l_read_name/n_cigar/l_seq otherwise walks past the
+            # record into struct.error / IndexError instead of a parse error.
+            need = 32 + l_read_name + 4 * n_cigar
+            if full:
+                need += (l_seq + 1) // 2 + l_seq
+            if l_read_name < 1 or n_cigar < 0 or l_seq < 0 or off + need > end_rec:
+                raise ValueError("corrupt BAM record (field lengths exceed block)")
             name = raw[p : p + l_read_name - 1].decode("ascii")
             p += l_read_name
             cigar = struct.unpack_from(f"<{n_cigar}I", raw, p)
             p += 4 * n_cigar
+            if any((c & 0xF) > 8 for c in cigar):
+                raise ValueError("corrupt BAM record (invalid CIGAR op)")
             ref_len = sum(c >> 4 for c in cigar if (c & 0xF) in _REF_CONSUMING)
             row = (
                 ref_names[ref_id],

@@ -62,36 +62,60 @@ def _read_header(fh) -> dict:
         summary_off,
         uncompress_buf,
     ) = struct.unpack_from("<HHQQQHHQQI", raw, 4)
+    fh.seek(0, 2)
+    file_end = fh.tell()
+    # Corrupt 64-bit offsets otherwise reach seek() as near-2^64 values
+    # (OverflowError past ssize_t) or send the tree walkers past EOF
+    # (r15 fuzz find).
+    if chrom_tree_off > file_end or index_off > file_end or data_off > file_end:
+        raise ValueError("corrupt bigWig header (offset past EOF)")
     return {
         "chrom_tree_off": chrom_tree_off,
         "data_off": data_off,
         "index_off": index_off,
         "uncompress_buf": uncompress_buf,
+        "file_end": file_end,
     }
+
+
+def _read_exact(fh, n: int) -> bytes:
+    """Read exactly ``n`` bytes or raise a clear parse error — a mutated
+    tree offset otherwise seeks near EOF and the short read surfaces as
+    struct.error (r15 fuzz hardening)."""
+    b = fh.read(n)
+    if len(b) != n:
+        raise ValueError("truncated bigWig structure (short read)")
+    return b
 
 
 def _chrom_map(fh, offset: int) -> dict[int, str]:
     fh.seek(offset)
     magic, block_size, key_size, val_size, item_count, _res = struct.unpack(
-        "<IIIIQQ", fh.read(32)
+        "<IIIIQQ", _read_exact(fh, 32)
     )
     if magic != CHROM_TREE_MAGIC:
         raise ValueError("bad chromosome B+ tree magic")
     out: dict[int, str] = {}
+    pos0 = fh.tell()
+    fh.seek(0, 2)
+    file_end = fh.tell()
+    fh.seek(pos0)
 
     def walk(node_off: int) -> None:
+        if node_off > file_end:
+            raise ValueError("corrupt B+ tree (node offset past EOF)")
         fh.seek(node_off)
-        is_leaf, _res2, count = struct.unpack("<BBH", fh.read(4))
+        is_leaf, _res2, count = struct.unpack("<BBH", _read_exact(fh, 4))
         if is_leaf:
             for _ in range(count):
-                key = fh.read(key_size).rstrip(b"\x00").decode("ascii")
-                chrom_id, _size = struct.unpack("<II", fh.read(8))
+                key = _read_exact(fh, key_size).rstrip(b"\x00").decode("ascii")
+                chrom_id, _size = struct.unpack("<II", _read_exact(fh, 8))
                 out[chrom_id] = key
         else:
             kids = []
             for _ in range(count):
-                fh.read(key_size)
-                (child_off,) = struct.unpack("<Q", fh.read(8))
+                _read_exact(fh, key_size)
+                (child_off,) = struct.unpack("<Q", _read_exact(fh, 8))
                 kids.append(child_off)
             for k in kids:
                 walk(k)
@@ -102,24 +126,41 @@ def _chrom_map(fh, offset: int) -> dict[int, str]:
 
 def _rtree_leaves(fh, index_off: int) -> list[tuple[int, int]]:
     fh.seek(index_off)
-    magic = struct.unpack("<I", fh.read(4))[0]
+    magic = struct.unpack("<I", _read_exact(fh, 4))[0]
     if magic != RTREE_MAGIC:
         raise ValueError("bad R-tree magic")
-    fh.read(44)  # blockSize, itemCount, start/end chrom+base, endFileOffset,
-    # itemsPerSlot, reserved — not needed for a full scan
+    _read_exact(fh, 44)  # blockSize, itemCount, start/end chrom+base,
+    # endFileOffset, itemsPerSlot, reserved — not needed for a full scan
     blocks: list[tuple[int, int]] = []
+    pos0 = fh.tell()
+    fh.seek(0, 2)
+    file_end = fh.tell()
+    fh.seek(pos0)
 
     def walk(node_off: int) -> None:
+        if node_off > file_end:
+            raise ValueError("corrupt R-tree (node offset past EOF)")
         fh.seek(node_off)
-        is_leaf, _res, count = struct.unpack("<BBH", fh.read(4))
+        is_leaf, _res, count = struct.unpack("<BBH", _read_exact(fh, 4))
         if is_leaf:
             for _ in range(count):
-                (_sci, _sb, _eci, _eb, off, size) = struct.unpack("<IIIIQQ", fh.read(32))
+                (_sci, _sb, _eci, _eb, off, size) = struct.unpack(
+                    "<IIIIQQ", _read_exact(fh, 32)
+                )
+                # A corrupt 64-bit size otherwise reaches the executors as
+                # a near-2^64 read() — OverflowError, or an absurd
+                # allocation for smaller-but-bogus values (r15 fuzz find).
+                if off + size > file_end:
+                    raise ValueError(
+                        "corrupt R-tree leaf (block extends past EOF)"
+                    )
                 blocks.append((off, size))
         else:
             kids = []
             for _ in range(count):
-                (_sci, _sb, _eci, _eb, child) = struct.unpack("<IIIIQ", fh.read(24))
+                (_sci, _sb, _eci, _eb, child) = struct.unpack(
+                    "<IIIIQ", _read_exact(fh, 24)
+                )
                 kids.append(child)
             for k in kids:
                 walk(k)
