@@ -155,18 +155,27 @@ def decode_bam_bytes(
                 cigar_str = "".join(f"{c >> 4}{CIGAR_OPS[c & 0xF]}" for c in cigar)
                 seq_bytes = raw[p : p + (l_seq + 1) // 2]
                 p += (l_seq + 1) // 2
-                seq = "".join(
-                    SEQ_CODES[
-                        (seq_bytes[i // 2] >> 4) if i % 2 == 0 else (seq_bytes[i // 2] & 0xF)
-                    ]
-                    for i in range(l_seq)
+                # l_seq == 0 means SEQ (and with it QUAL) is ABSENT — SAM
+                # shows "*" for both (r15 review find; e.g. a secondary
+                # alignment written without sequence).
+                seq = (
+                    "".join(
+                        SEQ_CODES[
+                            (seq_bytes[i // 2] >> 4)
+                            if i % 2 == 0
+                            else (seq_bytes[i // 2] & 0xF)
+                        ]
+                        for i in range(l_seq)
+                    )
+                    if l_seq
+                    else "*"
                 )
                 qb = raw[p : p + l_seq]
                 # all-0xFF quality means ABSENT per the spec (SAM "*");
                 # chr(0xFF+33) previously emitted garbage U+0120s (r15).
                 qual = (
                     "*"
-                    if qb and qb[0] == 0xFF and not qb.strip(b"\xff")
+                    if not qb or (qb[0] == 0xFF and not qb.strip(b"\xff"))
                     else "".join(chr(q + 33) for q in qb)
                 )
                 row = row + (name, cigar_str, seq, qual, mq)

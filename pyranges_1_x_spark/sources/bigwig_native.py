@@ -62,8 +62,7 @@ def _read_header(fh) -> dict:
         summary_off,
         uncompress_buf,
     ) = struct.unpack_from("<HHQQQHHQQI", raw, 4)
-    fh.seek(0, 2)
-    file_end = fh.tell()
+    file_end = _file_end(fh)
     # Corrupt 64-bit offsets otherwise reach seek() as near-2^64 values
     # (OverflowError past ssize_t) or send the tree walkers past EOF
     # (r15 fuzz find).
@@ -74,7 +73,6 @@ def _read_header(fh) -> dict:
         "data_off": data_off,
         "index_off": index_off,
         "uncompress_buf": uncompress_buf,
-        "file_end": file_end,
     }
 
 
@@ -88,6 +86,37 @@ def _read_exact(fh, n: int) -> bytes:
     return b
 
 
+def _file_end(fh) -> int:
+    pos0 = fh.tell()
+    fh.seek(0, 2)
+    end = fh.tell()
+    fh.seek(pos0)
+    return end
+
+
+def _tree_guard(file_end: int):
+    """Shared corrupt-tree guard for the two walkers (r15 review find #2):
+    without a visited set, a corrupt child offset pointing at an ancestor
+    recursed to RecursionError (escaping the module's data-or-ValueError
+    contract), and a node listing the SAME child k times re-walked it k
+    times — a crafted DAG of repeated offsets costs up to 65535^depth node
+    visits, an effective driver hang no past-EOF check can catch. Visit
+    each node offset once, reject revisits as corruption (a valid tree is
+    a tree), and bound total visits as a backstop."""
+    seen: set[int] = set()
+
+    def check(node_off: int) -> None:
+        if node_off > file_end:
+            raise ValueError("corrupt tree (node offset past EOF)")
+        if node_off in seen:
+            raise ValueError("corrupt tree (cyclic or duplicated node offset)")
+        if len(seen) >= 1_000_000:
+            raise ValueError("corrupt tree (node count exceeds bound)")
+        seen.add(node_off)
+
+    return check
+
+
 def _chrom_map(fh, offset: int) -> dict[int, str]:
     fh.seek(offset)
     magic, block_size, key_size, val_size, item_count, _res = struct.unpack(
@@ -96,14 +125,13 @@ def _chrom_map(fh, offset: int) -> dict[int, str]:
     if magic != CHROM_TREE_MAGIC:
         raise ValueError("bad chromosome B+ tree magic")
     out: dict[int, str] = {}
-    pos0 = fh.tell()
-    fh.seek(0, 2)
-    file_end = fh.tell()
-    fh.seek(pos0)
-
-    def walk(node_off: int) -> None:
-        if node_off > file_end:
-            raise ValueError("corrupt B+ tree (node offset past EOF)")
+    guard = _tree_guard(_file_end(fh))
+    # Explicit stack, not recursion: a crafted chain of distinct offsets
+    # would otherwise reach RecursionError before the visited guard bites.
+    stack = [offset + 32]
+    while stack:
+        node_off = stack.pop()
+        guard(node_off)
         fh.seek(node_off)
         is_leaf, _res2, count = struct.unpack("<BBH", _read_exact(fh, 4))
         if is_leaf:
@@ -112,15 +140,10 @@ def _chrom_map(fh, offset: int) -> dict[int, str]:
                 chrom_id, _size = struct.unpack("<II", _read_exact(fh, 8))
                 out[chrom_id] = key
         else:
-            kids = []
             for _ in range(count):
                 _read_exact(fh, key_size)
                 (child_off,) = struct.unpack("<Q", _read_exact(fh, 8))
-                kids.append(child_off)
-            for k in kids:
-                walk(k)
-
-    walk(offset + 32)
+                stack.append(child_off)
     return out
 
 
@@ -132,14 +155,13 @@ def _rtree_leaves(fh, index_off: int) -> list[tuple[int, int]]:
     _read_exact(fh, 44)  # blockSize, itemCount, start/end chrom+base,
     # endFileOffset, itemsPerSlot, reserved — not needed for a full scan
     blocks: list[tuple[int, int]] = []
-    pos0 = fh.tell()
-    fh.seek(0, 2)
-    file_end = fh.tell()
-    fh.seek(pos0)
-
-    def walk(node_off: int) -> None:
-        if node_off > file_end:
-            raise ValueError("corrupt R-tree (node offset past EOF)")
+    file_end = _file_end(fh)
+    guard = _tree_guard(file_end)
+    # Explicit stack + visited guard — see _tree_guard / _chrom_map.
+    stack = [index_off + 48]
+    while stack:
+        node_off = stack.pop()
+        guard(node_off)
         fh.seek(node_off)
         is_leaf, _res, count = struct.unpack("<BBH", _read_exact(fh, 4))
         if is_leaf:
@@ -156,16 +178,11 @@ def _rtree_leaves(fh, index_off: int) -> list[tuple[int, int]]:
                     )
                 blocks.append((off, size))
         else:
-            kids = []
             for _ in range(count):
                 (_sci, _sb, _eci, _eb, child) = struct.unpack(
                     "<IIIIQ", _read_exact(fh, 24)
                 )
-                kids.append(child)
-            for k in kids:
-                walk(k)
-
-    walk(index_off + 48)
+                stack.append(child)
     return blocks
 
 

@@ -153,10 +153,14 @@ def main() -> int:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         half = max(scale // 2, 1)
+        # Injective copy ids: multiplier = next power of two >= scale (a
+        # fixed 1024 collides for scale > 1024, fusing copies of different
+        # docs under one id — the check_oracle_longdocs M rule; r15 review).
+        mult = 1 << max(scale - 1, 1).bit_length()
         docs = (
             docs.crossJoin(spark.range(scale).select(F.col("id").alias("__i__")))
             .select(
-                (F.col("doc_id") * 1024 + F.col("__i__")).alias("doc_id"),
+                (F.col("doc_id") * mult + F.col("__i__")).alias("doc_id"),
                 F.concat_ws(
                     "\n\n",
                     F.transform(

@@ -108,15 +108,15 @@ def main() -> int:
     #: readers allow ValueError + the codec-boundary errors their
     #: docstrings name (zlib/EOF for a corrupt compression stream, struct
     #: at the exact EOF boundary is NOT allowed — that is what the r15
-    #: hardening fixed). RecursionError is allowed for bigwig: a mutated
-    #: child-offset cycle in the R-tree bottoms out on Python's recursion
-    #: limit, which is a clean failure, not a hang.
+    #: hardening fixed). RecursionError is NOT allowed: the bigwig tree
+    #: walkers are iterative with a visited-offset guard (r15 review find
+    #: — cycles and duplicated child offsets are corruption, rejected as
+    #: ValueError, never deep recursion or exponential re-walks).
     import zlib as _zlib
 
     genomics = [
         ("bam", bam_raw, bam_dec, (ValueError, _zlib.error, EOFError)),
-        ("bigwig", bw_raw, bw_dec,
-         (ValueError, _zlib.error, EOFError, RecursionError)),
+        ("bigwig", bw_raw, bw_dec, (ValueError, _zlib.error, EOFError)),
     ]
     payloads = [
         ("netpbm", encode_netpbm(img), decode_image),

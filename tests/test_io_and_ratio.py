@@ -262,6 +262,51 @@ def test_native_bigwig_corrupt_blocks(tmp_path):
         _read_header(BytesIO(b"\x26\xfc\x8f\x88short"))
 
 
+def test_native_bigwig_tree_cycle_and_bam_no_seq(tmp_path):
+    """r15 review finds: (1) a corrupt tree whose child offset points back
+    at an ancestor (or lists the same child twice) must be rejected as
+    ValueError — the recursive walkers previously spun to RecursionError
+    on cycles and re-walked duplicated offsets exponentially; (2) a BAM
+    record with l_seq=0 (no stored sequence) decodes QuerySequence and
+    Quality as the SAM absent marker '*', not ''."""
+    import gzip
+    import struct as st
+    from io import BytesIO
+
+    import pytest
+
+    from pyranges_1_x_spark.sources.bam_native import decode_bam_bytes, write_bam
+    from pyranges_1_x_spark.sources.bigwig_native import (
+        _rtree_leaves,
+        write_bigwig,
+    )
+
+    # R-tree root that is an INTERNAL node whose only child is itself.
+    idx = st.pack("<IIQIIIIQII", 0x2468ACE0, 256, 1, 0, 0, 0, 0, 0, 64, 0)
+    node = st.pack("<BBH", 0, 0, 1) + st.pack("<IIIIQ", 0, 0, 0, 0, 48)
+    buf = BytesIO((idx + node).ljust(512, b"\x00"))
+    with pytest.raises(ValueError, match="cyclic or duplicated"):
+        _rtree_leaves(buf, 0)
+    # ...and one listing the same (valid leaf) child twice: also corrupt.
+    path = str(tmp_path / "t.bw")
+    write_bigwig(path, [("chr1", 0, 10, 1.0)], {"chr1": 100})
+    raw = bytearray(open(path, "rb").read())
+    (index_off,) = st.unpack_from("<Q", raw, 24)
+    leaf_off = index_off + 48
+    dup = st.pack("<BBH", 0, 0, 2) + 2 * st.pack("<IIIIQ", 0, 0, 0, 10, leaf_off)
+    raw2 = bytes(raw[:leaf_off]) + dup + bytes(raw[leaf_off:])
+    # (this crafted layout reuses the original leaf at a shifted offset —
+    # the point is only that duplicate child offsets raise, not hang)
+    with pytest.raises(ValueError):
+        _rtree_leaves(BytesIO(raw2), index_off)
+
+    bam = str(tmp_path / "t.bam")
+    write_bam(bam, [("r1", 0, "chr1", 5, 60, "3M", "", "")], {"chr1": 100})
+    full = decode_bam_bytes(gzip.open(bam, "rb").read(), full=True)
+    assert full.QuerySequence.tolist() == ["*"]
+    assert full.Quality.tolist() == ["*"]
+
+
 def test_fasta_roundtrip_and_get_sequence(spark, tmp_path):
     """write_fasta -> read_fasta_native -> get_sequence: wrapped lines, .gz,
     multi-record, header-comment word split, '-'-strand revcomp."""
