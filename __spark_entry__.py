@@ -413,13 +413,23 @@ def q_nearest_updown(spark, sf_dir):
     the forward sweep — nearest_ranges' 5'-aware split — plus distance-0
     overlap candidates. k=1 projection keeps self cols + Distance only, so
     the output is tie-free (min distance is unique even when several b rows
-    attain it)."""
+    attain it).
+
+    r15 (optimization round): the projection keeps NO right-side columns,
+    so this runs nearest_distance's per-leg as-of sweeps instead of the
+    full k-nearest rank machinery — provably the same rows and Distance
+    (min distance over the same three candidate branches; see the
+    nearest_distance docstring and tests/test_nearest_updown_distance_parity)
+    while skipping the right-side stable-id persist, both bucketed rank
+    relations, the rank-explode equi-joins and the right-columns assembly
+    join. Oracle unchanged; value-gated green at sf0.01 and sf0.1."""
     from pyranges_1_x_spark.core import GenomicRanges
+    from pyranges_1_x_spark.operators.nearest import nearest_distance
 
     a, b = _gr_a(spark, sf_dir), _gr_b(spark, sf_dir)
     a_s = GenomicRanges(a.df.filter("row_id % 10 = 3"), bin_size=1000)
-    out = a_s.nearest_ranges(
-        b, direction="upstream", k=1, strand_behavior="ignore", dist_col="Distance"
+    out = nearest_distance(
+        a_s, b, direction="upstream", strand_behavior="ignore", dist_col="Distance"
     )
     return out.df.select(
         "row_id", "Chromosome", "Start", "End", "Strand", "Score", "Distance"

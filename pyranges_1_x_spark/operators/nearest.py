@@ -149,11 +149,37 @@ def nearest_distance(
 ) -> GenomicRanges:
     """Self rows + the distance to the nearest other interval (no other columns
     appended — the tie-ambiguity-free core of nearest_ranges). Rows with no
-    eligible neighbor are dropped (reference behavior)."""
+    eligible neighbor are dropped (reference behavior).
+
+    Supports the same 5'-aware ``upstream``/``downstream`` directions as
+    ``nearest_ranges`` via the identical per-row leg mapping (r15): the
+    forward sweep sees only the left rows whose strand selects it, the
+    backward sweep the rest, and the overlap branch sees every row. Because
+    the k=1 best candidate is ``min(distance)`` with the right row's identity
+    discarded, this path computes EXACTLY the Distance column of
+    ``nearest_ranges(k=1)`` — the per-leg as-of sweep already carries each
+    left row's nearest boundary, so the right-side rank relations, the
+    rank-explode equi-joins and the right-columns assembly join of the full
+    path are dead weight when the caller only keeps self columns + Distance
+    (pinned by tests/test_nearest_updown_distance_parity)."""
     from pyspark import StorageLevel
 
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
+    leg_pred = None  # per-row leg selection for upstream/downstream
+    if direction in (nm.NEAREST_UPSTREAM, nm.NEAREST_DOWNSTREAM):
+        # Same resolution as nearest_ranges: unstranded input degrades to the
+        # single genomic direction; stranded input routes each row to the leg
+        # its 5' direction selects (upstream of '+' = backward; of '-' =
+        # forward) while both legs are built once over the full input.
+        up = direction == nm.NEAREST_UPSTREAM
+        if not self.has_strand:
+            direction = nm.NEAREST_BACKWARD if up else nm.NEAREST_FORWARD
+        else:
+            leg_pred = (
+                F.col(nm.STRAND_COL) == "-" if up else F.col(nm.STRAND_COL) != "-"
+            )
+            direction = nm.NEAREST_ANY
     # The stable-id relation feeds up to FOUR plan branches (forward sweep,
     # backward sweep, overlap join, final join-back); persist it so the id
     # shuffle + input scan run once instead of per branch (A/B at sf0.1:
@@ -164,15 +190,17 @@ def nearest_distance(
 
     cands = []
     if direction in (nm.NEAREST_ANY, nm.NEAREST_FORWARD):
+        l_fwd = left.filter(leg_pred) if leg_pred is not None else left
         fwd = (
-            _forward_candidates(left, right, keys, bin_size)
+            _forward_candidates(l_fwd, right, keys, bin_size)
             .filter(F.col("__cand__").isNotNull())
             .select(*_SID, (F.col("__cand__") - F.col("__e__") + 1).alias("__dist__"))
         )
         cands.append(fwd)
     if direction in (nm.NEAREST_ANY, nm.NEAREST_BACKWARD):
+        l_bwd = left.filter(~leg_pred) if leg_pred is not None else left
         bwd = (
-            _backward_candidates(left, right, keys, bin_size)
+            _backward_candidates(l_bwd, right, keys, bin_size)
             .filter(F.col("__cand__").isNotNull())
             .select(*_SID, (F.col("__s__") - F.col("__cand__") + 1).alias("__dist__"))
         )
