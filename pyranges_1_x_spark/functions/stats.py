@@ -40,6 +40,17 @@ def fdr(df: DataFrame, p_col: str = "PValue", out_col: str = "FDR") -> DataFrame
         out_col="__rk__",
     )
     d = d.withColumn("__raw__", F.col(p_col) * F.col("__n__") / F.col("__rk__"))
+    # r15: the suffix-min sweep evaluates its input under TWO plan branches
+    # (bucket-local window + bucket summary — sweep.py's documented trade),
+    # and here that input is itself the whole rank pipeline (exchange + two
+    # windows + broadcast join), which the duplicate evaluation re-ran end
+    # to end (plans/r15/fdr_before.txt ops 50-93). The branches prune
+    # different columns, so Catalyst/AQE never reuses the exchange (verified
+    # at runtime: 0 ReusedExchange). A LAZY localCheckpoint materializes the
+    # ranked rows once — narrow rows (id cols + p + n + rank + raw), so the
+    # block write is far cheaper than a second full exchange+window pass at
+    # any scale. Interleaved A/B at sf0.1 in OPTIMIZATION_r15.md.
+    d = d.localCheckpoint(eager=False)
     d = asof_extreme(
         d,
         [],

@@ -19,12 +19,24 @@ position. Empty buckets are skipped naturally (bucket ids come from the data).
 Consumers: coverage, coverage_ratio, split, count_overlaps_matrix — every
 event-point operator in the engine.
 
-Known trade-off (visible in .explain): the pre-aggregated delta subtree is
-evaluated twice — once under the bucket-local windows, once under the bucket
-summary. Deliberate: the subtree is a pruned scan + map-side-combined hash
-agg (the cheap part of the plan), and forcing reuse would need a persist(),
-trading a recompute for a full materialization — the wrong trade at 100 TB.
-Callers that already pay for a cache can pass a cached `deltas`.
+r15 (optimization round): ``prefix_sweep`` persists the pre-aggregated
+delta relation (MEMORY_AND_DISK) for the duration of the plan. The delta
+subtree feeds TWO branches (bucket-local windows + bucket summary), the
+branches prune different columns, so Catalyst/AQE never shares their
+exchanges (verified at runtime: 0 ReusedExchange) — before r15 the subtree,
+which contains a full groupBy shuffle in every consumer, was evaluated
+twice. Persisting the post-aggregation rows trades one executor-local
+block write/read for that second shuffle — cheaper at every scale, and
+``persist`` (unlike ``localCheckpoint``) keeps lineage, so executor loss
+recomputes instead of failing. Interleaved A/B at sf0.1 (all four
+consumers): coverage 2.23→1.80s, coverage_ratio 2.24→1.80s, split
+2.27→1.85s, count_matrix 7.29→4.35s. ContextCleaner reclaims the blocks
+once the returned plan is dropped. ``materialize=False`` restores the
+recompute shape (e.g. for callers that already persist their deltas).
+
+``asof_extreme``/``bucketed_row_number`` keep the recompute shape: their
+points relations are unions of already-persisted inputs (nearest) or are
+materialized by the caller (fdr), where the duplicate evaluation is cheap.
 """
 
 from __future__ import annotations
@@ -46,13 +58,20 @@ def prefix_sweep(
     *,
     bucket_width: int,
     next_col: str = "__next__",
+    materialize: bool = True,
 ) -> DataFrame:
     """``deltas`` must have one row per (keys..., pos) — pre-aggregated deltas.
 
     Returns keys + pos + the running sum of each delta column (ordered by pos
     within keys, inclusive of the current row) as ``cum_cols`` + ``next_col``
     (the next position within keys; null on each group's last point).
+    ``materialize`` persists the deltas for the two consuming branches —
+    see the module docstring (r15).
     """
+    if materialize:
+        from pyspark import StorageLevel
+
+        deltas = deltas.persist(StorageLevel.MEMORY_AND_DISK)
     d = deltas.withColumn("__bkt__", floordiv(F.col(pos_col), bucket_width))
 
     wl = Window.partitionBy(*keys, "__bkt__").orderBy(F.col(pos_col).asc())
