@@ -96,14 +96,45 @@ def subtract_overlaps(
     meta = [c for c in self.df.columns if c not in (nm.START_COL, nm.END_COL)]
     # NB: F.least/greatest skip nulls, so gate on __matched__ — otherwise a
     # matchless row (null __bs__) would get __ge__ = End and leak a full-row gap.
-    gaps = enriched.filter(F.col("__matched__") & (F.col("__gs__") < F.col("__ge__"))).select(
-        *meta, F.col("__gs__").alias(nm.START_COL), F.col("__ge__").alias(nm.END_COL)
+    #
+    # r15 (optimization round): gaps and tails used to be two FILTERED
+    # BRANCHES of `enriched` glued with unionByName — and `enriched` is the
+    # whole binned join + three windows, so Catalyst evaluated that subtree
+    # TWICE end to end (plans/r15/subtract_before.txt: the full
+    # join+Exchange+Window pipeline appears once per union arm). Emitting
+    # both residuals from ONE pass instead — per row, an array of the (up to
+    # two) surviving [s, e) segments, explode — keeps the multiset of output
+    # rows identical (a row that yields both a gap and a tail still yields
+    # two rows; a row that yields neither gets an empty array, which explode
+    # drops) while the join/window pipeline runs once. At 100 TB this halves
+    # the operator: one binned join + one window pass instead of two.
+    segs = F.filter(
+        F.array(
+            F.when(
+                F.col("__matched__") & (F.col("__gs__") < F.col("__ge__")),
+                F.struct(
+                    F.col("__gs__").alias("__s__"), F.col("__ge__").alias("__e__")
+                ),
+            ),
+            F.when(
+                F.col("__ts__").isNotNull() & (F.col("__ts__") < F.col(nm.END_COL)),
+                F.struct(
+                    F.col("__ts__").alias("__s__"),
+                    F.col(nm.END_COL).alias("__e__"),
+                ),
+            ),
+        ),
+        lambda x: x.isNotNull(),
     )
-    tails = enriched.filter(
-        F.col("__ts__").isNotNull() & (F.col("__ts__") < F.col(nm.END_COL))
-    ).select(*meta, F.col("__ts__").alias(nm.START_COL), F.col(nm.END_COL))
-
-    out = gaps.unionByName(tails).select(*self.df.columns)
+    out = (
+        enriched.select(*meta, F.explode(segs).alias("__seg__"))
+        .select(
+            *meta,
+            F.col("__seg__.__s__").alias(nm.START_COL),
+            F.col("__seg__.__e__").alias(nm.END_COL),
+        )
+        .select(*self.df.columns)
+    )
     return GenomicRanges(out)
 
 

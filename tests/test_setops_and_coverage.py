@@ -303,3 +303,31 @@ def test_complement_group_by_and_sizes_dict(spark):
         ("t1", 0, 5), ("t1", 10, 30), ("t1", 40, 50),
         ("t2", 0, 2), ("t2", 4, 20), ("t2", 25, 30),
     ]
+
+
+def test_subtract_single_pass_plan_and_both_residuals(spark):
+    """r15 optimization pin: subtract emits gap AND tail residuals from ONE
+    evaluation of the join+window relation (explode of a per-row segment
+    array) — the physical plan must contain no Union (the pre-r15 shape
+    glued two filtered branches, re-running the whole pipeline per arm)."""
+    import pandas as pd
+
+    a = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {"Chromosome": ["chr1"] * 3, "Start": [0, 100, 300], "End": [50, 120, 310]}
+            )
+        )
+    )
+    b = GenomicRanges(
+        spark.createDataFrame(
+            pd.DataFrame({"Chromosome": ["chr1"] * 2, "Start": [10, 95], "End": [20, 130]})
+        )
+    )
+    out = a.subtract_overlaps(b, strand_behavior="ignore").df
+    rows = sorted(map(tuple, out.toPandas()[["Chromosome", "Start", "End"]].values))
+    # row 1 yields BOTH a gap [0,10) and a tail [20,50); row 2 is fully
+    # covered (no residual); row 3 is matchless (full interval).
+    assert rows == [("chr1", 0, 10), ("chr1", 20, 50), ("chr1", 300, 310)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan, "subtract regressed to the two-branch union shape"
