@@ -67,16 +67,76 @@ def fdr(df: DataFrame, p_col: str = "PValue", out_col: str = "FDR") -> DataFrame
     )
 
 
+def _dual_depth_lengths(a: GenomicRanges, bdf: DataFrame, keys: list[str]) -> DataFrame:
+    """One event sweep over BOTH interval sets -> 1-row frame of covered-
+    position totals: ``la`` (depth_a > 0), ``lb`` (depth_b > 0), ``il``
+    (both), ``ul`` (either).
+
+    r15 (optimization round): forbes/jaccard used to build each quantity
+    from its own merged relation — island_agg of A and of B evaluated TWICE
+    each (once inside set_intersect/set_union, once for the standalone
+    length sums; plans/r15/forbes_stat_before.txt shows the duplicated
+    Window+Exchange island subtrees). Covered-position totals do not need
+    the islands at all: sum of merged-interval lengths == number of
+    positions with coverage depth > 0, so ONE two-column prefix sweep over
+    the union of both sets' start/end events yields every total in a
+    single pass (guide §1.2 "the distributed algorithm", §2.4). Integer
+    segment sums, so the values are bit-identical to the merged-relation
+    formulation (zero-length intervals net +1-1 at one point and
+    contribute nothing either way; interior event points split segments
+    without changing sums).
+    """
+    from pyranges_1_x_spark.plans.sweep import prefix_sweep
+
+    adf = a.df
+    ev = []
+    for src, is_a in ((adf, True), (bdf, False)):
+        for pos, d in ((nm.START_COL, 1), (nm.END_COL, -1)):
+            ev.append(
+                src.select(
+                    *keys,
+                    F.col(pos).alias("__p__"),
+                    F.lit(d if is_a else 0).alias("__da__"),
+                    F.lit(d if not is_a else 0).alias("__db__"),
+                )
+            )
+    events = ev[0]
+    for e in ev[1:]:
+        events = events.unionByName(e)
+    deltas = events.groupBy(*keys, "__p__").agg(
+        F.sum("__da__").alias("__da__"), F.sum("__db__").alias("__db__")
+    )
+    segs = prefix_sweep(
+        deltas,
+        keys,
+        "__p__",
+        ["__da__", "__db__"],
+        ["__ca__", "__cb__"],
+        bucket_width=a.resolve_bin(None) * 16,
+        next_col="__np__",
+    ).filter(F.col("__np__").isNotNull())
+    seg_len = F.col("__np__") - F.col("__p__")
+    ca, cb = F.col("__ca__") > 0, F.col("__cb__") > 0
+    return segs.agg(
+        F.coalesce(F.sum(F.when(ca, seg_len)), F.lit(0)).alias("la"),
+        F.coalesce(F.sum(F.when(cb, seg_len)), F.lit(0)).alias("lb"),
+        F.coalesce(F.sum(F.when(ca & cb, seg_len)), F.lit(0)).alias("il"),
+        F.coalesce(F.sum(F.when(ca | cb, seg_len)), F.lit(0)).alias("ul"),
+    )
+
+
 def jaccard_statistic(
     a: GenomicRanges, b: GenomicRanges, *, strand_behavior: str = "ignore"
 ) -> DataFrame:
     """Genome-wide Jaccard: |intersection| / |union| of the two merged interval
-    sets (reference ext/stats.py:745-797). Returns a 1-row DataFrame."""
-    inter = a.set_intersect_overlaps(b, strand_behavior=strand_behavior).length_sum()
-    union = a.set_union_overlaps(b, strand_behavior=strand_behavior).length_sum()
-    i = inter.withColumnRenamed("length", "il")
-    u = union.withColumnRenamed("length", "ul")
-    return i.crossJoin(u).select(
+    sets (reference ext/stats.py:745-797). Returns a 1-row DataFrame.
+
+    Both set ops resolve the same grouping keys, so the two length sums come
+    from ONE dual-depth sweep (`_dual_depth_lengths`) instead of two full
+    merge+join pipelines — values bit-identical (integer sums)."""
+    odf, keys = a._binary_prepared(b, strand_behavior)
+    sums = _dual_depth_lengths(a, odf, keys)
+    return sums.select(
         (F.col("il") / F.col("ul")).alias("jaccard"),
         F.col("il").alias("intersection_length"),
         F.col("ul").alias("union_length"),
@@ -87,7 +147,24 @@ def forbes_statistic(
     a: GenomicRanges, b: GenomicRanges, genome_length: int, *, strand_behavior: str = "ignore"
 ) -> DataFrame:
     """Forbes coefficient: genome_len * |A∩B| / (|A|*|B|) on merged sets
-    (reference ext/stats.py:687-742)."""
+    (reference ext/stats.py:687-742).
+
+    |A| and |B| are STRAND-IGNORED merges regardless of ``strand_behavior``
+    (reference semantics), so the one-sweep path applies only when the
+    intersection's keys are strand-free too; otherwise fall back to the
+    merged-relation formulation."""
+    odf, keys = a._binary_prepared(b, strand_behavior)
+    if nm.STRAND_COL not in keys:
+        sums = _dual_depth_lengths(a, odf, keys)
+        return sums.select(
+            # Divide before multiplying (in double): genome_length * il and
+            # la * lb overflow int64 at genome scale (3.1e9^2 > 2^63), and
+            # non-ANSI Spark would wrap silently where DuckDB promotes.
+            (
+                (F.col("il").cast("double") / F.col("la").cast("double"))
+                * (F.lit(float(genome_length)) / F.col("lb").cast("double"))
+            ).alias("forbes")
+        )
     inter = a.set_intersect_overlaps(b, strand_behavior=strand_behavior).length_sum()
     la = a.merge_overlaps(use_strand=False).length_sum().withColumnRenamed("length", "la")
     lb = b.merge_overlaps(use_strand=False).length_sum().withColumnRenamed("length", "lb")
@@ -96,9 +173,6 @@ def forbes_statistic(
         .crossJoin(la)
         .crossJoin(lb)
         .select(
-            # Divide before multiplying (in double): genome_length * il and
-            # la * lb overflow int64 at genome scale (3.1e9^2 > 2^63), and
-            # non-ANSI Spark would wrap silently where DuckDB promotes.
             (
                 (F.col("il").cast("double") / F.col("la").cast("double"))
                 * (F.lit(float(genome_length)) / F.col("lb").cast("double"))

@@ -110,18 +110,60 @@ def summary(
             F.sum("L").alias("sum"),
         )
 
+    def describe_by_strand(df: DataFrame, metric: str) -> DataFrame:
+        # r15 (optimization round): the per-strand rows used to be two
+        # FILTERED global aggregates per source relation — so the strand-
+        # merged island pipeline (and the raw scan) were each evaluated
+        # twice, once per strand branch. One groupBy(Strand) pass computes
+        # both rows from a single evaluation. A filtered global aggregate
+        # emits its (count=0, null stats) row even for an absent strand,
+        # while groupBy drops empty groups — so union two SENTINEL rows
+        # (one per strand, L = NULL) into the input first: count/avg/
+        # percentile/min/max/sum all skip NULLs, so present strands are
+        # unchanged and absent strands get exactly the empty-aggregate row.
+        lens = df.select(
+            F.col(nm.STRAND_COL).alias("__s__"),
+            (F.col(nm.END_COL) - F.col(nm.START_COL)).alias("L"),
+        ).filter(F.col("__s__").isin("+", "-"))
+        # JVM-native sentinel frame (range+explode): a createDataFrame(list)
+        # source would pay a Python-runner handshake per evaluation.
+        sentinels = (
+            df.sparkSession.range(1)
+            .select(
+                F.explode(F.array(F.lit("+"), F.lit("-"))).alias("__s__"),
+                F.lit(None).cast("long").alias("L"),
+            )
+        )
+        return (
+            lens.unionByName(sentinels)
+            .groupBy("__s__")
+            .agg(
+                F.count("L").alias("count"),
+                F.avg("L").alias("mean"),
+                F.min("L").alias("min"),
+                F.expr("percentile(L, 0.25)").alias("q25"),
+                F.expr("percentile(L, 0.5)").alias("median"),
+                F.expr("percentile(L, 0.75)").alias("q75"),
+                F.max("L").alias("max"),
+                F.sum("L").alias("sum"),
+            )
+            .select(
+                F.concat(F.lit("strand "), F.col("__s__")).alias("scope"),
+                F.lit(metric).alias("metric"),
+                "count", "mean", "min", "q25", "median", "q75", "max", "sum",
+            )
+        )
+
     parts = [describe(self.df, "all", "interval_length")]
     merged_all = self.merge_overlaps(use_strand=False).df
     parts.append(describe(merged_all, "all", "coverage_run_length"))
     if self.has_strand and use_strand in ("auto", True):
-        for s in ("+", "-"):
-            sub = self.df.filter(F.col(nm.STRAND_COL) == s)
-            parts.append(describe(sub, f"strand {s}", "interval_length"))
-        merged_s = self.merge_overlaps(use_strand=True).df
-        for s in ("+", "-"):
-            parts.append(
-                describe(merged_s.filter(F.col(nm.STRAND_COL) == s), f"strand {s}", "coverage_run_length")
+        parts.append(describe_by_strand(self.df, "interval_length"))
+        parts.append(
+            describe_by_strand(
+                self.merge_overlaps(use_strand=True).df, "coverage_run_length"
             )
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -57,3 +57,24 @@ def test_summary_shapes(spark):
     assert cov["count"] == 3 and cov["sum"] == 21
     # per-strand rows exist
     assert set(out.scope) == {"all", "strand +", "strand -"}
+
+
+def test_summary_single_strand_still_emits_both_strand_rows(spark):
+    """r15 optimization pin: the grouped per-strand describe must keep the
+    filtered-aggregate contract — a strand with NO rows still emits its
+    (count=0, null stats) row (the null-L sentinel mechanism)."""
+    df = pd.DataFrame(
+        {
+            "Chromosome": ["1", "1"],
+            "Start": [0, 10],
+            "End": [4, 15],
+            "Strand": ["+", "+"],
+        }
+    )
+    out = GenomicRanges(spark.createDataFrame(df)).summary().toPandas()
+    minus_int = out[(out.scope == "strand -") & (out.metric == "interval_length")]
+    assert len(minus_int) == 1
+    row = minus_int.iloc[0]
+    assert row["count"] == 0 and pd.isna(row["sum"]) and pd.isna(row["mean"])
+    plus_cov = out[(out.scope == "strand +") & (out.metric == "coverage_run_length")]
+    assert plus_cov.iloc[0]["count"] == 2 and plus_cov.iloc[0]["sum"] == 9
