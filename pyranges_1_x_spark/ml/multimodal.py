@@ -1079,6 +1079,28 @@ def frame_sample_decode(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def _media_frame(spark, rows) -> DataFrame:
+    """Build the synthetic media DataFrame with ~8 records per partition.
+
+    r15 (optimization round): ``createDataFrame(list)`` parallelizes into
+    ``defaultParallelism`` slices — 32 one-row partitions for a 32-record
+    fixture on local[32]. Each partition of a Python-local source pays its
+    own Python-runner handshake (~150 ms, measured) EVERY evaluation, and
+    the downstream decode chain (source + two mapInPandas) then needs
+    3 workers per task — ~96 concurrent Python workers for kilobytes of
+    data, which is exactly the late-bench-session pathology the driver
+    showed on avi_frames (warm-up 29 s, timed runs 3.8/9.7 s vs a 0.9 s
+    idle floor). Packing ~8 records per slice (guide §6: tiny partitions
+    hurt twice) cut the warm avi chain 1.1 s -> ~0.35 s and drops the
+    worker fan-out by ~8x. Slicing at ``parallelize`` time (NOT
+    ``coalesce``, which keeps the 1-row parents and pays their handshakes
+    serially inside each merged task) keeps the handshakes parallel."""
+    n_slices = max(1, min(spark.sparkContext.defaultParallelism, (len(rows) + 7) // 8))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n_slices), schema=MEDIA_SCHEMA
+    )
+
+
 def synthetic_avi_media(spark, n: int = 32) -> DataFrame:
     """Deterministic REAL-decodable AVI media table: pixel (y, x) of frame
     ``f`` of record ``i`` is ``(y*31 + x*7 + f*13 + i) % 256`` identical
@@ -1095,7 +1117,7 @@ def synthetic_avi_media(spark, n: int = 32) -> DataFrame:
         frames = ((yy * 31 + xx * 7 + ff * 13 + i) % 256).astype(np.uint8)
         frames = np.repeat(frames[:, :, :, None], c, axis=3)
         rows.append((i, "video", encode_avi(frames, fps=10), w, h, nf))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def synthetic_mjpeg_media(spark, n: int = 32) -> DataFrame:
@@ -1131,7 +1153,7 @@ def synthetic_mjpeg_media(spark, n: int = 32) -> DataFrame:
             },
         )
         rows.append((i, "video", payload, 8 * bw, 8 * bh, nf))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def synthetic_media(spark, n: int = 100) -> DataFrame:
@@ -1144,7 +1166,7 @@ def synthetic_media(spark, n: int = 100) -> DataFrame:
     for i in range(n):
         payload = bytes((i * 7 + j) % 256 for j in range(64 + (i % 5) * 32))
         rows.append((i, kinds[i % 3], payload, 64 + i % 128, 64, 1 + (i % 30)))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def synthetic_adpcm_media(spark, n: int = 48) -> DataFrame:
@@ -1189,7 +1211,7 @@ def synthetic_adpcm_media(spark, n: int = 48) -> DataFrame:
         )
         payload = b"RIFF" + struct.pack("<I", len(riff)) + riff
         rows.append((i, "audio", payload, 0, 0, 0))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def encode_netpbm(arr) -> bytes:
@@ -1222,7 +1244,7 @@ def synthetic_png_media(spark, n: int = 64) -> DataFrame:
         img = ((yy * 31 + xx * 7 + i) % 256).astype(np.uint8)
         img = np.repeat(img[:, :, None], c, axis=2)
         rows.append((i, "image", encode_png(img), w, h, 1))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def synthetic_jpeg_media(spark, n: int = 64) -> DataFrame:
@@ -1258,7 +1280,7 @@ def synthetic_jpeg_media(spark, n: int = 64) -> DataFrame:
             img, quant=ones, quant_chroma=ones, restart_interval=2 if i % 2 else 0
         )
         rows.append((i, "image", payload, 8 * bw, 8 * bh, 1))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def synthetic_netpbm_media(spark, n: int = 20) -> DataFrame:
@@ -1274,7 +1296,7 @@ def synthetic_netpbm_media(spark, n: int = 20) -> DataFrame:
         img = ((yy * 31 + xx * 7 + i) % 256).astype(np.uint8)
         img = np.repeat(img[:, :, None], c, axis=2)
         rows.append((i, "image", encode_netpbm(img), w, h, 1))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return _media_frame(spark, rows)
 
 
 def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
