@@ -513,54 +513,65 @@ def winnow_fingerprints(
     sketch: near-duplicate documents share most fingerprints even under
     insertions/deletions, unlike whole-document hashes.
 
-    All codegen: positions explode to rows, the per-position window minimum
-    is a bounded rows-frame window per document (no serial stage), and the
-    k-gram hash is computed directly on the substring — on a vectorized
-    engine this equals the classic rolling-hash formulation output-for-output
-    without the per-character carry loop. Returns distinct (id, fp) rows.
-    ``hash_fn`` defaults to xxhash64; pass ``md5_hash64`` for the
-    engine-portable oracle twin."""
+    All codegen and fully ROW-LOCAL: the k-gram hashes of a document are one
+    array column, the per-position window minimum is an ``array_min`` over a
+    ``slice`` of that array (the window ENDING at each position), selection
+    and per-document dedup happen inside the same row (``array_distinct``),
+    and only the selected fingerprints ever become rows. Returns distinct
+    (id, fp) rows. ``hash_fn`` defaults to xxhash64; pass ``md5_hash64`` for
+    the engine-portable oracle twin.
+
+    r15 (optimization round): the previous shape posexploded EVERY gram
+    position to a row, shuffled them all by doc_id for a rows-frame Window
+    min, then shuffled the survivors again for ``distinct`` — two full
+    Exchanges of the n_grams-sized relation to compute something that never
+    leaves the document. Both the window min and the dedup are per-document,
+    so they run as array expressions inside the row: zero Exchanges, and the
+    explode emits only the ~2/(window+1) selected gram fraction. The
+    per-position ``slice`` + ``array_min`` does O(window) comparisons per
+    gram (window is a small constant) against the hash array — no text
+    copying — and ``__hs__`` is materialized in its own projection so the
+    lambda references an attribute, not the inlined hash expression (the
+    r8/r10 lesson: higher-order functions get no CSE)."""
     if hash_fn is None:
         from pyranges_1_x_spark.ml.dedup import xxhash64_fn
 
         hash_fn = xxhash64_fn
-    # Hash the k-grams row-locally into ONE long array, then posexplode the
-    # array: exploding positions first and substring-ing afterwards copies
-    # the FULL document text into every per-position generator row —
-    # len(text) rows x len(text) bytes per doc through the exploded
-    # projection, quadratic in doc size. The exploded relation here is
-    # (id, pos, long) regardless of doc length, which is the shape that
-    # survives book-length documents.
-    #
-    # Per-element F.substring is O(position) on UTF8String, so hashing the
-    # grams straight off the document is O(len^2) per doc. Fixed (r10) the
-    # same way as functions/seqs.py translate_cds: cut the document into
-    # chunks of c = ceil(sqrt(n_grams)) gram-starts with a k-1 char overlap
-    # so boundary-spanning grams stay intact. The chunk array is the OUTER
-    # transform's input — each chunk a bound, materialized lambda variable,
-    # so inner per-gram substrings scan only the chunk — total char scans
-    # O(len^1.5). (The r8 attempt that measured 25x SLOWER indexed a
-    # \G-split array from INSIDE a lambda, which Catalyst inlines and
-    # re-evaluates per element; binding chunks as lambda variables is the
-    # shape that avoids it.) __t__ is materialized in its own projection so
-    # the chunk lambda references an attribute, not an inlined trim().
+    # Hash the k-grams row-locally into ONE long array (chunked_gram_hashes:
+    # sqrt-chunked substrings keep total char scans O(len^1.5); the array is
+    # (id, array<long>) regardless of doc length — the shape that survives
+    # book-length documents).
     base = df.select(F.col(id_col), F.trim(F.col(text_col)).alias("__t__"))
-    h_arr = chunked_gram_hashes(F.col("__t__"), k, hash_fn)
-    d = base.select(
-        F.col(id_col),
-        F.posexplode(h_arr).alias("__pos__", "__h__"),
+    hs = base.select(
+        F.col(id_col), chunked_gram_hashes(F.col("__t__"), k, hash_fn).alias("__hs__")
     )
-    w = (
-        Window.partitionBy(id_col)
-        .orderBy("__pos__")
-        .rowsBetween(-(window - 1), Window.currentRow)
+    h = F.col("__hs__")
+    # Position p (1-based): the window covers positions
+    # [greatest(p-window+1, 1), p]. ``window`` is a plain Python int, so the
+    # window min unrolls to F.least over `window` element_at calls — O(1)
+    # array lookups, no per-position slice allocation (a slice+array_min
+    # formulation A/B'd as a wash: the n_grams tiny-array allocations ate
+    # the win). least() skips the NULL guards at p <= j, so the boundary
+    # windows are exact. Keep h[p] iff it equals that window's min —
+    # identical to the rows-frame Window.min selection, position for
+    # position. array_distinct replaces the old global .distinct(): the
+    # output key is (id, fp) and fp dedup never crosses documents.
+    def _wmin(p):
+        return F.least(
+            F.element_at(h, p),
+            *[F.when(p > F.lit(j), F.element_at(h, p - j)) for j in range(1, window)],
+        )
+
+    fps = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(h)),
+                lambda p: F.when(F.element_at(h, p) == _wmin(p), F.element_at(h, p)),
+            ),
+            lambda x: x.isNotNull(),
+        )
     )
-    d = d.withColumn("__wm__", F.min("__h__").over(w))
-    return (
-        d.filter(F.col("__h__") == F.col("__wm__"))
-        .select(F.col(id_col), F.col("__h__").alias("fp"))
-        .distinct()
-    )
+    return hs.select(F.col(id_col), F.explode(fps).alias("fp"))
 
 
 def filter_corpus(

@@ -299,6 +299,23 @@ def test_winnow_fingerprints_long_doc_python_oracle(spark):
     assert got == expect
 
 
+def test_winnow_fingerprints_row_local_plan(spark):
+    """r15 optimization pin: fingerprint selection and per-document dedup are
+    array expressions inside the row — the physical plan must contain no
+    Exchange (the pre-r15 shape shuffled every gram position for a Window
+    min, then shuffled survivors again for distinct)."""
+    from pyranges_1_x_spark.ml.text import winnow_fingerprints
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, k=5, window=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "winnow regressed to a shuffling plan"
+    assert "Window" not in plan
+
+
 def test_winnow_fingerprints_robust_to_insertion(spark):
     from pyranges_1_x_spark.ml.text import winnow_fingerprints
 
