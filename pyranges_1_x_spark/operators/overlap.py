@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
 from pyranges_1_x_spark.plans.interval_join import (
+    _groupable,
     binned_exists,
     binned_join,
     interval_join,
@@ -259,6 +260,20 @@ def count_overlaps(
         rend="__re__",
         keep_unmatched_bins=True,  # the groupBy below collapses them: one shuffle saved
     )
+    if _groupable(self.df.schema.fields):
+        # r15 (optimization round): payload rides in the GROUP BY key, not
+        # in any_value(struct) — a struct-buffered first/any_value cannot
+        # hash-aggregate, so Spark planned a SortAggregate (two full sorts
+        # of the bin-exploded join output; plans/r15/count_overlaps_before
+        # .txt ops 21-25). Grouping by (_LID, payload) is identical (the
+        # payload is functionally dependent on the unique _LID) and keeps
+        # the plan a map-side-combining HashAggregate.
+        out = (
+            joined.groupBy(_LID, *self.df.columns)
+            .agg(F.sum(F.when(F.col("__matched__"), 1).otherwise(0)).alias(count_col))
+            .select(*self.df.columns, F.col(count_col))
+        )
+        return GenomicRanges(out)
     payload = F.struct(*[F.col(c) for c in self.df.columns])
     out = (
         joined.groupBy(_LID)  # slim key; payload rides in any_value(struct)

@@ -94,6 +94,35 @@ def rename_keys(right: DataFrame, keys: list[str], prefix: str = "__rk") -> tupl
     return out, rkeys
 
 
+def _groupable(fields) -> bool:
+    """True when every field can be a GROUP BY key (no MapType anywhere —
+    maps are not orderable/groupable in Spark).
+
+    r15 (optimization round): ``first``/``any_value`` over a STRUCT has a
+    struct-typed aggregation buffer, which HashAggregate cannot hold (its
+    UnsafeRow buffer needs fixed-width mutable fields) and
+    ObjectHashAggregate does not cover (DeclarativeAggregate) — Spark
+    silently plans a **SortAggregate**: a full sort of the bin-exploded
+    relation before the partial agg and another after the exchange
+    (plans/r15/join_left_before.txt ops 21-25). Riding the payload in the
+    GROUP BY key instead (it is functionally dependent on the unique
+    per-row id, so the groups are identical) keeps every buffer fixed-width
+    and the plan a HashAggregate — map-side combine without the two sorts.
+    Var-length group keys are fine (UnsafeRow keys); only maps are not."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def ok(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return ok(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(ok(f.dataType) for f in dt.fields)
+        return True
+
+    return all(ok(f.dataType) for f in fields)
+
+
 def binned_exists(
     left: DataFrame,
     right: DataFrame,
@@ -162,6 +191,24 @@ def binned_exists(
     if contained:
         cond = cond & (F.col(lstart) >= F.col(rstart)) & (F.col(lend) <= F.col(rend))
 
+    if _groupable(left.schema.fields):
+        # Payload rides in the GROUP BY key (see _groupable): HashAggregate
+        # with map-side combine, no SortAggregate sorts. _LID stays in the
+        # key so duplicate left rows keep their multiplicity.
+        if not anti:
+            return (
+                lb.join(rb, cond, "left_semi")
+                .select(_LID, *left.columns)
+                .distinct()
+                .select(*left.columns, F.lit(True).alias("__any__"))
+            )
+        return (
+            lb.join(rb, cond, "left_anti")
+            .groupBy(_LID, "__nbins__", *left.columns)
+            .agg(F.count(F.lit(1)).alias("__c__"))
+            .filter(F.col("__c__") == F.col("__nbins__"))
+            .select(*left.columns, F.lit(False).alias("__any__"))
+        )
     payload = F.struct(*[F.col(c) for c in left.columns])
     if not anti:
         return (
@@ -306,8 +353,25 @@ def binned_join(
         pad_fields = list(left.schema.fields) if flipped else right_vals
         partner = _LID if flipped else _RID
         joined = (rb.join(lb, cond, "left") if flipped else lb.join(rb, cond, "left"))
-        pay = F.struct(*[F.col(f.name) for f in pay_fields])
         padded = [F.lit(None).cast(f.dataType).alias(f.name) for f in pad_fields]
+        if _groupable(pay_fields):
+            # Payload in the GROUP BY key (see _groupable): the bin-copy
+            # collapse stays a map-side-combining HashAggregate instead of
+            # a SortAggregate over the bin-exploded relation.
+            kept = [F.col(f.name) for f in pay_fields]
+            return (
+                joined.groupBy(gid, *[f.name for f in pay_fields])
+                .agg(F.max(F.col(partner).isNotNull()).alias("__any__"))
+                .filter(~F.col("__any__"))
+                .select(
+                    *(padded + kept if flipped else kept + padded),
+                    null_id.alias(_LID),
+                    null_id.alias(_RID),
+                    F.lit(False).alias("__matched__"),
+                )
+                .select(*out_names)
+            )
+        pay = F.struct(*[F.col(f.name) for f in pay_fields])
         kept = [F.col("__p__").getField(f.name).alias(f.name) for f in pay_fields]
         return (
             joined.groupBy(gid)
