@@ -148,40 +148,51 @@ def shingle_rows(
     ``k`` tokens contribute their whole text as the single shingle, matching
     ``shingles``.
 
-    The explicit ``repartition(num_partitions, id)`` before the window is
-    load-bearing on purpose (VERDICT r6 #1): the shingle relation is small in
-    BYTES but heavy in downstream CPU (hashing, window sorts), and AQE's
-    coalesceShufflePartitions sizes post-shuffle partitions by bytes only —
-    measured at sf0.1 it collapsed this exchange to 1-2 tasks, serializing
-    every hash stage built on top (minhash_lsh_md5 5.8s -> 1.5s once 32-way).
-    A user-specified repartition is exempt from AQE coalescing; the default
-    width is ``defaultParallelism``, which at cluster scale is the right
-    order and at local scale costs nothing. Pass ``distinct=False`` when the
-    consumer is duplicate-insensitive (MinHash min-agg) to skip one shuffle
-    entirely — the window partitioning then feeds the downstream per-id
-    aggregation with no further exchange."""
+    The explicit ``repartition(num_partitions, id)`` is load-bearing on
+    purpose (VERDICT r6 #1): the shingle relation is small in BYTES but
+    heavy in downstream CPU (hashing), and AQE's coalesceShufflePartitions
+    sizes post-shuffle partitions by bytes only — measured at sf0.1 it
+    collapsed the exchange to 1-2 tasks, serializing every hash stage built
+    on top (minhash_lsh_md5 5.8s -> 1.5s once 32-way). A user-specified
+    repartition is exempt from AQE coalescing; the default width is
+    ``defaultParallelism``, which at cluster scale is the right order and at
+    local scale costs nothing.
+
+    r15 (optimization round): shingle construction never crosses a document,
+    so it is ROW-LOCAL now — the window-lead formulation repartitioned the
+    posexploded token relation (~2x the corpus bytes with the id+pos per
+    token row), sorted it per doc, ran two Windows, and ``distinct=True``
+    paid a SECOND full shuffle of the shingle rows. Here the one exchange
+    moves doc-level rows (the text bytes once), the k-token join is an
+    unrolled ``element_at`` concat inside a transform over the materialized
+    token array (no per-position ``slice`` allocation — the shape that made
+    the r6 array form 5x slower), and per-doc dedup is ``array_distinct``
+    inside the row (equivalent to the old global distinct: ``id`` was in its
+    key, so dedup never crossed documents). Exchange+Sort+2 Windows
+    [+Exchange] -> one doc-level Exchange."""
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     extras = list(extra_cols or [])
-    toks = df.select(
+    base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extras],
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__pos__", "__tok__"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks__"),
     ).repartition(nparts, "id")
-    w = Window.partitionBy("id").orderBy("__pos__")
-    leads = [F.lead("__tok__", i).over(w) for i in range(1, k)]
-    full = F.lead("__tok__", k - 1).over(w).isNotNull() if k > 1 else F.lit(True)
-    rows = toks.select(
-        "id",
-        *extras,
-        F.concat_ws(" ", F.col("__tok__"), *leads).alias("token"),
-        full.alias("__full__"),
-        F.col("__pos__"),
-        F.count(F.lit(1)).over(Window.partitionBy("id")).alias("__n__"),
+    t = F.col("__toks__")
+    n = F.size(t)
+
+    def _sh(i):
+        return F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)])
+
+    # Documents shorter than k tokens contribute their whole (whitespace-
+    # normalized) text as the single shingle, matching ``shingles``. The
+    # n >= k guard also keeps F.sequence ascending (sequence(1, 0) would
+    # count DOWN).
+    arr = F.when(n >= k, F.transform(F.sequence(F.lit(1), n - (k - 1)), _sh)).otherwise(
+        F.array(F.array_join(t, " "))
     )
-    out = rows.filter(
-        F.col("__full__") | ((F.col("__n__") < k) & (F.col("__pos__") == 0))
-    ).select("id", *extras, "token")
-    return out.distinct() if distinct else out
+    if distinct:
+        arr = F.array_distinct(arr)
+    return base.select("id", *extras, F.explode(arr).alias("token"))
 
 
 def minhash_signature(text: Column, num_hashes: int = 64, k: int = 3, hash_fn=xxhash64_fn) -> Column:
