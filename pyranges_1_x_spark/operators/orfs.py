@@ -287,6 +287,17 @@ def extend_orfs(
                 ),
             ),
         ).select(nm.CHROM_COL, "__seqlen__", "__tid__", "__tile__")
+        # r15 (optimization round): the tile relation feeds BOTH direction
+        # joins, and the two broadcast branches prune different column sets
+        # so their exchanges never canonicalize equal (no ReusedExchange —
+        # the prefix_sweep lesson): the whole distinct+regex-split tile
+        # build ran twice, i.e. two full passes over the sequence relation.
+        # Persist it (MEMORY_AND_DISK keeps lineage — executor loss
+        # recomputes; ContextCleaner reclaims the blocks when the plan is
+        # dropped). Bounded size: one row per ~stride bases per chromosome.
+        from pyspark import StorageLevel
+
+        tiles = tiles.persist(StorageLevel.MEMORY_AND_DISK)
         cap = F.lit(cap_c).cast("long")
         m_left = F.least(F.floor(gs / 3).cast("long"), cap)  # codons before Start
         ws_l = gs - 3 * m_left + 1  # 1-based left-window start
