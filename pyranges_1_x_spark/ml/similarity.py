@@ -131,7 +131,14 @@ def _pair_cosine_udf():
     # Real (non-string) annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot resolve here.
     cos.__annotations__ = {"va": pd.Series, "vb": pd.Series, "return": pd.Series}
-    return pandas_udf(cos, "double")
+    # r15 (optimization round): asNondeterministic stops the optimizer's
+    # filter pushdown from DUPLICATING the UDF — `withColumn("cosine", udf)
+    # .filter(cosine >= t)` planned TWO ArrowEvalPython nodes (one below the
+    # pushed filter, one re-computing the projected column), so every
+    # candidate pair paid the verification twice (guide §4.4; plan ops 24+27
+    # in plans/r15/cosine_simjoin_before.txt). The function is in fact
+    # deterministic; the flag only forbids reordering/duplication.
+    return pandas_udf(cos, "double").asNondeterministic()
 
 
 def _pair_cosine(a: Column, b: Column) -> Column:
@@ -168,7 +175,12 @@ def _band_signatures_udf(planes: list[list[float]], bands: int):
         return pd.Series(list(arr))
 
     sigs.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    return pandas_udf(sigs, "array<long>")
+    # r15 (optimization round): same asNondeterministic rationale as
+    # _pair_cosine_udf — posexplode's implicit `size(sigs) > 0 AND
+    # isnotnull(sigs)` filter was pushed below the projection and planned a
+    # SECOND ArrowEvalPython just to evaluate it (plan ops 3+7), doubling
+    # the signature pass on each join side.
+    return pandas_udf(sigs, "array<long>").asNondeterministic()
 
 
 def cosine_similarity_join(
@@ -206,6 +218,16 @@ def cosine_similarity_join(
     # per band, kept as the semantic spec and for the oracle twin.
     sigs = _band_signatures_udf(planes, bands)(F.col(vec_col))
     b = df.select(F.col(id_col), F.col(vec_col), sigs.alias("__sigs__"))
+    # r15 (optimization round): the signature relation feeds BOTH sides of
+    # the self-join; unpersisted, each side re-scanned the input and re-ran
+    # the signature UDF (the extend_orfs-tiles lesson — the two branches
+    # prune/alias differently so their subtrees never canonicalize equal).
+    # MEMORY_AND_DISK keeps lineage (executor loss recomputes); the blocks
+    # are id+vector+bands longs per row and ContextCleaner reclaims them
+    # when the plan is dropped.
+    from pyspark import StorageLevel
+
+    b = b.persist(StorageLevel.MEMORY_AND_DISK)
     a_side = b.toDF("id_a", "vec_a", "sigs_a").select(
         "id_a", "vec_a", "sigs_a", F.posexplode("sigs_a").alias("__band__", "__sig__")
     )
