@@ -727,7 +727,12 @@ def _pq_adist_arrow(
     # Real (non-string) annotations: `from __future__ import annotations`
     # stringifies inline hints, which pandas_udf cannot resolve here.
     _adist.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    udf = F.pandas_udf(_adist, "double")
+    # r15 (optimization round): asNondeterministic — downstream constraint
+    # inference pushed an `isnotnull(adist)` filter below the projection and
+    # planned a SECOND ArrowEvalPython (plans/r15/pq_topk_before.txt ops
+    # 3+6), scoring every row twice (guide §4.4). The fold is deterministic;
+    # the flag only forbids the duplication.
+    udf = F.pandas_udf(_adist, "double").asNondeterministic()
     return df.select(F.col(id_col), udf(F.col(vec_col)).alias("adist"))
 
 
