@@ -2991,3 +2991,30 @@ def test_sampling_edge_guards_r14(spark):
     tq = token_quota_sample(pre, "doc_id", 100, tokens_col="n_tokens")
     assert tq.columns.count("n_tokens") == 1
     assert {r["n_tokens"] for r in tq.collect()} == {7}
+
+
+def test_python_udfs_single_evaluation_r15(spark):
+    """r15 optimization pin: filter pushdown must not duplicate the pandas
+    UDF evaluation (guide-§4.4 class). The ADC scoring UDF appears exactly
+    ONCE in pq_topk's executed plan (pre-r15: a pushed isnotnull planned a
+    second ArrowEvalPython, scoring every row twice), and the signature /
+    cosine-verify UDF factories return nondeterministic UDFs so the
+    optimizer may never copy them below a pushed filter."""
+    from pyranges_1_x_spark.ml.similarity import (
+        _band_signatures_udf,
+        _pair_cosine_udf,
+        pq_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3), 1.0, 2.0]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    codebooks = [[[0.0, 0.0], [1.0, 1.0]], [[0.5, 2.0], [3.0, 1.0]]]
+    out = pq_topk(df, [1.0, 1.0, 1.0, 1.0], codebooks, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert out.count() == 3
+
+    assert _pair_cosine_udf().deterministic is False
+    assert _band_signatures_udf([[1.0, 0.0], [0.0, 1.0]], 2).deterministic is False
