@@ -87,6 +87,16 @@ def main() -> int:
 
     import gc
 
+    # r16 (VERDICT r15 #1): operators persist/checkpoint multi-branch
+    # intermediates for the duration of ONE query plan; CacheManager holds
+    # them strongly, so the harness — the consumer — releases them after
+    # EVERY materialization (outside the timed window). Honesty effect: a
+    # timed run can no longer read intermediates the untimed warm-up (or a
+    # previous run) materialized — each timed sample pays its own in-query
+    # materialization, so the floors of persist-bearing queries are the
+    # honest per-run numbers (r15's were inflated by warm-up-filled caches).
+    from pyranges_1_x_spark import free_query_caches
+
     qs = entrymod.queries()
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
     if only:
@@ -131,6 +141,7 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 print(f"bench warmup error in {name}: {e}", file=sys.stderr)
                 warmups[name] = -1.0
+            free_query_caches()
             gc.collect()
         t0 = time.time()
         try:
@@ -141,6 +152,7 @@ def main() -> int:
             print(f"bench error in {name}: {e}", file=sys.stderr)
             timings[name] = -1.0
             runs[name] = [-1.0]
+        free_query_caches()
         # Release driver-side py4j refs promptly so Spark's ContextCleaner can
         # drop finished broadcasts between queries — late queries otherwise
         # absorb accumulated GC pressure (observed 2.7s-warm queries reading
@@ -174,6 +186,7 @@ def main() -> int:
                     timings[name] = min(timings[name], t1)
                 except Exception as e:  # noqa: BLE001
                     print(f"bench rerun error in {name}: {e}", file=sys.stderr)
+                free_query_caches()
                 gc.collect()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
@@ -217,8 +230,13 @@ def main() -> int:
                         else f"min of 2 runs for queries over {rerun_threshold}s"
                     )
                 ),
+                # r16: in-query persists/checkpoints are released after every
+                # materialization, so no timed run reads caches another run
+                # (or the warm-up) filled — see free_query_caches above.
+                "cache_policy": "tracked caches freed after every run",
             }
-    print(json.dumps(payload))
+    line = json.dumps(payload)
+    print(line)
     # VERDICT r13 #8: the driver's BENCH artifact records only a ~2000-char
     # tail of stdout, which at 113 registry queries loses the head of the
     # per-query map. Persist the FULL payload next to the repo root so every
@@ -235,6 +253,15 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         print(f"bench artifact write error: {e}", file=sys.stderr)
     spark.stop()
+    # VERDICT r15 #9 (driver bench-parse contract): BENCH_r13/r14 came back
+    # `parsed: null` — the single payload line was drowned/truncated in the
+    # driver's stdout capture. Emit the SAME line once more as the very last
+    # stdout write (after spark.stop(), so no teardown noise can follow it);
+    # the first copy above stays intact for first-line parsers. Both lines
+    # are byte-identical, so any "parse the last JSON line" or "parse the
+    # first JSON line" driver sees the same payload.
+    print(line)
+    sys.stdout.flush()
     return 0
 
 

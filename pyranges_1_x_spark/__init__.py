@@ -35,6 +35,14 @@ from pyranges_1_x_spark.options import options  # noqa: E402,F401
 #: local text (no model endpoint involved; implemented r9).
 from pyranges_1_x_spark.assistant import assistant  # noqa: E402,F401
 
+#: r16 cache-lifecycle contract (plans/qcache.py): several operators persist
+#: or locally checkpoint a multi-branch intermediate for the duration of ONE
+#: query plan; CacheManager holds those entries strongly, so the CALLER must
+#: release them once the query's result has been fully consumed. Re-exported
+#: here as the public hook (bench.py and the oracle gate call it after every
+#: materialization).
+from pyranges_1_x_spark.plans.qcache import free_tracked as free_query_caches  # noqa: E402
+
 #: Reference alias (``/root/reference/pyranges1/__init__.py:19``): GFF2 is
 #: GTF's syntax, so ``read_gff`` is the GTF reader under the name a GFF
 #: user types first.
@@ -73,6 +81,7 @@ __all__ = [
     "orfs",
     "seqs",
     "stats",
+    "free_query_caches",
 ]
 
 __version__ = "0.1.0"

@@ -445,9 +445,8 @@ def _get_sequence_tiled(
     many-rows × long-chromosome blowup, not against a single row whose
     answer is itself chromosome-sized (same caveat class as
     get_transcript_sequence's per-transcript collect_list note)."""
-    from pyspark import StorageLevel
-
     from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id
+    from pyranges_1_x_spark.plans.qcache import persist_tracked
 
     stranded = self.has_strand and (use_strand is True or use_strand == "auto")
 
@@ -461,9 +460,10 @@ def _get_sequence_tiled(
 
     s = int(tile_size)
     # d0 feeds two branches (tile spans + the final join-back) — persist so
-    # the id shuffle runs once (same discipline as operators/nearest.py;
-    # ContextCleaner reclaims the blocks with the plan).
-    d0 = with_stable_id(self.df).persist(StorageLevel.MEMORY_AND_DISK)
+    # the id shuffle runs once (same discipline as operators/nearest.py).
+    # Tracked (plans/qcache.py, r16): CacheManager holds persisted plans
+    # strongly — the caller releases via free_tracked().
+    d0 = persist_tracked(with_stable_id(self.df))
     start, end = F.col(nm.START_COL), F.col(nm.END_COL)
     spans = (
         d0.select(nm.CHROM_COL, nm.START_COL, nm.END_COL, *STABLE_ID_COLS)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
+from pyranges_1_x_spark.plans.qcache import checkpoint_tracked, free_checkpoint
 
 
 def fdr(df: DataFrame, p_col: str = "PValue", out_col: str = "FDR") -> DataFrame:
@@ -49,8 +50,10 @@ def fdr(df: DataFrame, p_col: str = "PValue", out_col: str = "FDR") -> DataFrame
     # at runtime: 0 ReusedExchange). A LAZY localCheckpoint materializes the
     # ranked rows once — narrow rows (id cols + p + n + rank + raw), so the
     # block write is far cheaper than a second full exchange+window pass at
-    # any scale. Interleaved A/B at sf0.1 in OPTIMIZATION_r15.md.
-    d = d.localCheckpoint(eager=False)
+    # any scale. Interleaved A/B at sf0.1 in OPTIMIZATION_r15.md. Tracked
+    # (plans/qcache.py, r16): checkpoint blocks outlive the plan — the
+    # caller releases via free_tracked() once the result is consumed.
+    d = checkpoint_tracked(d, eager=False)
     d = asof_extreme(
         d,
         [],
@@ -288,6 +291,9 @@ def mcc(
     # per-set length aggregate plus both sides of the pair self-join), each
     # of which would re-run every input's island merge; it is merged-
     # interval-sized, so materialize it once (r7: mcc 4.7s -> ~2s at sf0.1).
+    # r16: everything below COLLECTS (the return value is a pandas frame),
+    # so the checkpoint's lifecycle is in-function — freed right after the
+    # last consumer, no session-lifetime blocks.
     from pyspark import StorageLevel
 
     tagged = tagged.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
@@ -329,6 +335,8 @@ def mcc(
         )
         .collect()
     }
+
+    free_checkpoint(tagged)  # r16: both consumers above have collected
 
     def _mcc_val(tp, fp, tn, fn):
         denom = math.sqrt(float(tp + fp) * float(tp + fn) * float(tn + fp) * float(tn + fn))

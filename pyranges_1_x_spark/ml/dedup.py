@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyranges_1_x_spark.ml.text import bow_signature, fingerprint
+from pyranges_1_x_spark.plans.qcache import checkpoint_tracked, free_checkpoint
 
 #: Diagnostics from the LAST connected_components call in this process:
 #: {"path": "driver"|"distributed", "edges": 2|E| (bidirectional rows),
@@ -376,8 +377,11 @@ def jaccard_similarity_join(
     """
     from pyspark import StorageLevel
 
-    tok = shingle_rows(docs, text_col, id_col, k).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    # Tracked (r16): the caller releases via free_tracked() when done.
+    tok = checkpoint_tracked(
+        shingle_rows(docs, text_col, id_col, k),
+        eager=True,
+        storageLevel=StorageLevel.DISK_ONLY,
     )
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("__f__"))
     ordered = (
@@ -560,7 +564,12 @@ def connected_components(
             out = cached.checkpoint(eager=True)
             cached.unpersist()
             return out
-        return df.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        # Tracked (r16): the FINAL round's checkpoint backs the returned
+        # label relation, so it outlives this function — the caller releases
+        # it via free_tracked(); superseded rounds are freed in-loop below.
+        return checkpoint_tracked(
+            df, eager=True, storageLevel=StorageLevel.DISK_ONLY
+        )
 
     # No .distinct() on the bidirectional edge list: the only consumers are
     # the neighbor MIN aggregate (duplicate-insensitive) and the node-set
@@ -682,6 +691,7 @@ def connected_components(
             )
         )
         labels = _ckpt(labels)
+        prev_ckpt = labels  # superseded next round (local-checkpoint path)
         CC_LAST_STATS.update({"path": "distributed", "rounds": 1})
         for _ in range(1, max_iter):
             CC_LAST_STATS["rounds"] += 1
@@ -721,6 +731,12 @@ def connected_components(
                 )
             )
             l2 = _ckpt(l2)
+            # l2 is EAGER, so the previous round's checkpoint is dead —
+            # free it now (the bpe_train rotation discipline, r16) instead
+            # of holding every round's |V|-sized blocks until free_tracked.
+            if checkpoint_dir is None:
+                free_checkpoint(prev_ckpt)
+            prev_ckpt = l2
             labels = l2.drop("__old__")
             # Scans only the just-checkpointed relation (labels never
             # increase, so != is equivalent to < here).
@@ -926,7 +942,9 @@ def repeated_substring_spans(
                 "hot_gram_threshold must be >= min_count (grams below "
                 "min_count are filtered out before the hot/cold split)"
             )
-        g = g.localCheckpoint(eager=False)  # hash grams once for both branches
+        # hash grams once for both branches; tracked (r16) — the caller
+        # releases via free_tracked() when done.
+        g = checkpoint_tracked(g, eager=False)
         cnt = (
             g.groupBy("__h__")
             .agg(F.count(F.lit(1)).alias("__n__"))

@@ -222,12 +222,12 @@ def cosine_similarity_join(
     # the self-join; unpersisted, each side re-scanned the input and re-ran
     # the signature UDF (the extend_orfs-tiles lesson — the two branches
     # prune/alias differently so their subtrees never canonicalize equal).
-    # MEMORY_AND_DISK keeps lineage (executor loss recomputes); the blocks
-    # are id+vector+bands longs per row and ContextCleaner reclaims them
-    # when the plan is dropped.
-    from pyspark import StorageLevel
+    # MEMORY_AND_DISK keeps lineage (executor loss recomputes). Tracked
+    # (plans/qcache.py, r16): CacheManager holds persisted plans strongly —
+    # the caller releases via free_tracked() once the result is consumed.
+    from pyranges_1_x_spark.plans.qcache import persist_tracked
 
-    b = b.persist(StorageLevel.MEMORY_AND_DISK)
+    b = persist_tracked(b)
     a_side = b.toDF("id_a", "vec_a", "sigs_a").select(
         "id_a", "vec_a", "sigs_a", F.posexplode("sigs_a").alias("__band__", "__sig__")
     )

@@ -64,6 +64,7 @@ from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
 from pyranges_1_x_spark.plans.ids import STABLE_ID_COLS, with_stable_id
 from pyranges_1_x_spark.plans.interval_join import binned_exists, binned_join, rename_keys
+from pyranges_1_x_spark.plans.qcache import persist_tracked
 from pyranges_1_x_spark.plans.sweep import asof_extreme, bucketed_row_number
 
 _SID = STABLE_ID_COLS
@@ -162,8 +163,6 @@ def nearest_distance(
     rank-explode equi-joins and the right-columns assembly join of the full
     path are dead weight when the caller only keeps self columns + Distance
     (pinned by tests/test_nearest_updown_distance_parity)."""
-    from pyspark import StorageLevel
-
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
     leg_pred = None  # per-row leg selection for upstream/downstream
@@ -183,9 +182,9 @@ def nearest_distance(
     # The stable-id relation feeds up to FOUR plan branches (forward sweep,
     # backward sweep, overlap join, final join-back); persist it so the id
     # shuffle + input scan run once instead of per branch (A/B at sf0.1:
-    # 3.34s -> 2.68s). ContextCleaner unpersists once the returned plan is
-    # dropped, so a long gate session does not accumulate blocks.
-    left = with_stable_id(self.df).persist(StorageLevel.MEMORY_AND_DISK)
+    # 3.34s -> 2.68s). Tracked (plans/qcache.py, r16): CacheManager holds
+    # persisted plans strongly, so the caller releases via free_tracked().
+    left = persist_tracked(with_stable_id(self.df))
     right = odf.select(*keys, nm.START_COL, nm.END_COL)
 
     cands = []
@@ -269,14 +268,13 @@ def nearest_ranges(
                 F.col(nm.STRAND_COL) == "-" if up else F.col(nm.STRAND_COL) != "-"
             )
             direction = nm.NEAREST_ANY
-    from pyspark import StorageLevel
-
     odf, keys = self._binary_prepared(other, strand_behavior, match_by)
     bin_size = self.resolve_bin(bin_size)
-    # Same multi-branch persist rationale as nearest_distance above.
-    left = with_stable_id(self.df).persist(StorageLevel.MEMORY_AND_DISK)
+    # Same multi-branch persist rationale (and tracked lifecycle) as
+    # nearest_distance above.
+    left = persist_tracked(with_stable_id(self.df))
     rsid = ["__rid1__", "__rid2__", "__rdr__"]
-    right = with_stable_id(odf).persist(StorageLevel.MEMORY_AND_DISK)
+    right = persist_tracked(with_stable_id(odf))
     for a, b in zip(STABLE_ID_COLS, rsid):
         right = right.withColumnRenamed(a, b)
     rcoords = right.select(

@@ -293,11 +293,12 @@ def extend_orfs(
         # the prefix_sweep lesson): the whole distinct+regex-split tile
         # build ran twice, i.e. two full passes over the sequence relation.
         # Persist it (MEMORY_AND_DISK keeps lineage — executor loss
-        # recomputes; ContextCleaner reclaims the blocks when the plan is
-        # dropped). Bounded size: one row per ~stride bases per chromosome.
-        from pyspark import StorageLevel
+        # recomputes). Tracked (plans/qcache.py, r16): CacheManager holds
+        # persisted plans strongly — the caller releases via free_tracked().
+        # Bounded size: one row per ~stride bases per chromosome.
+        from pyranges_1_x_spark.plans.qcache import persist_tracked
 
-        tiles = tiles.persist(StorageLevel.MEMORY_AND_DISK)
+        tiles = persist_tracked(tiles)
         cap = F.lit(cap_c).cast("long")
         m_left = F.least(F.floor(gs / 3).cast("long"), cap)  # codons before Start
         ws_l = gs - 3 * m_left + 1  # 1-based left-window start

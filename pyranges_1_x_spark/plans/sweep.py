@@ -30,9 +30,12 @@ block write/read for that second shuffle — cheaper at every scale, and
 ``persist`` (unlike ``localCheckpoint``) keeps lineage, so executor loss
 recomputes instead of failing. Interleaved A/B at sf0.1 (all four
 consumers): coverage 2.23→1.80s, coverage_ratio 2.24→1.80s, split
-2.27→1.85s, count_matrix 7.29→4.35s. ContextCleaner reclaims the blocks
-once the returned plan is dropped. ``materialize=False`` restores the
-recompute shape (e.g. for callers that already persist their deltas).
+2.27→1.85s, count_matrix 7.29→4.35s. r16: the persist is TRACKED
+(plans/qcache.py) — CacheManager holds persisted plans strongly, so the
+caller must release via ``free_tracked()`` once the result is consumed
+(the r15 "ContextCleaner reclaims on plan drop" comment was wrong).
+``materialize=False`` restores the recompute shape (e.g. for callers
+that already persist their deltas).
 
 ``asof_extreme``/``bucketed_row_number`` keep the recompute shape: their
 points relations are unions of already-persisted inputs (nearest) or are
@@ -69,9 +72,9 @@ def prefix_sweep(
     see the module docstring (r15).
     """
     if materialize:
-        from pyspark import StorageLevel
+        from pyranges_1_x_spark.plans.qcache import persist_tracked
 
-        deltas = deltas.persist(StorageLevel.MEMORY_AND_DISK)
+        deltas = persist_tracked(deltas)
     d = deltas.withColumn("__bkt__", floordiv(F.col(pos_col), bucket_width))
 
     wl = Window.partitionBy(*keys, "__bkt__").orderBy(F.col(pos_col).asc())

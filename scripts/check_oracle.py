@@ -109,6 +109,12 @@ def main() -> int:
         # Drop per-query residue (cached relations, finished broadcasts)
         # so an 80-query session's heap stays flat; a query under test must
         # not depend on cache surviving past its own materialization.
+        # r16: free_query_caches additionally drops localCheckpoint blocks
+        # (clearCache only touches CacheManager entries) and drains the
+        # tracked-cache registry.
+        import pyranges_1_x_spark as _pr
+
+        _pr.free_query_caches()
         spark.catalog.clearCache()
         import gc as _gc
 
