@@ -1209,7 +1209,9 @@ def q_curation_pipeline(spark, sf_dir):
     # wall IS the sum of the chain's individually-gated stages
     # (repeated_spans' md5 gram relation dominates at ~4.5s) — composition
     # itself adds nothing.
-    kept = s4.filter("keep").localCheckpoint(eager=False)
+    from pyranges_1_x_spark.plans.qcache import checkpoint_tracked
+
+    kept = checkpoint_tracked(s4.filter("keep"), eager=False)
     lm = lm_bigram_score(kept).select("doc_id", "n_bigrams", "min_prob", "n_rare")
     quota = quota_sample(kept, "source", 10, seed=7)
     packed = pack_training_examples(quota, budget=512, seed=7)

@@ -950,11 +950,24 @@ def dedup_paragraphs(
     with no "\\n\\n" is one paragraph, so single-paragraph corpora degrade
     to document-level first-occurrence dedup, which is the correct limit.
 
-    Scale shape: one posexplode scan → one paragraph-keyed hash aggregate
-    (MIN over the (doc, pos) struct — map-side-partial, key cardinality =
-    distinct paragraphs; the grouping key must be the text because exact
-    dedup needs a text comparison somewhere, and partial aggregation
-    bounds that exchange to ~distinct paragraphs carried once each) → the
+    Scale shape: one posexplode scan → one paragraph-keyed first-occurrence
+    election. r16: the election is a ``row_number() == 1`` window — Spark's
+    WindowGroupLimit rewrite runs a partial top-1 per key BEFORE the
+    exchange (so like the old MIN-struct partial aggregate it ships ≤1 row
+    per distinct paragraph per map partition), but with no SortAggregate:
+    the r15 ``min(struct(doc, pos))`` carried a struct aggregation buffer,
+    which UnsafeRow-based HashAggregate cannot hold, so BOTH aggregate
+    phases silently fell back to SortAggregate — two full sorts of the
+    occurrence relation keyed by the paragraph text alone. The window sorts
+    by (paragraph, doc, pos) once per exchange side and short-circuits at
+    the first row per key; (doc, pos) is unique per occurrence, so the
+    top-1 is fully deterministic (r16 interleaved A/B,
+    scripts/ab_para_dedup_r16.py: B faster 5/5 rounds, min 2.02 → 1.79s at
+    sf0.1; SortAggregate 2 → 0, WindowGroupLimit 0 → 2; values identical).
+    The key cardinality story is unchanged — the grouping key must be the
+    text because exact dedup needs a text comparison somewhere, and the
+    partial top-1 bounds that exchange to ~distinct paragraphs carried
+    once each — then the
     winner coordinates are re-grouped into a tiny per-doc position list
     (16-byte rows, one output row per doc owning a first occurrence) and
     the occurrence-sized join back is keyed on the DOC ID alone (r15: the
@@ -975,21 +988,18 @@ def dedup_paragraphs(
         F.posexplode(F.split(F.col(text_col), "\\n\\n")).alias("__pos__", "__p__"),
     )
     cand = (F.trim(F.col("__p__")) != "") & (F.length("__p__") >= min_len)
+    w1 = Window.partitionBy("__p__").orderBy(did.asc(), F.col("__pos__").asc())
     winners = (
         paras.filter(cand)
-        .groupBy("__p__")
-        .agg(
-            F.min(
-                F.struct(did.alias("d"), F.col("__pos__").alias("p"))
-            ).alias("__w__")
-        )
-        .groupBy(F.col("__w__.d").alias(id_col))
-        .agg(F.collect_list("__w__.p").alias("__wp__"))
+        .withColumn("__rk1__", F.row_number().over(w1))
+        .filter(F.col("__rk1__") == 1)
+        .groupBy(did.alias(id_col))
+        .agg(F.collect_list("__pos__").alias("__wp__"))
     )
     # A (doc, pos) coordinate names exactly one occurrence, and that
     # occurrence has exactly one text, so it can only be the winner of its
     # OWN paragraph's group: kept ⇔ (non-candidate) ∨ (this row is the
-    # first occurrence) — the same predicate as matching the MIN struct.
+    # first occurrence) — the same predicate as being the rank-1 row.
     # A doc's winner list is bounded by its own paragraph count, so the
     # collected arrays stay small; docs with no winners join to NULL.
     tagged = paras.join(winners, on=id_col, how="left")

@@ -23,6 +23,7 @@ from pyranges_1_x_spark.plans.interval_join import (
     binned_join,
     interval_join,
     rename_keys,
+    top1_overlap,
 )
 
 _LID = "__ij_lid__"
@@ -193,8 +194,9 @@ def intersect_overlaps(
     {all, first, last} keeps every match / the smallest-(Start,End) match /
     the largest-(Start,End) match per self row (doctest-pinned order,
     pyranges_main.py:5397-5413 — see the OVERLAP_LAST note in
-    plans/interval_join.py), reduced with a partial-aggregatable
-    min_by/max_by, never a pair-relation sort."""
+    plans/interval_join.py), reduced with the WindowGroupLimit top-1
+    election (partial before the exchange), never a full pair-relation
+    aggregate sort."""
     if multiple not in nm.VALID_OVERLAP_MODES:
         raise ValueError(
             f"multiple must be one of {nm.VALID_OVERLAP_MODES}, got {multiple!r}"
@@ -214,10 +216,9 @@ def intersect_overlaps(
         rend="__re__",
     )
     if multiple != nm.OVERLAP_ALL:
-        payload = F.struct(*[F.col(c) for c in joined.columns])
-        order = F.struct(F.col("__rs__"), F.col("__re__"))
-        agg = F.min_by(payload, order) if multiple == nm.OVERLAP_FIRST else F.max_by(payload, order)
-        joined = joined.groupBy(_LID).agg(agg.alias("__p__")).select("__p__.*")
+        # WindowGroupLimit top-1 per left row — no SortAggregate (see
+        # plans/interval_join.top1_overlap for semantics + r16 A/B).
+        joined = top1_overlap(joined, "__rs__", "__re__", multiple)
     out = (
         joined.withColumn(nm.START_COL, F.greatest(F.col(nm.START_COL), F.col("__rs__")))
         .withColumn(nm.END_COL, F.least(F.col(nm.END_COL), F.col("__re__")))

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
-from pyranges_1_x_spark.plans.interval_join import binned_join, rename_keys
+from pyranges_1_x_spark.plans.interval_join import binned_join, rename_keys, top1_overlap
 from pyranges_1_x_spark.plans.islands import island_agg
 
 _LID = "__ij_lid__"
@@ -272,14 +272,9 @@ def set_intersect_overlaps(
         rstart="__bs__", rend="__be__",
     )
     if multiple != nm.OVERLAP_ALL:
-        payload = F.struct(*[F.col(c) for c in pairs.columns])
-        order = F.struct(F.col("__bs__"), F.col("__be__"))
-        agg = (
-            F.min_by(payload, order)
-            if multiple == nm.OVERLAP_FIRST
-            else F.max_by(payload, order)
-        )
-        pairs = pairs.groupBy(_LID).agg(agg.alias("__p__")).select("__p__.*")
+        # WindowGroupLimit top-1 per merged self island — no SortAggregate
+        # (see plans/interval_join.top1_overlap for semantics + r16 A/B).
+        pairs = top1_overlap(pairs, "__bs__", "__be__", multiple)
     out = pairs.select(
         *keys,
         F.greatest(F.col(nm.START_COL), F.col("__bs__")).alias(nm.START_COL),

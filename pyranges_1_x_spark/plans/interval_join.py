@@ -396,6 +396,49 @@ def binned_join(
     return _pairs().unionByName(_anti(_LID)).unionByName(_anti(_RID))
 
 
+def top1_overlap(
+    df: DataFrame,
+    rstart: str,
+    rend: str,
+    multiple: str,
+    key: str = _LID,
+) -> DataFrame:
+    """Keep the lexicographically first/last ``(rstart, rend)`` match per
+    ``key`` row — the shared ``multiple='first'/'last'`` election for
+    ``interval_join`` / ``intersect_overlaps`` / ``set_intersect_overlaps``.
+
+    A ``row_number() == 1`` filter: Spark 3.5+ plans it as WindowGroupLimit
+    (partial top-1 per key BEFORE the exchange + final after), so like a
+    partial aggregate it ships <= 1 row per key per map partition — but
+    with NO SortAggregate. The r15-era ``min_by/max_by(struct(...))``
+    formulation carried a struct aggregation buffer, which UnsafeRow-based
+    HashAggregate cannot hold, so BOTH aggregate phases silently fell back
+    to SortAggregate — two full sorts of the pair relation keyed by ``key``
+    alone. The window sorts by ``(key, rstart, rend)`` once per exchange
+    side and short-circuits at the first row per key (r16 interleaved A/B,
+    scripts/ab_join_first_r16.py: B faster 5/5 rounds, min 2.20 -> 1.55s at
+    sf0.1; SortAggregate 2 -> 0, WindowGroupLimit 0 -> 2; values identical
+    on 599,967 rows — among exact (rstart, rend) ties both forms pick an
+    arbitrary match, the documented reference behavior).
+
+    OVERLAP_LAST = lexicographically-last (Start, End) match. The reference
+    DOCSTRINGS say "biggest End in other", but the only executable doctest
+    (intersect_overlaps, pyranges_main.py:5406) contradicts them: among
+    overlaps [25,33) and [28,32) the kernel returns [28,32) — biggest
+    Start, not biggest End. The doctest is the executed truth, so mirror
+    (Start, End) order here."""
+    if multiple == OVERLAP_FIRST:
+        order = [F.col(rstart).asc(), F.col(rend).asc()]
+    else:
+        order = [F.col(rstart).desc(), F.col(rend).desc()]
+    w = Window.partitionBy(key).orderBy(*order)
+    return (
+        df.withColumn("__rk1__", F.row_number().over(w))
+        .filter(F.col("__rk1__") == 1)
+        .drop("__rk1__")
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -448,26 +491,12 @@ def interval_join(
     )
 
     if multiple != OVERLAP_ALL:
-        # Reduce to one match per left row with a min_by/max_by hash aggregate
-        # (partial-aggregatable) instead of sorting the pair relation under a
-        # row_number window. Anti rows (null _LID) pass through untouched.
+        # Reduce to one match per left row with the WindowGroupLimit top-1
+        # election (see top1_overlap — ordering/tie semantics and the r16
+        # A/B evidence live there). Anti rows (null _LID) pass through
+        # untouched.
         matched_rows = out.filter(F.col("__matched__"))
-        payload = F.struct(*[F.col(c) for c in out.columns])
-        if multiple == OVERLAP_FIRST:
-            red = matched_rows.groupBy(_LID).agg(
-                F.min_by(payload, F.struct(F.col(rstart), F.col(rend))).alias("__p__")
-            )
-        else:
-            # OVERLAP_LAST = lexicographically-last (Start, End) match. The
-            # reference DOCSTRINGS say "biggest End in other", but the only
-            # executable doctest (intersect_overlaps, pyranges_main.py:5406)
-            # contradicts them: among overlaps [25,33) and [28,32) the kernel
-            # returns [28,32) — biggest Start, not biggest End. The doctest
-            # is the executed truth, so mirror (Start, End) order here.
-            red = matched_rows.groupBy(_LID).agg(
-                F.max_by(payload, F.struct(F.col(rstart), F.col(rend))).alias("__p__")
-            )
-        reduced = red.select("__p__.*")
+        reduced = top1_overlap(matched_rows, rstart, rend, multiple)
         if how == "inner":
             out = reduced
         else:
