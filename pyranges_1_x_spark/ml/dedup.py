@@ -169,10 +169,18 @@ def shingle_rows(
     token array (no per-position ``slice`` allocation — the shape that made
     the r6 array form 5x slower), and per-doc dedup is ``array_distinct``
     inside the row (equivalent to the old global distinct: ``id`` was in its
-    key, so dedup never crossed documents). Exchange+Sort+2 Windows
+    key, so dedup never crossed documents — PRECONDITION: ``id_col`` must be
+    unique per input row; if the same id spans multiple rows, duplicate
+    shingles survive across those rows where the old global ``.distinct()``
+    merged them — ADVICE r15). Exchange+Sort+2 Windows
     [+Exchange] -> one doc-level Exchange."""
     nparts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     extras = list(extra_cols or [])
+    # NULL-text docs emit no shingle rows (the pre-r15 posexplode(split(NULL))
+    # behavior; without this filter the otherwise-branch would build
+    # array(array_join(NULL)) = [NULL] and leak an (id, NULL) token row into
+    # downstream hashing — ADVICE r15).
+    df = df.filter(F.col(text_col).isNotNull())
     base = df.select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in extras],

@@ -561,6 +561,10 @@ def winnow_fingerprints(
     # position. array_distinct replaces the old global .distinct(): the
     # output key is (id, fp) and fp dedup never crosses documents.
     def _wmin(p):
+        if window <= 1:
+            # window=1: every position is its own window minimum (every gram
+            # selected) — and F.least needs >= 2 columns (ADVICE r15).
+            return F.element_at(h, p)
         return F.least(
             F.element_at(h, p),
             *[F.when(p > F.lit(j), F.element_at(h, p - j)) for j in range(1, window)],

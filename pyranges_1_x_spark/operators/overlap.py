@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyranges_1_x_spark import names as nm
 from pyranges_1_x_spark.core import GenomicRanges
 from pyranges_1_x_spark.plans.interval_join import (
-    _groupable,
+    _split_payload,
     binned_exists,
     binned_join,
     interval_join,
@@ -261,17 +261,23 @@ def count_overlaps(
         rend="__re__",
         keep_unmatched_bins=True,  # the groupBy below collapses them: one shuffle saved
     )
-    if _groupable(self.df.schema.fields):
+    groupable, key_fields, first_fields = _split_payload(self.df.schema.fields)
+    if groupable:
         # r15 (optimization round): payload rides in the GROUP BY key, not
         # in any_value(struct) — a struct-buffered first/any_value cannot
         # hash-aggregate, so Spark planned a SortAggregate (two full sorts
         # of the bin-exploded join output; plans/r15/count_overlaps_before
         # .txt ops 21-25). Grouping by (_LID, payload) is identical (the
         # payload is functionally dependent on the unique _LID) and keeps
-        # the plan a map-side-combining HashAggregate.
+        # the plan a map-side-combining HashAggregate. r16: top-level float
+        # payload columns ride as first() aggregates to preserve -0.0/NaN
+        # bits (VERDICT r15 #5; see plans/interval_join._split_payload).
         out = (
-            joined.groupBy(_LID, *self.df.columns)
-            .agg(F.sum(F.when(F.col("__matched__"), 1).otherwise(0)).alias(count_col))
+            joined.groupBy(_LID, *[f.name for f in key_fields])
+            .agg(
+                F.sum(F.when(F.col("__matched__"), 1).otherwise(0)).alias(count_col),
+                *[F.first(f.name).alias(f.name) for f in first_fields],
+            )
             .select(*self.df.columns, F.col(count_col))
         )
         return GenomicRanges(out)

@@ -94,9 +94,10 @@ def rename_keys(right: DataFrame, keys: list[str], prefix: str = "__rk") -> tupl
     return out, rkeys
 
 
-def _groupable(fields) -> bool:
-    """True when every field can be a GROUP BY key (no MapType anywhere —
-    maps are not orderable/groupable in Spark).
+def _split_payload(fields):
+    """Partition payload fields for the bin-collapse aggregate into GROUP BY
+    key fields vs scalar-``first()`` aggregate fields, or signal the struct
+    fallback. Returns ``(groupable, key_fields, first_fields)``.
 
     r15 (optimization round): ``first``/``any_value`` over a STRUCT has a
     struct-typed aggregation buffer, which HashAggregate cannot hold (its
@@ -108,19 +109,49 @@ def _groupable(fields) -> bool:
     GROUP BY key instead (it is functionally dependent on the unique
     per-row id, so the groups are identical) keeps every buffer fixed-width
     and the plan a HashAggregate — map-side combine without the two sorts.
-    Var-length group keys are fine (UnsafeRow keys); only maps are not."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    Var-length group keys are fine (UnsafeRow keys); only maps are not.
+
+    r16 float caveat (VERDICT r15 #5): Spark's NormalizeFloatingNumbers
+    rewrites -0.0 -> 0.0 (and canonicalizes NaN bits) in every grouping
+    key, so a float payload riding in the key would round-trip -0.0 as 0.0
+    where ``any_value(struct)`` preserved the sign bit. The unique id in
+    the key means no rows ever merge — only the emitted bits could differ.
+    Fix: TOP-LEVEL float/double payload columns become scalar ``first()``
+    aggregates instead (fixed-width buffer, still HashAggregate,
+    bit-preserving — every row in a group is a bin-copy of the same input
+    row, so first() is deterministic); types with NESTED floats
+    (array<double>, struct fields) cannot use a bit-preserving fixed-width
+    buffer, so they take the struct/SortAggregate fallback — bit-exact,
+    just slower, and rare in this engine's payloads."""
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType, MapType, StructType
+
+    def nested_float(dt) -> bool:
+        if isinstance(dt, (FloatType, DoubleType)):
+            return True
+        if isinstance(dt, ArrayType):
+            return nested_float(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(nested_float(f.dataType) for f in dt.fields)
+        return False
 
     def ok(dt) -> bool:
         if isinstance(dt, MapType):
             return False
         if isinstance(dt, ArrayType):
-            return ok(dt.elementType)
+            return ok(dt.elementType) and not nested_float(dt.elementType)
         if isinstance(dt, StructType):
-            return all(ok(f.dataType) for f in dt.fields)
+            return all(ok(f.dataType) and not nested_float(f.dataType) for f in dt.fields)
         return True
 
-    return all(ok(f.dataType) for f in fields)
+    key_fields, first_fields = [], []
+    for f in fields:
+        if isinstance(f.dataType, (FloatType, DoubleType)):
+            first_fields.append(f)
+        elif ok(f.dataType):
+            key_fields.append(f)
+        else:
+            return False, [], []
+    return True, key_fields, first_fields
 
 
 def binned_exists(
@@ -191,21 +222,26 @@ def binned_exists(
     if contained:
         cond = cond & (F.col(lstart) >= F.col(rstart)) & (F.col(lend) <= F.col(rend))
 
-    if _groupable(left.schema.fields):
-        # Payload rides in the GROUP BY key (see _groupable): HashAggregate
-        # with map-side combine, no SortAggregate sorts. _LID stays in the
-        # key so duplicate left rows keep their multiplicity.
+    groupable, key_fields, first_fields = _split_payload(left.schema.fields)
+    if groupable:
+        # Payload rides in the GROUP BY key (see _split_payload): a
+        # HashAggregate with map-side combine, no SortAggregate sorts.
+        # _LID stays in the key so duplicate left rows keep their
+        # multiplicity; top-level float payload columns ride as first()
+        # aggregates to preserve -0.0/NaN bits (VERDICT r15 #5).
+        key_names = [f.name for f in key_fields]
+        first_aggs = [F.first(f.name).alias(f.name) for f in first_fields]
         if not anti:
-            return (
-                lb.join(rb, cond, "left_semi")
-                .select(_LID, *left.columns)
-                .distinct()
-                .select(*left.columns, F.lit(True).alias("__any__"))
-            )
+            sel = lb.join(rb, cond, "left_semi")
+            if first_aggs:
+                collapsed = sel.groupBy(_LID, *key_names).agg(*first_aggs)
+            else:
+                collapsed = sel.select(_LID, *key_names).distinct()
+            return collapsed.select(*left.columns, F.lit(True).alias("__any__"))
         return (
             lb.join(rb, cond, "left_anti")
-            .groupBy(_LID, "__nbins__", *left.columns)
-            .agg(F.count(F.lit(1)).alias("__c__"))
+            .groupBy(_LID, "__nbins__", *key_names)
+            .agg(F.count(F.lit(1)).alias("__c__"), *first_aggs)
             .filter(F.col("__c__") == F.col("__nbins__"))
             .select(*left.columns, F.lit(False).alias("__any__"))
         )
@@ -354,14 +390,20 @@ def binned_join(
         partner = _LID if flipped else _RID
         joined = (rb.join(lb, cond, "left") if flipped else lb.join(rb, cond, "left"))
         padded = [F.lit(None).cast(f.dataType).alias(f.name) for f in pad_fields]
-        if _groupable(pay_fields):
-            # Payload in the GROUP BY key (see _groupable): the bin-copy
+        groupable, key_fields, first_fields = _split_payload(pay_fields)
+        if groupable:
+            # Payload in the GROUP BY key (see _split_payload): the bin-copy
             # collapse stays a map-side-combining HashAggregate instead of
-            # a SortAggregate over the bin-exploded relation.
+            # a SortAggregate over the bin-exploded relation; top-level
+            # float payload columns ride as first() aggregates to preserve
+            # -0.0/NaN bits (VERDICT r15 #5).
             kept = [F.col(f.name) for f in pay_fields]
             return (
-                joined.groupBy(gid, *[f.name for f in pay_fields])
-                .agg(F.max(F.col(partner).isNotNull()).alias("__any__"))
+                joined.groupBy(gid, *[f.name for f in key_fields])
+                .agg(
+                    F.max(F.col(partner).isNotNull()).alias("__any__"),
+                    *[F.first(f.name).alias(f.name) for f in first_fields],
+                )
                 .filter(~F.col("__any__"))
                 .select(
                     *(padded + kept if flipped else kept + padded),

@@ -3,7 +3,7 @@
 A = r14 shape: payload rides in ``any_value(struct)`` — a struct-typed
     aggregation buffer cannot hash-aggregate, so Spark plans a SortAggregate
     (two full sorts of the bin-exploded relation). Reproduced by
-    monkeypatching ``_groupable`` to always return False (the fallback IS the
+    monkeypatching ``_split_payload`` to always signal the fallback (which IS the
     r14 code, kept verbatim for map-typed payloads).
 B = r15 shape (HEAD code): payload columns ride in the GROUP BY key
     (functionally dependent on the unique row id), HashAggregate with
@@ -47,17 +47,17 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    real = ijmod._groupable
+    real = ijmod._split_payload
 
     def build(q: str, variant: str):
         if variant == "A":
-            ijmod._groupable = lambda fields: False
-            ovmod._groupable = ijmod._groupable
+            ijmod._split_payload = lambda fields: (False, [], [])
+            ovmod._split_payload = ijmod._split_payload
         try:
             return entrymod.queries()[q](spark, sf_dir)
         finally:
-            ijmod._groupable = real
-            ovmod._groupable = real
+            ijmod._split_payload = real
+            ovmod._split_payload = real
 
     for q in QUERIES:
         ra = sorted(map(tuple, build(q, "A").collect()))

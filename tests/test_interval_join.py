@@ -197,3 +197,58 @@ def test_overlap_multiple_and_invert(spark):
     g1k = GenomicRanges(a.df, bin_size=1000)
     assert g1k.copy()._bin_size == 1000
     assert g1k.copy().resolve_bin(None) == 1000
+
+
+def test_float_payload_bits_survive_bin_collapse(spark):
+    """VERDICT r15 #5: Spark's NormalizeFloatingNumbers rewrites -0.0 -> 0.0
+    in grouping keys, so a float Score payload riding in the bin-collapse
+    GROUP BY key would round-trip -0.0 as 0.0 where the struct-aggregate
+    fallback preserved the sign bit. _split_payload routes top-level floats
+    through scalar first() aggregates instead — byte-compare both paths
+    through binned_join (left, via join_overlaps), binned_exists (via
+    overlap invert) and count_overlaps."""
+    import math
+    import struct as _struct
+
+    import pyranges_1_x_spark.operators.overlap as ovmod
+    import pyranges_1_x_spark.plans.interval_join as ijmod
+
+    cols = ("Chromosome", "Start", "End", "Score")
+    a = gr(
+        spark,
+        [("chr1", 5, 20, -0.0), ("chr1", 100, 110, float("nan")), ("chr2", 7, 9, 0.0)],
+        cols,
+    )
+    b = gr(spark, [("chr1", 4, 6), ("chr1", 300, 310)])
+
+    def bits(x):
+        return _struct.pack(">d", x).hex()
+
+    def snap():
+        out = {}
+        out["join_left"] = a.join_overlaps(b, join_type="left").df
+        out["anti"] = a.overlap(b, invert=True).df
+        out["count"] = a.count_overlaps(b).df
+        return {
+            k: sorted(
+                (r.Chromosome, r.Start, r.End, bits(r.Score)) for r in v.collect()
+            )
+            for k, v in out.items()
+        }
+
+    fast = snap()
+    # Force the struct fallback (the bit-exact reference path) and re-snap.
+    real_ij, real_ov = ijmod._split_payload, ovmod._split_payload
+    ijmod._split_payload = lambda fields: (False, [], [])
+    ovmod._split_payload = ijmod._split_payload
+    try:
+        slow = snap()
+    finally:
+        ijmod._split_payload = real_ij
+        ovmod._split_payload = real_ov
+
+    assert fast == slow
+    # And the sign bit really is preserved (not both-normalized).
+    neg_zero = bits(-0.0)
+    assert any(t[3] == neg_zero for t in fast["join_left"])
+    assert any(math.isnan(_struct.unpack(">d", bytes.fromhex(t[3]))[0]) for t in fast["count"])

@@ -3018,3 +3018,31 @@ def test_python_udfs_single_evaluation_r15(spark):
 
     assert _pair_cosine_udf().deterministic is False
     assert _band_signatures_udf([[1.0, 0.0], [0.0, 1.0]], 2).deterministic is False
+
+
+def test_winnow_fingerprints_window_one(spark):
+    """ADVICE r15: window=1 used to raise (F.least needs >= 2 columns, the
+    j-loop was empty). With window=1 every position is its own window
+    minimum, so every distinct gram hash is selected."""
+    from pyranges_1_x_spark.ml.text import winnow_fingerprints
+    from pyranges_1_x_spark.ml.xxh64 import spark_xxhash64_str
+
+    text = "abcab"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {r.fp for r in winnow_fingerprints(df, k=3, window=1).collect()}
+    expect = {spark_xxhash64_str(text[i : i + 3]) for i in range(len(text) - 2)}
+    assert got == expect
+
+
+def test_shingle_rows_null_text_dropped(spark):
+    """ADVICE r15: a NULL-text doc must emit NO shingle rows (the pre-r15
+    posexplode(split(NULL)) behavior) — not an (id, NULL) token row."""
+    from pyranges_1_x_spark.ml.dedup import shingle_rows
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    rows = shingle_rows(df, k=3).collect()
+    assert all(r.id == 2 for r in rows)
+    assert all(r.token is not None for r in rows)
+    assert len(rows) == 2
