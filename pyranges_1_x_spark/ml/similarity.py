@@ -267,16 +267,108 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
+#: Nearest-centroid assignment implementation (kmeans_assign / ivf_assign):
+#:   "arrow" — one vectorized pandas UDF per scan (default; r16). The k
+#:             HOF fold expressions are CodegenFallback — INTERPRETED per
+#:             row — and measured 2.5s for a k=8 assignment over just 2,000
+#:             vectors at sf0.1 (~90% of q_kmeans' wall; the r14 PQ lesson,
+#:             guide §4). The kernel reproduces the folds bit-exactly:
+#:             numpy float64 elementwise ops are IEEE-correct, the
+#:             accumulation runs SEQUENTIALLY over dims (the 0.0-seeded
+#:             fold order), and argmin/argmax take the first index on ties
+#:             (array_position semantics).
+#:   "fold"  — the pure-expression formulation (parity/debug twin).
+_ASSIGN_IMPL = "arrow"
+
+
+def _cells_arrow_udf(centroids: list[list[float]], metric: str):
+    """Arrow-batched nearest-centroid cell ids (see ``_ASSIGN_IMPL``).
+
+    Malformed rows (null vector / length != dim / null element) return NULL
+    — the fold semantics, where zip_with's null padding nulls every
+    distance. One documented divergence (the pq-arrow precedent): Arrow
+    hands list<double> null elements as NaN, indistinguishable from a real
+    NaN element, so BOTH map to NULL here — where the fold twin maps a real
+    NaN element to cell 0 (array_position matching NaN against the all-NaN
+    distance array). A vector whose distance is undefined has no defensible
+    cell; fixtures never exercise it (parity-pinned in
+    test_assign_arrow_fold_parity)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = [[float(x) for x in c] for c in centroids]
+    k = len(C)
+    dim = len(C[0])
+
+    def cells(v):
+        import numpy as np  # noqa: PLC0415
+
+        vals = v.tolist()
+        out: list[int | None] = [None] * len(vals)
+        ok: list[int] = []
+        rows = []
+        for i, x in enumerate(vals):
+            if x is None or len(x) != dim:
+                continue
+            try:
+                rows.append(np.asarray(x, dtype=np.float64))
+            except (TypeError, ValueError):
+                continue
+            ok.append(i)
+        if ok:
+            M = np.array(rows)
+            # NaN elements (real NaN or Arrow's null-element encoding) ->
+            # NULL cell (see docstring).
+            good = ~np.isnan(M).any(axis=1)
+            dmat = np.empty((len(ok), k))
+            for c in range(k):
+                cen = C[c]
+                acc = np.zeros(len(ok))
+                if metric == "dot":
+                    for j in range(dim):  # sequential: the fold order
+                        acc += M[:, j] * cen[j]
+                    dmat[:, c] = acc
+                else:
+                    for j in range(dim):  # sequential: the fold order
+                        diff = M[:, j] - cen[j]
+                        acc += diff * diff
+                    dmat[:, c] = acc
+            if metric == "dot":
+                # argmax, first index on ties (array_position semantics)
+                idx = np.argmax(dmat, axis=1)
+            else:
+                # argmin, first index on ties
+                idx = np.argmin(dmat, axis=1)
+            for pos, i in enumerate(ok):
+                if good[pos]:
+                    out[i] = int(idx[pos])
+        return pd.Series(out, dtype="object")
+
+    # Real (non-string) annotations: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf cannot resolve here.
+    cells.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    # asNondeterministic: forbid the optimizer's pushdown from DUPLICATING
+    # the ArrowEvalPython node under derived filters (the r15 §4.4 lesson —
+    # e.g. ivf_topk filters on __cell__ right above this projection). The
+    # kernel is deterministic; the flag only forbids reordering/duplication.
+    return pandas_udf(cells, "long").asNondeterministic()
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],
     *,
     vec_col: str = "embedding",
     cell_col: str = "__cell__",
+    impl: str | None = None,
 ) -> DataFrame:
     """Attach the index of the nearest centroid by squared euclidean distance
-    (ties -> lowest index). Centroids are broadcast literals; assignment is a
-    codegen'd expression per row, no shuffle."""
+    (ties -> lowest index). Centroids are broadcast constants; assignment is
+    one Arrow-batched scan (``_ASSIGN_IMPL``; ``impl="fold"`` forces the
+    pure-expression twin), no shuffle."""
+    if (impl or _ASSIGN_IMPL) == "arrow":
+        return df.withColumn(cell_col, _cells_arrow_udf(centroids, "l2")(F.col(vec_col)))
     dists = F.array(
         *[
             sq_dist(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c]))
@@ -321,18 +413,27 @@ def kmeans_lloyd(
     dim = len(centroids[0])
     for _ in range(iters):
         asg = kmeans_assign(df, centroids, vec_col=vec_col)
+        # r16: per-dim sums as `dim` codegen'd SUM columns over one
+        # groupBy(cell) scan — the posexplode formulation blew the relation
+        # up dim-fold and hash-aggregated (cell, dim) keyed rows (0.74s vs
+        # ~0.1s per iteration at sf0.1). Same addend set per (cell, dim);
+        # only the parallel-sum order changes, which the 1/quant centroid
+        # quantization absorbs by contract (gate-verified margins are
+        # ~1e8 x the float divergence).
+        vcast = F.col(vec_col).cast("array<double>")
         stats = (
-            asg.select(
-                "__cell__",
-                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-                    "__dim__", "__x__"
-                ),
+            asg.groupBy("__cell__")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.element_at(vcast, j + 1)).alias(f"s{j}") for j in range(dim)],
             )
-            .groupBy("__cell__", "__dim__")
-            .agg(F.sum("__x__").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        per = {(r["__cell__"], r["__dim__"]): (r["s"], r["n"]) for r in stats}
+        per = {
+            (r["__cell__"], j): (r[f"s{j}"], r["n"])
+            for r in stats
+            for j in range(dim)
+        }
         centroids = [
             [
                 (math.floor(per[(c, j)][0] / per[(c, j)][1] * quant) / quant)
@@ -389,6 +490,13 @@ def ivf_assign(
         # to the dot path would recreate the exact probe/ADC metric
         # mismatch the r14 pruning cell measured at recall 0 (review find)
         raise ValueError(f"metric must be 'dot' or 'l2', got {metric!r}")
+    if _ASSIGN_IMPL == "arrow":
+        # One Arrow-batched scan instead of k interpreted CodegenFallback
+        # folds per row (see _ASSIGN_IMPL / _cells_arrow_udf — bit-exact
+        # fold order, first-index tie rule for both metrics).
+        return df.withColumn(
+            "__cell__", _cells_arrow_udf(centroids, metric)(F.col(vec_col))
+        )
     if metric == "l2":
         dists = F.array(
             *[

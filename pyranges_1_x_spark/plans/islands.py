@@ -103,6 +103,7 @@ def assign_islands(
     tiebreak: list[str] | None = None,
     bucket_width: int | None = DEFAULT_ISLAND_BUCKET,
     adaptive: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Attach a per-group island id (0-based within each key-group).
 
@@ -119,6 +120,19 @@ def assign_islands(
     ``bucket_width=None``/``0`` forces the single-window plan unconditionally;
     ``adaptive=False`` with a numeric width forces the bucketed plan (how the
     cross-bucket unit tests pin the two-phase path).
+
+    ``materialize`` (r16, VERDICT r15 #7): in the bucketed plan the
+    bucket-tagged input feeds TWO branches that never canonicalize equal
+    (the phase-2 groupBy summary and the phase-1 window), so an
+    upstream-derived input is evaluated twice end to end. ``True`` runs it
+    once via a tracked persist (caller releases with ``free_tracked()``).
+    Default ``False``: the honest A/B at the bucketed plan's firing shape
+    (scripts/ab_islands_mat_r16.py, 6M-row derived input, bucketed plan
+    FORCED via SPARK_GRAFT_ISLAND_SINGLE_WINDOW_BYTES=0) measured the
+    persist a consistent LOSS locally (see OPTIMIZATION_r16.md) — the
+    phase-2 summary re-scan is cheaper than writing+reading the cache.
+    Pass ``True`` when the input subtree is expensive (wide joins, UDF
+    stages) rather than scan-shaped.
     """
     if adaptive and bucket_width and _single_window_ok(df):
         bucket_width = None
@@ -138,6 +152,10 @@ def assign_islands(
 
     bkt = "__ibkt__"
     d = df.withColumn(bkt, floordiv(F.col(START_COL), bucket_width))
+    if materialize:
+        from pyranges_1_x_spark.plans.qcache import persist_tracked
+
+        d = persist_tracked(d)
 
     # Phase 2 summary first (cheap pruned scan + map-side-combined agg):
     # patch = max(End) over all earlier buckets of the same key-group.
@@ -198,13 +216,22 @@ def island_agg(
     tiebreak: list[str] | None = None,
     bucket_width: int | None = DEFAULT_ISLAND_BUCKET,
     adaptive: bool = False,
+    materialize: bool = False,
 ) -> DataFrame:
     """Merge overlapping intervals per key-group (the `merge` kernel equivalent).
 
     Returns one row per island: keys..., Start=min, End=max [, count_col].
+    ``materialize`` forwards to :func:`assign_islands` (bucketed-plan
+    duplicate-evaluation knob).
     """
     with_islands = assign_islands(
-        df, keys, slack=slack, tiebreak=tiebreak, bucket_width=bucket_width, adaptive=adaptive
+        df,
+        keys,
+        slack=slack,
+        tiebreak=tiebreak,
+        bucket_width=bucket_width,
+        adaptive=adaptive,
+        materialize=materialize,
     )
     aggs = [
         F.min(START_COL).alias(START_COL),

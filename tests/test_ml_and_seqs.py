@@ -3046,3 +3046,51 @@ def test_shingle_rows_null_text_dropped(spark):
     assert all(r.id == 2 for r in rows)
     assert all(r.token is not None for r in rows)
     assert len(rows) == 2
+
+
+def test_assign_arrow_fold_parity(spark):
+    """r16: the Arrow-batched nearest-centroid assignment must equal the
+    pure-expression fold twin cell-for-cell on every well-formed vector —
+    including exact centroid ties (first index) — and map the malformed
+    edges (null vector, wrong length, null element) to NULL. Documented
+    divergence: a real-NaN element is NULL under arrow (Arrow encodes null
+    elements as NaN, so they are indistinguishable) where the fold yields
+    cell 0 — see _cells_arrow_udf."""
+    import pyranges_1_x_spark.ml.similarity as sim
+    from pyranges_1_x_spark.ml.similarity import ivf_assign, kmeans_assign
+
+    cents = [[0.0, 0.0], [1.0, 1.0], [1.0, 1.0], [-1.0, 2.0]]
+    rows = [
+        (1, [0.1, 0.2]),
+        (2, [1.0, 1.0]),      # exact tie between centroids 1 and 2 -> 1
+        (3, [0.5, 0.5]),      # midpoint tie 0 vs 1 (and 2) -> 0
+        (4, None),            # null vector -> NULL
+        (5, [0.3]),           # wrong length -> NULL
+        (6, [0.1, None]),     # null element -> NULL
+        (7, [float("nan"), 0.0]),  # NaN: arrow NULL, fold cell 0 (doc'd)
+        (8, [-2.0, 3.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    km_a = {r.vec_id: r["__cell__"] for r in kmeans_assign(df, cents).collect()}
+    km_f = {
+        r.vec_id: r["__cell__"]
+        for r in kmeans_assign(df, cents, impl="fold").collect()
+    }
+    wellformed = [1, 2, 3, 8]
+    assert {k: km_a[k] for k in wellformed} == {k: km_f[k] for k in wellformed}
+    assert km_a[2] == 1 and km_a[3] == 0  # first-index tie rule
+    assert km_a[4] is None and km_a[5] is None and km_a[6] is None
+    assert km_f[6] is None
+    assert km_a[7] is None and km_f[7] == 0  # the documented NaN divergence
+
+    real = sim._ASSIGN_IMPL
+    for metric in ("l2", "dot"):
+        arrow = {r.vec_id: r["__cell__"] for r in ivf_assign(df, cents, metric=metric).collect()}
+        try:
+            sim._ASSIGN_IMPL = "fold"
+            fold = {r.vec_id: r["__cell__"] for r in ivf_assign(df, cents, metric=metric).collect()}
+        finally:
+            sim._ASSIGN_IMPL = real
+        assert {k: arrow[k] for k in wellformed} == {k: fold[k] for k in wellformed}, metric
+        assert arrow[4] is None and arrow[5] is None and arrow[6] is None
