@@ -730,7 +730,12 @@ def q_stream_incremental_dedup(spark, sf_dir):
     batch.write.mode("overwrite").parquet(d)
     stream = spark.readStream.schema(batch.schema).parquet(d)
     out = stream_dedup_against_store(stream, store)
-    sink = _run_stream(spark, out, f"incdedup_sink_{tag}")
+    # r16 (§2.2/§6): the gate projects the distinct sig set, so write ONLY
+    # the 8-byte sig per surviving doc to the sink instead of the full text
+    # (projection after the anti-join+dedup — survivors identical; at
+    # corpus scale this is the difference between writing fingerprints and
+    # re-writing the corpus).
+    sink = _run_stream(spark, out.select("sig"), f"incdedup_sink_{tag}")
     return sink.select("sig").distinct()
 
 
@@ -2351,7 +2356,13 @@ def q_streaming_dedup(spark, sf_dir):
     out = streaming_dedup(
         stream, ["event_type", "user_id"], ts_col="ts", watermark="1 hour"
     )
-    sink = _run_stream(spark, out, f"dedup_sink_{tag}")
+    # r16 (§2.2/§6): the rollup below reads ONLY (event_type, user_id), so
+    # project before the parquet sink — the full-row sink wrote every event
+    # column per survivor (at corpus scale the sink write is the wall; the
+    # projection is after the dedup operator, so survivors are identical).
+    sink = _run_stream(
+        spark, out.select("event_type", "user_id"), f"dedup_sink_{tag}"
+    )
     return sink.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users")
     )
