@@ -2815,88 +2815,130 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     strict subset of the new gate's, or carry a one-line justification of
     its marginal wall in the registering commit message.
 
-    r15 window (50) = the 16 r12-gated queries at their rule-(a) HARD
-    DEADLINE (coverage_ratio .. dedup_exact — VERDICT r14 directive #1,
-    listed first so a harness death cannot cost the invariant) + the 9
-    queries whose code path CHANGED this round (changed code re-gates
-    immediately: para_dedup — dedup_paragraphs' join-back re-keyed by-doc
-    with NULL-id passthrough; boilerplate_lines and curation_pipeline —
-    remove_boilerplate_lines' shared tail rewritten, and the pipeline
-    composes it; stratified_sample — empty-fractions threshold rounding;
-    extend_orfs — negative-codon-count clamp + codon validation;
-    bam_roundtrip / bigwig_roundtrip — decoder hardening; get_sequence_tiled
-    / fasta_roundtrip — tile-cache event counters on the get_sequence path,
-    VERDICT r14 #2's instrument) + 25 of the 48 r13-green queries (the
-    oldest outstanding deadline class: r13-gated queries must re-gate by
-    r16, so 25 go now and 20 roll to their r16 deadline). No iterative CC
-    query is in this window.
+    r16 window (50), rotated AFTER this round's optimization commits
+    landed (the standing rule VERDICT r15 #1 adds — the r15 window froze
+    before the optimizer ran and silently missed 20 rewritten paths):
+    rows 1-20 = every r15-REWRITTEN path the r15 driver window missed
+    (nearest_updown .. fdr — the VERDICT r15 audit-gap list, verbatim);
+    rows 21-35 = every path whose code CHANGED in r16 (WindowGroupLimit
+    top-1 elections, curation strip materialize, Arrow centroid
+    assignment, streaming sink projections, single-tile sequence
+    assembly, the _split_payload float-bits fix, the shingle_rows
+    NULL-text filter); rows 36-50 = the 15 remaining r13-green rollers at
+    their rule-(a) r16 HARD DEADLINE (the other 5 of the 20 due —
+    minhash_lsh, split, jaccard_stat, streaming_dedup,
+    stream_incremental_dedup — are already in rows 1-35). All 20 r13-green
+    deadline queries are therefore inside this window.
 
-    Roll list (64 = 114 - 50): 44 r14-green (deadline r17; rule (b) holds
-    trivially — driver-green the previous round) + the 20 r13-green below
-    rolling to their r16 deadline, each with a rule-(b) sibling:
-      doc_langid — quality/ratio scan sibling of doc_quality +
-        corpus_filter (r14-green);
-      tpch_pricing — pure built-in groupBy aggregate, the same plan family
-        events_hourly (in window) exercises with a wider agg list;
-      five_end — strand-mirror of three_end (r14-green; shared anchor
-        helper in operators/local_coords.py);
-      calc_frame — cumsum-over-window sibling of group_cumsum (in window);
-      tile_genome — same geometry tiler as tile + window_ranges
-        (r14-green) and window_sliding (in window);
-      summary_stats — lengths/summary over operators/multi.py, gated
-        alongside count_matrix (in window, same module's N-ary path);
-      mcc / spearman_rows — functions/stats.py siblings of fisher + simes
-        (r14-green) and fdr (in window);
-      minhash_lsh — hash-twin of minhash_lsh_md5 (r14-green; same
-        shingle/band plan, xxhash64 vs md5);
-      cluster — same islands decomposition as merge_stranded (r14-green)
-        and dedup_clusters (r14-green CC labeling consumer);
-      split / set_union — plans/islands + setops siblings of subtract,
-        complement, set_intersect (all r14-green);
-      max_disjoint — island-decomposed greedy whose island stage is
-        merge_stranded's (r14-green); the greedy is pytest-pinned;
-      jaccard_stat — interval-metrics sibling of forbes_stat + reldist
-        (r14-green; same functions/metrics.py entry);
-      streaming_dedup / annotate_stream / windowed_coverage /
-        stream_incremental_dedup — streaming/ siblings of
-        running_anomalies (r14-green) with sessions + events_hourly in
-        window; stream_incremental_dedup's batch-degrade path is
-        incremental_dedup (in window);
-      translate_cds — rides get_sequence, gated by get_sequence_tiled +
-        fasta_roundtrip (in window); the codon table is pytest-pinned;
-      nearest — directional sibling of nearest_updown (r14-green; same
-        sweep planner, k=1 both-directions projection).
+    Roll list (64 = 114 - 50): every rolled query is r14- or
+    r15-driver-green (deadlines r17/r18; rule (b) holds — driver-green
+    within two rounds). The r16-changed paths that still roll each have a
+    rule-(b) sibling INSIDE the window exercising the same changed code:
+    intersect and subtract's inner-join shape ride join_inner/join_left
+    (binned_join, _split_payload); doc_signature_dedup rides the shingle
+    consumers minhash_lsh_md5/simhash/token_jaccard; boilerplate_lines is
+    composed (and so executed) inside curation_pipeline;
+    fasta_roundtrip/extend_orfs ride get_sequence with get_sequence_tiled
+    (the only tiled-plan gate — the single-tile assembly split lives
+    there) and translate_cds in window. r17 OBLIGATION (write it into the
+    r17 window): the 44 r14-green queries hit their rule-(a) deadline —
+    simes, doc_quality, lsh_topk, boundary, three_end, forbes/overlap/
+    slice/window/extend family, the r14-green remainder of the r15 roll
+    list — plus every r16-changed path above.
     """
     return {
-        # --- r15 window rows 1-16: the r12-gated queries at their
-        # rule-(a) HARD DEADLINE (VERDICT r14 directive #1) ---
+        # --- r16 window rows 1-20: every r15-REWRITTEN path the r15
+        # window missed (VERDICT r15 #1 — the window froze before the
+        # optimizer ran; changed code re-gates immediately). Listed first
+        # so a harness death cannot cost the invariant. ---
+        "nearest_updown": q_nearest_updown,
+        "winnow": q_winnow,
+        "subtract": q_subtract,
+        "join_left": q_join_left,
+        "join_inner": q_join_inner,
+        "join_same_strand": q_join_same_strand,
+        "overlap_semi": q_overlap_semi,
+        "minhash_lsh_md5": q_minhash_lsh_md5,
+        "dedup_clusters": q_dedup_clusters,
+        "semantic_dedup": q_semantic_dedup,
+        "kmv_vocab": q_kmv_vocab,
+        "decontaminate": q_decontaminate,
+        "forbes_stat": q_forbes_stat,
+        "jaccard_stat": q_jaccard_stat,
+        "cosine_simjoin": q_cosine_simjoin,
+        "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
+        "coverage": q_coverage,
+        "split": q_split,
+        "fdr": q_fdr,
+        # --- r16-CHANGED code paths: re-gate immediately (15) —
+        # WindowGroupLimit top-1 election (join_first, para_dedup,
+        # set_intersect's planner file), curation strip materialize +
+        # tracked checkpoint, Arrow centroid assignment (kmeans,
+        # cluster_quota, ivf_topk; ivfpq_topk is in the block above),
+        # streaming sink projections, get_sequence single-tile assembly,
+        # _split_payload float-bits collapse (count_overlaps, overlap_anti;
+        # join_left/join_inner/overlap_semi above), and the shingle_rows
+        # NULL-text filter (token_jaccard, simhash, minhash_lsh;
+        # minhash_lsh_md5/kmv_vocab/decontaminate/dedup_clusters above). ---
+        "join_first": q_join_first,
+        "para_dedup": q_para_dedup,
+        "curation_pipeline": q_curation_pipeline,
+        "kmeans": q_kmeans,
+        "cluster_quota": q_cluster_quota,
+        "ivf_topk": q_ivf_topk,
+        "streaming_dedup": q_streaming_dedup,
+        "stream_incremental_dedup": q_stream_incremental_dedup,
+        "get_sequence_tiled": q_get_sequence_tiled,
+        "count_overlaps": q_count_overlaps,
+        "overlap_anti": q_overlap_anti,
+        "token_jaccard": q_token_jaccard,
+        "simhash": q_simhash,
+        "minhash_lsh": q_minhash_lsh,
+        "set_intersect": q_set_intersect,
+        # --- 15 r13-green rollers at their rule-(a) r16 deadline (the
+        # other 5 of the 20 due — minhash_lsh, split, jaccard_stat,
+        # streaming_dedup, stream_incremental_dedup — are already in the
+        # blocks above). ---
+        "doc_langid": q_doc_langid,
+        "tpch_pricing": q_tpch_pricing,
+        "five_end": q_five_end,
+        "calc_frame": q_calc_frame,
+        "tile_genome": q_tile_genome,
+        "summary_stats": q_summary_stats,
+        "mcc": q_mcc,
+        "spearman_rows": q_spearman_rows,
+        "cluster": q_cluster,
+        "set_union": q_set_union,
+        "max_disjoint": q_max_disjoint,
+        "translate_cds": q_translate_cds,
+        "nearest": q_nearest,
+        "annotate_stream": q_annotate_stream,
+        "windowed_coverage": q_windowed_coverage,
+        # --- past the 50-row driver window: local gate only this round.
+        # All r14- or r15-driver-green (deadlines r17/r18); changed-path
+        # rolls each have a rule-(b) sibling IN window: intersect (binned
+        # inner twin join_inner), doc_signature_dedup (shingle siblings
+        # minhash_lsh_md5/simhash), boilerplate_lines (curation_pipeline
+        # composes it), fasta_roundtrip/extend_orfs/translate_cds ride
+        # get_sequence with get_sequence_tiled + translate_cds gated. ---
         "coverage_ratio": q_coverage_ratio,
         "downstream_flank": q_downstream_flank,
-        "join_first": q_join_first,
         "join_contained": q_join_contained,
-        "overlap_anti": q_overlap_anti,
         "slice_introns": q_slice_introns,
         "window_sliding": q_window_sliding,
         "extend_group": q_extend_group,
-        "fdr": q_fdr,
         "bpe_tokens": q_bpe_tokens,
-        "kmeans": q_kmeans,
-        "ivf_topk": q_ivf_topk,
         "jpeg_features": q_jpeg_features,
         "png_features": q_png_features,
         "avi_frames": q_avi_frames,
         "dedup_exact": q_dedup_exact,
-        # --- r15-CHANGED code paths: re-gate immediately (9) ---
-        "para_dedup": q_para_dedup,
         "boilerplate_lines": q_boilerplate_lines,
-        "curation_pipeline": q_curation_pipeline,
         "stratified_sample": q_stratified_sample,
         "extend_orfs": q_extend_orfs,
         "bam_roundtrip": q_bam_roundtrip,
         "bigwig_roundtrip": q_bigwig_roundtrip,
-        "get_sequence_tiled": q_get_sequence_tiled,
         "fasta_roundtrip": q_fasta_roundtrip,
-        # --- 25 r13-green fills (oldest deadline class, due r16) ---
         "doc_repetition": q_doc_repetition,
         "tfidf_topterms": q_tfidf_topterms,
         "pack_examples": q_pack_examples,
@@ -2911,88 +2953,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_diversity": q_char_diversity,
         "mjpeg_frames": q_mjpeg_frames,
         "bpe_pairs": q_bpe_pairs,
-        "cluster_quota": q_cluster_quota,
-        "count_overlaps": q_count_overlaps,
         "map_to_local": q_map_to_local,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "count_matrix": q_count_matrix,
-        "token_jaccard": q_token_jaccard,
         "doc_signature_dedup": q_doc_signature_dedup,
         "ann_topk": q_ann_topk,
-        "simhash": q_simhash,
         "group_cumsum": q_group_cumsum,
-        # --- past the 50-row driver window: local gate only this round ---
-        # Roll-to-r16 (20): r13-green, each with a rule-(b) sibling — see
-        # the docstring.
-        "doc_langid": q_doc_langid,
-        "tpch_pricing": q_tpch_pricing,
-        "five_end": q_five_end,
-        "calc_frame": q_calc_frame,
-        "tile_genome": q_tile_genome,
-        "summary_stats": q_summary_stats,
-        "mcc": q_mcc,
-        "spearman_rows": q_spearman_rows,
-        "minhash_lsh": q_minhash_lsh,
-        "cluster": q_cluster,
-        "split": q_split,
-        "set_union": q_set_union,
-        "max_disjoint": q_max_disjoint,
-        "jaccard_stat": q_jaccard_stat,
-        "streaming_dedup": q_streaming_dedup,
-        "translate_cds": q_translate_cds,
-        "nearest": q_nearest,
-        "annotate_stream": q_annotate_stream,
-        "windowed_coverage": q_windowed_coverage,
-        "stream_incremental_dedup": q_stream_incremental_dedup,
-        # r14-driver-green (CORRECTNESS_r14.json, all 50 green; deadline
-        # r17 — para_dedup, stratified_sample, bam/bigwig_roundtrip,
-        # get_sequence_tiled and fasta_roundtrip moved into the window
-        # above as r15-changed):
         "simes": q_simes,
         "doc_quality": q_doc_quality,
         "lsh_topk": q_lsh_topk,
-        "cosine_simjoin": q_cosine_simjoin,
         "boundary": q_boundary,
-        "minhash_lsh_md5": q_minhash_lsh_md5,
         "three_end": q_three_end,
-        "forbes_stat": q_forbes_stat,
-        "set_intersect": q_set_intersect,
         "slice_10_60": q_slice_10_60,
         "window_ranges": q_window_ranges,
         "extend": q_extend,
         "bpe_segment": q_bpe_segment,
-        "pq_topk": q_pq_topk,
-        "ivfpq_topk": q_ivfpq_topk,
         "upstream_flank": q_upstream_flank,
         "overlap_slack": q_overlap_slack,
         "reldist": q_reldist,
         "running_anomalies": q_running_anomalies,
-        "decontaminate": q_decontaminate,
         "shuffle_rank": q_shuffle,
         "corpus_filter": q_corpus_filter,
-        "kmv_vocab": q_kmv_vocab,
         "normalize_dedup": q_normalize_dedup,
-        "join_left": q_join_left,
-        "join_same_strand": q_join_same_strand,
         "intersect": q_intersect,
         "fisher": q_fisher,
         "clip": q_clip,
         "complement": q_complement,
-        "overlap_semi": q_overlap_semi,
         "tile": q_tile,
         "sort_rank": q_sort_rank,
-        "join_inner": q_join_inner,
-        "subtract": q_subtract,
-        "coverage": q_coverage,
         "merge_stranded": q_merge_stranded,
-        "winnow": q_winnow,
-        "nearest_updown": q_nearest_updown,
         "multimodal_features": q_multimodal_features,
         "bucketed_merge": q_bucketed_merge,
         "map_to_global": q_map_to_global,
-        "dedup_clusters": q_dedup_clusters,
-        "semantic_dedup": q_semantic_dedup,
     }
 
 
